@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Headline benchmark: encode x-realtime for 44.1 kHz mono on one chip.
+
+North star (BASELINE.json): >=100x realtime encode of 44.1 kHz mono audio on
+a single TPU v5e chip at SNR parity with reference .fwav round-trips. The
+reference publishes no numbers (SURVEY.md §6), so vs_baseline is reported
+against the 100x-realtime target.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def make_signal(seconds: float = 10.0, sr: int = 44100) -> np.ndarray:
+    """Deterministic speech-like test content: chirp + harmonics + noise with
+    silence gaps, int16 full-scale-ish."""
+    rng = np.random.default_rng(42)
+    t = np.arange(int(sr * seconds)) / sr
+    sig = 0.35 * np.sin(2 * np.pi * (180 + 40 * np.sin(2 * np.pi * 0.5 * t)) * t * 8)
+    sig += 0.2 * np.sin(2 * np.pi * 850 * t)
+    sig += 0.08 * np.sin(2 * np.pi * 2700 * t)
+    sig += 0.01 * rng.standard_normal(len(t))
+    # silence gaps every ~2 s
+    for k in range(1, int(seconds / 2) + 1):
+        a = int((2 * k - 0.3) * sr)
+        sig[a : a + int(0.15 * sr)] = 0.0
+    return (sig * 0.5 * (2**15 - 1)).astype(np.float32)
+
+
+def main():
+    from fwav_tpu import compress_audio_arrays, decompress_audio, compute_snr
+
+    sr = 44100
+    seconds = 10.0
+    sig = make_signal(seconds, sr)
+
+    # warmup (compile both directions)
+    rec, domains, n_ranges, range_size, *_ = compress_audio_arrays(sig, sr, 2)
+    decompress_audio(rec, domains, n_ranges, range_size, original_len=len(sig))
+
+    # min over reps: host<->device transport on tunneled devices has
+    # heavy-tailed latency; min is the honest hardware-capability number
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        rec, domains, n_ranges, range_size, *_ = compress_audio_arrays(sig, sr, 2)
+        times.append(time.perf_counter() - t0)
+    enc_s = float(np.min(times))
+
+    dts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        recon = decompress_audio(rec, domains, n_ranges, range_size, original_len=len(sig))
+        dts.append(time.perf_counter() - t0)
+    dec_s = float(np.min(dts))
+    snr = compute_snr(sig, recon)
+
+    xrt = (len(sig) / sr) / enc_s
+    target = 100.0  # north-star x-realtime
+    print(
+        json.dumps(
+            {
+                "metric": "encode_x_realtime_44k1_mono_10s",
+                "value": round(xrt, 2),
+                "unit": "x_realtime",
+                "vs_baseline": round(xrt / target, 4),
+                "encode_s": round(enc_s, 4),
+                "decode_s": round(dec_s, 4),
+                "round_trip_snr_db": round(snr, 3),
+                "n_ranges": int(n_ranges),
+                "n_domains": int(len(domains)),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

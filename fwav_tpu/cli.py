@@ -1,0 +1,139 @@
+"""CLI: compress / decompress subcommands with batch directory mode
+(reference: fractal.py:1550-1669).
+
+Same flags and behavior: --tile, --out, --energy-thresh, --gpu, --batch,
+--workers; batch mode globs *.wav / *.fwav, SKIPS already-produced outputs
+(resume semantics) and writes compression_metrics.json /
+decompression_metrics.json.
+
+One deliberate divergence: batch fan-out uses a thread pool (file-level data
+parallelism) instead of multiprocessing.Pool — every worker shares the same
+TPU runtime + compile cache, which fork-based pools would duplicate or break.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from concurrent.futures import ThreadPoolExecutor
+
+from .models.codec import process_file_compress, process_file_decompress
+from .utils.logging import logger
+
+
+def _run_jobs(fn, jobs, workers):
+    if not jobs:
+        return []
+    with ThreadPoolExecutor(max_workers=min(workers, len(jobs))) as pool:
+        return list(pool.map(lambda args: fn(*args), jobs))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="TPU-native fractal WAV compressor with batch processing and metrics"
+    )
+    sub = parser.add_subparsers(dest="cmd")
+
+    pc = sub.add_parser("compress")
+    pc.add_argument("input", help="input WAV file or directory")
+    pc.add_argument("output", nargs="?", default=None,
+                    help="output FWAV file (required unless --batch)")
+    pc.add_argument("--tile", type=int, default=1024)
+    pc.add_argument("--out", default=None, help="output directory (batch mode)")
+    pc.add_argument("--energy-thresh", type=float, default=1e-4)
+    pc.add_argument("--gpu", action="store_true",
+                    help="accepted for parity; the JAX device is used either way")
+    pc.add_argument("--batch", action="store_true",
+                    help="treat input as directory and compress all WAV inside")
+    pc.add_argument("--workers", type=int, default=4,
+                    help="parallel file-level workers for batch")
+    pc.add_argument("--search", default="exact", choices=["exact", "topk"],
+                    help="exact matched-filter search (default) or reference-shaped "
+                         "embedding top-k shortlist")
+
+    pd = sub.add_parser("decompress")
+    pd.add_argument("input", help="input file or directory")
+    pd.add_argument("--out", default=None, help="output file or directory")
+    pd.add_argument("--iter", type=int, default=8)
+    pd.add_argument("--eps", type=float, default=1e-3)
+    pd.add_argument("--gpu", action="store_true")
+    pd.add_argument("--batch", action="store_true",
+                    help="treat input as directory and decompress all FWAV inside")
+    pd.add_argument("--workers", type=int, default=4)
+
+    args = parser.parse_args(argv)
+
+    if args.cmd == "compress":
+        if not args.batch:
+            if args.output is None:
+                parser.error("compress requires OUTPUT unless --batch is used")
+            process_file_compress(
+                args.input, args.output, args.tile, args.energy_thresh, args.gpu,
+                search=args.search,
+            )
+        else:
+            if args.output is not None:
+                parser.error("Do not provide positional OUTPUT when using --batch; use --out instead")
+            out_dir = args.out or args.input
+            files = [
+                os.path.join(args.input, f)
+                for f in sorted(os.listdir(args.input))
+                if f.lower().endswith(".wav")
+            ]
+            todo = []
+            for f in files:
+                outpath = os.path.join(out_dir, os.path.basename(f) + ".fwav")
+                if not os.path.exists(outpath):  # skip-resume (fractal.py:1597-1600)
+                    todo.append((f, outpath, args.tile, args.energy_thresh, args.gpu))
+            logger.info(
+                "Batch compressing %d/%d files using %d workers",
+                len(todo), len(files), args.workers,
+            )
+            if todo:
+                os.makedirs(out_dir, exist_ok=True)
+                results = _run_jobs(process_file_compress, todo, args.workers)
+                metrics_file = os.path.join(out_dir, "compression_metrics.json")
+                with open(metrics_file, "w") as mf:
+                    json.dump(results, mf, indent=2)
+                logger.info("Wrote metrics to %s", metrics_file)
+            else:
+                logger.info("No files to compress — all already exist.")
+
+    elif args.cmd == "decompress":
+        if not args.batch:
+            out_file = args.out or (os.path.splitext(args.input)[0] + "_recon.wav")
+            process_file_decompress(args.input, out_file, args.iter, args.eps, args.gpu)
+        else:
+            out_dir = args.out or args.input
+            files = [
+                os.path.join(args.input, f)
+                for f in sorted(os.listdir(args.input))
+                if f.lower().endswith(".fwav")
+            ]
+            todo = []
+            for f in files:
+                outpath = os.path.join(
+                    out_dir, os.path.basename(f).replace(".fwav", "_recon.wav")
+                )
+                if not os.path.exists(outpath):
+                    todo.append((f, outpath, args.iter, args.eps, args.gpu))
+            logger.info(
+                "Batch decompressing %d/%d files using %d workers",
+                len(todo), len(files), args.workers,
+            )
+            if todo:
+                os.makedirs(out_dir, exist_ok=True)
+                results = _run_jobs(process_file_decompress, todo, args.workers)
+                metrics_file = os.path.join(out_dir, "decompression_metrics.json")
+                with open(metrics_file, "w") as mf:
+                    json.dump(results, mf, indent=2)
+                logger.info("Wrote metrics to %s", metrics_file)
+            else:
+                logger.info("No files to decompress — all already exist.")
+    else:
+        parser.print_help()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,102 @@
+"""Configuration for the TPU-native FWAV codec.
+
+One frozen dataclass per pipeline stage, defaults matching the reference's
+keyword defaults (reference: fractal.py:1045-1061 for encode,
+fractal.py:1378-1380 for decode). The CLI and the Python API both map onto
+these.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+FWAV_VERSION = 1  # reference: fractal.py:59
+
+#: Number of candidate domains per range in the embedding-shortlist search
+#: path (reference: fractal.py:77).
+TOP_K = 32
+
+#: DCT coefficients for the standalone tile embedding (reference: fractal.py:141).
+EMBED_K = 32
+
+
+def derive_range_size(tile_size: int) -> int:
+    """reference: fractal.py:1070 (note README.md:95 says //128; code wins)."""
+    return max(4, tile_size // 256)
+
+
+def derive_domain_step(range_size: int) -> int:
+    """reference: fractal.py:1071."""
+    return max(1, range_size // 4)
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderConfig:
+    """Encode-side knobs. Defaults mirror compress_audio's keyword defaults
+    (reference: fractal.py:1045-1061)."""
+
+    tile_size: int = 1024
+    emb_dim: int = 16
+    top_k: int = TOP_K
+    ef_search: int = 50          # kept for API parity; no ANN index on TPU
+    energy_thresh: float = 1e-4
+    fast_mode: bool = True       # energy-prune silent ranges at 0.75*thresh
+    transient_weight: float = 1.0
+    n_mels: int = 40
+    s_clip: float = 16.0         # reference: fractal.py:764
+    # --- TPU-native additions -------------------------------------------
+    #: "exact": globally optimal matched-filter search over every domain
+    #:   (one blockwise matmul + running argmax; subsumes embeddings + ANN
+    #:   + affine re-rank of the reference).
+    #: "topk": reference-shaped two-stage search (embedding top-k shortlist
+    #:   then batched mirrored affine solve over the shortlist).
+    #: "coarse": coarse-to-fine exact-family search — stride-subsampled scan
+    #:   + top-C window refinement; ~stride-fold cheaper, near-exact because
+    #:   adjacent domains are one-sample-shifted box means.
+    #: "auto" (default): "coarse" for large banks, "exact" for small ones.
+    search: str = "auto"
+    #: Bank size above which "auto" switches from brute-force to coarse.
+    auto_coarse_threshold: int = 32768
+    #: Coarse scan stride (power of two; auto-capped to block_len // 4).
+    coarse_stride: int = 64
+    #: Number of coarse lobes refined per range.
+    coarse_topc: int = 2
+    #: Match-selection objective. "balanced" (default) minimizes the affine
+    #: residual plus the shipped decoder's offset-deviation penalty
+    #: N*(s*d_mean)^2 — the s_damping=0 decoder reconstructs exactly the
+    #: stored offset (see models.decode), so this optimizes true round-trip
+    #: distortion. "affine" is the reference's plain-L2 argmin.
+    objective: str = "balanced"
+    #: Domain-block size for the streaming search scan (HBM->VMEM tiles).
+    domain_block: int = 2048
+    #: Range-block size for the outer search loop.
+    range_block: int = 8192
+
+    @property
+    def range_size(self) -> int:
+        return derive_range_size(self.tile_size)
+
+    @property
+    def domain_step(self) -> int:
+        return derive_domain_step(self.range_size)
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    """Decode-side knobs (reference: fractal.py:1378-1380)."""
+
+    iterations: int = 8
+    convergence_eps: float = 1e-3
+    s_clip: float = 16.0
+    s_damping: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class VADConfig:
+    """Voiced/silent detection (reference: fractal.py:880-909; live call at
+    fractal.py:1074-1078 uses frame_size = 2*range_size)."""
+
+    energy_threshold: float = 1e-4
+    smooth_window: int = 5
+    low_threshold: Optional[float] = None  # defaults to 0.5 * energy_threshold

@@ -1,0 +1,100 @@
+"""File-level compress/decompress (reference: fractal.py:1491-1546).
+
+process_file_compress / process_file_decompress return per-file metric dicts
+({'input','output','time_s','ratio'} / error dicts on failure) so batch jobs
+survive bad files, exactly like the reference. Internally they use the
+array fast path (no per-range Python tuples).
+
+Output-path semantics: the reference treats its `outdir` argument strictly
+as a directory, so `compress in.wav out.fwav` creates a DIRECTORY named
+out.fwav (quirk, SURVEY.md §2.4.7). Here a path that ends in .fwav/.wav is
+treated as the literal output file; anything else keeps the reference's
+directory semantics.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+from ..io.container import load_compressed_arrays, save_compressed
+from ..io.wav import read_wav_mono, write_wav
+from ..utils.logging import logger
+from .decode import decompress_audio
+from .encode import compress_audio_arrays
+
+
+def _resolve_out(path, outdir, default_suffix, expected_ext):
+    if outdir is None:
+        return os.path.splitext(path)[0] + default_suffix
+    if outdir.lower().endswith(expected_ext):
+        parent = os.path.dirname(outdir)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        return outdir
+    os.makedirs(outdir, exist_ok=True)
+    base = os.path.basename(path)
+    if default_suffix == ".fwav":
+        return os.path.join(outdir, base + ".fwav")
+    return os.path.join(outdir, base + "_recon.wav")
+
+
+def process_file_compress(path, outdir=None, tile=1024, energy_thresh=1e-4, use_gpu=False, **kwargs):
+    try:
+        start = time.time()
+        signal, framerate, sampwidth = read_wav_mono(path)
+        if sampwidth == 4:
+            signal = np.clip(signal.astype(np.float32), -1.0, 1.0)
+
+        (
+            rec, domains, n_ranges, range_size, tile_size, domain_step,
+            energy_threshold, original_len,
+        ) = compress_audio_arrays(
+            signal, framerate, sampwidth, tile_size=tile,
+            energy_thresh=energy_thresh, use_gpu=use_gpu, **kwargs,
+        )
+        logger.info(
+            "Processed %d ranges, domain matrix shape %s", n_ranges, domains.shape
+        )
+        outpath = _resolve_out(path, outdir, ".fwav", ".fwav")
+        save_compressed(
+            outpath, rec, domains, range_size, framerate, sampwidth,
+            tile_size, domain_step, energy_threshold, original_len,
+        )
+        elapsed = time.time() - start
+        in_size = os.path.getsize(path)
+        out_size = os.path.getsize(outpath)
+        ratio = in_size / out_size if out_size > 0 else 0
+        logger.info(
+            "Compressed %s -> %s  time=%.2fs  ratio=%.2f", path, outpath, elapsed, ratio
+        )
+        return {"input": path, "output": outpath, "time_s": elapsed, "ratio": ratio}
+    except Exception as e:  # noqa: BLE001 — per-file isolation, like the reference
+        logger.exception("Compression failed for %s", path)
+        return {"input": path, "error": str(e)}
+
+
+def process_file_decompress(path, outdir=None, iterations=8, eps=1e-3, use_gpu=False, **kwargs):
+    try:
+        start = time.time()
+        (
+            rec, domains, n_ranges, range_size, framerate, sampwidth,
+            tile_size, domain_step, energy_threshold, original_len,
+        ) = load_compressed_arrays(path)
+        recon = decompress_audio(
+            rec, domains, n_ranges, range_size, iterations=iterations,
+            convergence_eps=eps, use_gpu=use_gpu, original_len=original_len,
+            **kwargs,
+        )
+        if sampwidth == 4:
+            recon = np.clip(recon, -1.0, 1.0)
+        outpath = _resolve_out(path, outdir, "_recon.wav", ".wav")
+        write_wav(outpath, np.asarray(recon), framerate, sampwidth)
+        elapsed = time.time() - start
+        logger.info("Decompressed %s -> %s  time=%.2fs", path, outpath, elapsed)
+        return {"input": path, "output": outpath, "time_s": elapsed}
+    except Exception as e:  # noqa: BLE001
+        logger.exception("Decompression failed for %s", path)
+        return {"input": path, "error": str(e)}

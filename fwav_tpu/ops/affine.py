@@ -1,0 +1,127 @@
+"""Batched mirrored affine least-squares matching.
+
+For a range r and domain tile d, the optimal affine map r ~ s*d + o has the
+closed form s = sum(d_c * r_c) / sum(d_c^2), o = mean(r) - s*mean(d) with
+centered vectors; the L2 reconstruction error satisfies
+||r - (s*d + o)||^2 = ||r_c||^2 - 2*s*num + s^2*denom.
+
+`batched_affine_match` reproduces the reference's batched GPU solve
+(_process_gpu_batch, fractal.py:757-850) semantics exactly:
+- candidates gathered per range, -1 pads clamped to 0 then masked to +inf err;
+- mirrored copies appended AFTER the originals, so argmin tie-breaks prefer
+  the original orientation and earlier candidates;
+- err computed with the UNclipped s, clip to +/- s_clip applied after argmin.
+Instead of materializing a (B, 2K, N) mirrored concat it reverses the ranges
+(sum(r_c * reverse(d)) == sum(reverse(r_c) * d)), halving the gather traffic.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-12
+
+
+def affine_stats(tiles: jnp.ndarray):
+    """Per-tile mean and centered energy over the last axis."""
+    mean = jnp.mean(tiles, axis=-1)
+    centered = tiles - mean[..., None]
+    denom = jnp.sum(centered * centered, axis=-1)
+    return mean, denom
+
+
+def batched_affine_match(
+    ranges: jnp.ndarray,      # (B, N) float32
+    cand_idx: jnp.ndarray,    # (B, K) int32, -1 = padded slot
+    bank: jnp.ndarray,        # (D, N) float32
+    s_clip: float = 16.0,
+    objective: str = "affine",
+):
+    """Pick the best (domain, orientation) per range from its candidate list.
+
+    objective="affine" selects by plain L2 reconstruction error (the
+    reference's argmin, fractal.py:820); "balanced" adds the shipped
+    decoder's offset-deviation penalty N*(s*d_mean)^2 to the selection score
+    (see ops.search.exact_search_block) — stored err is the affine error
+    either way.
+
+    Returns (idx, s, o, sym, err) each (B,). For a range whose candidates are
+    all -1 the err is +inf and idx is the clamped slot-0 domain — callers
+    decide sentinel policy (see models.encode)."""
+    safe = jnp.maximum(cand_idx, 0)
+    tiles = bank[safe]  # (B, K, N)
+    return affine_match_tiles(
+        ranges, tiles, safe, cand_idx < 0, s_clip=s_clip, objective=objective
+    )
+
+
+def affine_match_tiles(
+    ranges: jnp.ndarray,      # (B, N)
+    tiles: jnp.ndarray,       # (B, K, N) pre-gathered candidate tiles
+    cand_idx: jnp.ndarray,    # (B, K) global domain index of each tile
+    invalid: jnp.ndarray,     # (B, K) bool, True = masked slot
+    s_clip: float = 16.0,
+    objective: str = "affine",
+):
+    """Core of batched_affine_match for callers that already hold the tiles
+    (e.g. the coarse-to-fine refiner, which fetches contiguous windows with
+    batched dynamic slices instead of row gathers)."""
+    B, N = ranges.shape
+    safe = cand_idx
+
+    d_mean, d_denom = affine_stats(tiles)            # (B, K) — mirror-invariant
+    r_mean = jnp.mean(ranges, axis=1, keepdims=True)  # (B, 1)
+    r_c = ranges - r_mean                             # (B, N)
+    r_e = jnp.sum(r_c * r_c, axis=1, keepdims=True)   # (B, 1)
+
+    # num for original and mirrored orientation via reversed ranges
+    num_o = jnp.einsum("bkn,bn->bk", tiles, r_c, precision=jax.lax.Precision.HIGHEST)
+    num_m = jnp.einsum("bkn,bn->bk", tiles, r_c[:, ::-1], precision=jax.lax.Precision.HIGHEST)
+    # (B, 2K): originals first — argmin tie-break prefers sym=0
+    num = jnp.concatenate([num_o, num_m], axis=1)
+    denom = jnp.concatenate([d_denom, d_denom], axis=1) + _EPS
+    mean2 = jnp.concatenate([d_mean, d_mean], axis=1)
+
+    s = num / denom
+    o = r_mean - s * mean2
+    err2 = r_e - 2.0 * s * num + s * s * (denom - _EPS)
+    err = jnp.sqrt(jnp.maximum(err2, 0.0))
+
+    score = err2 + N * (s * mean2) ** 2 if objective == "balanced" else err
+    invalid2 = jnp.concatenate([invalid, invalid], axis=1)
+    err = jnp.where(invalid2, jnp.inf, err)
+    score = jnp.where(invalid2, jnp.inf, score)
+
+    pick = jnp.argmin(score, axis=1)  # first occurrence wins ties
+    rows = jnp.arange(B)
+    best_idx = jnp.concatenate([safe, safe], axis=1)[rows, pick]
+    best_sym = (pick >= cand_idx.shape[1]).astype(jnp.uint8)
+
+    # exact refit on the winning tile: the err2 closed form cancels
+    # catastrophically in float32 when the fit is near-perfect; the explicit
+    # residual does not. s/o/err below are bit-exact for the chosen pair.
+    K = cand_idx.shape[1]
+    tile = tiles[rows, jnp.where(pick >= K, pick - K, pick)]      # (B, N)
+    tile = jnp.where(best_sym[:, None].astype(bool), tile[:, ::-1], tile)
+    t_mean = jnp.mean(tile, axis=1)
+    t_c = tile - t_mean[:, None]
+    t_denom = jnp.sum(t_c * t_c, axis=1)
+    t_num = jnp.sum(r_c * t_c, axis=1)
+    best_s = t_num / (t_denom + _EPS)
+    best_o = r_mean[:, 0] - best_s * t_mean
+    resid = r_c - best_s[:, None] * t_c
+    best_err = jnp.sqrt(jnp.sum(resid * resid, axis=1))
+    best_err = jnp.where(jnp.isinf(err[rows, pick]), jnp.inf, best_err)
+    best_s = jnp.clip(best_s, -abs(s_clip), abs(s_clip))
+    return best_idx.astype(jnp.int32), best_s, best_o, best_sym, best_err
+
+
+def affine_solve_single(range_block: jnp.ndarray, tile: jnp.ndarray):
+    """(s, o, err) for one range/tile pair, both orientations considered.
+    Public op mirroring find_best_domain_affine's per-candidate math
+    (fractal.py:443-478)."""
+    idx, s, o, sym, err = batched_affine_match(
+        range_block[None, :], jnp.zeros((1, 1), jnp.int32), tile[None, :]
+    )
+    return s[0], o[0], sym[0], err[0]

@@ -1,0 +1,132 @@
+"""Domain-bank construction (reference: build_domains_memmap fractal.py:285-334).
+
+A domain is a tile_size-sample sliding window (stride domain_step) of the raw
+signal, block-averaged down to range_size samples: bank[i, j] is the mean of
+block_len = tile_size // range_size consecutive samples starting at
+i*domain_step + j*block_len (windows trimmed to block_len*range_size).
+
+TPU formulation: every bank entry is a width-block_len box mean of the signal,
+so we compute the box-mean sequence once with O(2*sqrt(block_len)) shifted
+adds (pure VPU, no gather per tap) and gather the (D, range_size) bank from
+it. No sliding_window_view materialization, no memmap blocking loop — the
+whole bank for minutes of audio fits HBM as (D, range_size) float32.
+
+Also provides frame_ranges (stride-trick framing util, reference
+fractal.py:222-234, capability parity) and a numpy golden builder for tests.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def n_domains_for(n_samples: int, tile_size: int, domain_step: int) -> int:
+    """Number of sliding windows: 0 if the signal is shorter than a tile."""
+    if n_samples < tile_size:
+        return 0
+    return (n_samples - tile_size) // domain_step + 1
+
+
+def box_sums(x: jnp.ndarray, width: int) -> jnp.ndarray:
+    """s[p] = sum(x[p : p + width]) for every position (tail positions wrap
+    garbage — callers only read p <= len(x) - width). Two-stage shifted-add
+    decomposition: width = b1*b2 + rem costs b1 + b2 + rem adds instead of
+    width, with no long cumsum (so no float32 prefix-sum precision loss)."""
+    if width == 1:
+        return x
+    b1 = max(1, math.isqrt(width))
+    b2 = width // b1
+    rem = width - b1 * b2
+    s1 = x
+    for t in range(1, b1):
+        s1 = s1 + jnp.roll(x, -t)
+    out = s1
+    for k in range(1, b2):
+        out = out + jnp.roll(s1, -k * b1)
+    for t in range(b1 * b2, width):
+        out = out + jnp.roll(x, -t)
+    return out
+
+
+def build_bank_jax(
+    signal_padded: jnp.ndarray,
+    tile_size: int,
+    range_size: int,
+    domain_step: int,
+    d_bucket: int,
+    n_domains,
+) -> jnp.ndarray:
+    """(d_bucket, range_size) domain bank from a bucket-padded raw signal.
+    Rows >= n_domains (traced scalar) are zeroed."""
+    block_len = tile_size // range_size
+    means = box_sums(signal_padded, block_len) * (1.0 / block_len)
+    rows = jnp.arange(d_bucket, dtype=jnp.int32) * domain_step
+    cols = jnp.arange(range_size, dtype=jnp.int32) * block_len
+    idx = jnp.clip(rows[:, None] + cols[None, :], 0, signal_padded.shape[0] - 1)
+    bank = jnp.take(means, idx, axis=0)
+    valid = jnp.arange(d_bucket, dtype=jnp.int32) < jnp.asarray(n_domains, jnp.int32)
+    return jnp.where(valid[:, None], bank, 0.0)
+
+
+def build_domains_host(
+    signal: np.ndarray, tile_size: int, range_size: int, domain_step: int = 1
+) -> np.ndarray:
+    """Fast host-side bank builder: float64 cumulative sums turn every
+    block mean into two lookups — O(n + D*range_size), no window
+    materialization. Used for .fwav serialization so the 16-bytes-per-domain
+    bank never crosses the (slow) device->host path; the device builds its
+    own copy from the raw signal (build_bank_jax) for searching."""
+    signal = np.asarray(signal, dtype=np.float32)
+    n = len(signal)
+    d = n_domains_for(n, tile_size, domain_step)
+    if d == 0:
+        return np.zeros((0, range_size), dtype=np.float32)
+    block_len = tile_size // range_size
+    cs = np.zeros(n + 1, dtype=np.float64)
+    np.cumsum(signal, dtype=np.float64, out=cs[1:])
+    starts = (
+        np.arange(d, dtype=np.int64)[:, None] * domain_step
+        + np.arange(range_size, dtype=np.int64)[None, :] * block_len
+    )
+    return ((cs[starts + block_len] - cs[starts]) / block_len).astype(np.float32)
+
+
+def build_domains_np(
+    signal: np.ndarray, tile_size: int, range_size: int, domain_step: int = 1
+) -> np.ndarray:
+    """Golden numpy builder with the reference's exact formulation
+    (sliding_window_view -> trim -> reshape -> mean; fractal.py:301-327).
+    Used in tests and as a host fallback."""
+    signal = np.asarray(signal, dtype=np.float32)
+    if len(signal) < tile_size:
+        return np.zeros((0, range_size), dtype=np.float32)
+    windows = np.lib.stride_tricks.sliding_window_view(signal, tile_size)[::domain_step]
+    block_len = tile_size // range_size
+    usable = block_len * range_size
+    trimmed = windows[:, :usable]
+    return trimmed.reshape(len(windows), range_size, block_len).mean(
+        axis=2, dtype=np.float32
+    )
+
+
+def frame_ranges(signal, range_size: int, hop=None) -> np.ndarray:
+    """Strided frame view (reference: fractal.py:222-234; unused in the live
+    path but part of the public surface)."""
+    hop = hop or range_size
+    signal = np.asarray(signal)
+    total = signal.shape[0]
+    if total < range_size:
+        return np.empty((0, range_size), dtype=signal.dtype)
+    num_frames = 1 + (total - range_size) // hop
+    shape = (num_frames, range_size)
+    strides = (signal.strides[0] * hop, signal.strides[0])
+    return np.lib.stride_tricks.as_strided(signal, shape=shape, strides=strides)
+
+
+def apply_symmetry(tile):
+    """[tile, mirrored tile] (reference: fractal.py:874-875)."""
+    tile = np.asarray(tile)
+    return [tile, tile[::-1]]

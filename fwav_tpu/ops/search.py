@@ -1,0 +1,401 @@
+"""Candidate search kernels.
+
+Two searches, both single fused XLA programs scanning HBM-resident banks in
+VMEM-sized blocks (replacing the reference's CPU worker processes + hnswlib
+HNSW graph + mp.Queue pipeline, fractal.py:353-401, 556-632):
+
+1. `exact_search` (default): globally optimal matched-filter search. For the
+   affine fit, err^2 = ||r_c||^2 - num^2/denom with num = sum(r_c * d) and
+   denom = ||d_c||^2 — so the best (domain, orientation) maximizes the gain
+   num^2/denom. num over a whole block of domains is one (M, N) @ (N, Db)
+   matmul (rank-N structure: domains enter only through raw dot products with
+   centered ranges), so the entire search+solve is matmul + running argmax.
+   This strictly dominates the reference's two-stage embed->top-32->solve in
+   match quality AND removes the embedding/ANN stages from the hot path.
+
+2. `topk_search`: the reference-shaped two-stage path — multi-head DCT
+   embeddings, blockwise top-k MIPS (the on-device replacement for hnswlib),
+   then the batched mirrored affine solve over the shortlist. Kept as a
+   selectable mode for behavior parity and as the scalable building block
+   (top-k over sharded banks merges with a single gather).
+
+Tie-breaking matches the reference argmin conventions: earlier domain index
+wins, original orientation beats mirrored on equal gain.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .affine import affine_match_tiles, batched_affine_match
+from .dct import multi_head_embedding_batch
+
+_EPS = 1e-12
+_NEG = -jnp.inf
+
+
+def _range_stats(ranges: jnp.ndarray):
+    r_mean = jnp.mean(ranges, axis=1)
+    r_c = ranges - r_mean[:, None]
+    r_e = jnp.sum(r_c * r_c, axis=1)
+    return r_mean, r_c, r_e
+
+
+def exact_search_block(
+    ranges: jnp.ndarray,    # (M, N) one block of ranges
+    bank: jnp.ndarray,      # (Db_total, N) full bank, scanned in blocks
+    d_mean: jnp.ndarray,    # (Db_total,)
+    d_denom: jnp.ndarray,   # (Db_total,)
+    d_valid: jnp.ndarray,   # (Db_total,) bool
+    domain_block: int,
+    s_clip: float,
+    objective: str = "balanced",
+):
+    """Optimal (idx, s, o, sym, err) for every range in the block against the
+    ENTIRE bank, via a lax.scan over domain blocks carrying the running best
+    (score, idx, sym).
+
+    Objectives (selection only; stored s/o/err are always the exact affine
+    fit of the chosen pair):
+
+    - "affine": minimize the affine residual ||r_c - s*d_c||^2
+      = r_e - num^2/denom, i.e. maximize num^2/denom. This is what the
+      reference's argmin does over its shortlist (fractal.py:820).
+    - "balanced" (default): minimize the affine residual PLUS the shipped
+      decoder's offset deviation N*(s*d_mean)^2. The reference decoder's
+      s_damping=0 fixed point reconstructs exactly the stored offset o
+      (fractal.py:1434-1449 with a range-constant reconstruction gives
+      s_opt = 0), so round-trip distortion is ||r_c||^2 + N*(s*d_mean)^2;
+      the combined objective J = r_e - num^2 * (denom - N*d_mean^2)/denom^2
+      optimizes the shape fit AND the shipped decode together. Both reduce
+      to maximizing num^2 * w with a per-domain precomputed weight w.
+
+    A final refit pass recomputes (s, o, err) against the gathered winning
+    tile directly — the scan's score arithmetic suffers float32 cancellation
+    when fits are near-perfect; the explicit residual does not.
+    """
+    r_mean, r_c, r_e = _range_stats(ranges)
+    best_score, best_idx, best_sym = exact_search_scan(
+        r_c, bank, d_mean, d_denom, d_valid, domain_block, objective
+    )
+    return exact_refit(
+        r_mean, r_c, bank, best_score, best_idx, best_sym, s_clip
+    )
+
+
+def domain_weights(d_mean, d_denom, n: int, objective: str):
+    """Per-domain selection weight w such that the best pair maximizes
+    num^2 * w (see exact_search_block)."""
+    denom_eps = d_denom + _EPS
+    if objective == "balanced":
+        return (d_denom - n * d_mean * d_mean) / (denom_eps * denom_eps)
+    return 1.0 / denom_eps
+
+
+def exact_search_scan(
+    r_c: jnp.ndarray,       # (M, N) centered ranges
+    bank: jnp.ndarray,      # (D, N)
+    d_mean: jnp.ndarray,
+    d_denom: jnp.ndarray,
+    d_valid: jnp.ndarray,
+    domain_block: int,
+    objective: str,
+    idx_offset=0,
+):
+    """The scan stage: running (best_score, best_idx, best_sym) per range
+    over domain blocks. `idx_offset` shifts emitted indices — used by the
+    bank-sharded search to produce global domain indices per shard."""
+    M, N = r_c.shape
+    D = bank.shape[0]
+    assert D % domain_block == 0
+    n_blocks = D // domain_block
+
+    # both orientations in one matmul operand: (2M, N)
+    r_both = jnp.concatenate([r_c, r_c[:, ::-1]], axis=0)
+    d_weight = domain_weights(d_mean, d_denom, N, objective)
+
+    bank_blocks = bank.reshape(n_blocks, domain_block, N)
+    weight_blocks = d_weight.reshape(n_blocks, domain_block)
+    valid_blocks = d_valid.reshape(n_blocks, domain_block)
+
+    def step(carry, xs):
+        best_score, best_idx, best_sym = carry
+        blk_i, bank_blk, weight_blk, valid_blk = xs
+
+        # num for both orientations: (2M, Db)
+        num2 = jax.lax.dot_general(
+            r_both, bank_blk,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        num_o, num_m = num2[:M], num2[M:]
+        score_o = num_o * num_o * weight_blk
+        score_m = num_m * num_m * weight_blk
+
+        use_m = score_m > score_o  # strict: original wins ties
+        score = jnp.where(use_m, score_m, score_o)
+        score = jnp.where(valid_blk[None, :], score, _NEG)
+
+        arg = jnp.argmax(score, axis=1)  # first max -> lowest domain idx
+        rows = jnp.arange(M)
+        g = score[rows, arg]
+        upd = g > best_score  # strict: earlier block wins ties
+        new_carry = (
+            jnp.where(upd, g, best_score),
+            jnp.where(upd, blk_i * domain_block + arg.astype(jnp.int32), best_idx),
+            jnp.where(upd, use_m[rows, arg], best_sym),
+        )
+        return new_carry, None
+
+    init = (
+        jnp.full((M,), _NEG, jnp.float32),
+        jnp.full((M,), idx_offset, jnp.int32),
+        jnp.zeros((M,), bool),
+    )
+    xs = (
+        jnp.arange(n_blocks, dtype=jnp.int32) + idx_offset // domain_block,
+        bank_blocks, weight_blocks, valid_blocks,
+    )
+    return jax.lax.scan(step, init, xs)[0]
+
+
+def exact_refit(
+    r_mean: jnp.ndarray,    # (M,)
+    r_c: jnp.ndarray,       # (M, N)
+    bank: jnp.ndarray,      # (D, N)  (local index space)
+    best_score: jnp.ndarray,
+    best_idx: jnp.ndarray,  # indices into `bank`
+    best_sym: jnp.ndarray,  # bool
+    s_clip: float,
+):
+    """The refit stage: exact (s, o, err) on the gathered winning tile —
+    no cancellation, exact stored parameters."""
+    tile = bank[best_idx]                                   # (M, N)
+    tile = jnp.where(best_sym[:, None], tile[:, ::-1], tile)
+    t_mean = jnp.mean(tile, axis=1)
+    t_c = tile - t_mean[:, None]
+    denom = jnp.sum(t_c * t_c, axis=1)
+    num = jnp.sum(r_c * t_c, axis=1)
+    s = num / (denom + _EPS)
+    o = r_mean - s * t_mean
+    resid = r_c - s[:, None] * t_c
+    err = jnp.sqrt(jnp.sum(resid * resid, axis=1))
+    # no valid domain at all -> +inf err so callers can sentinel it
+    err = jnp.where(jnp.isfinite(best_score), err, jnp.inf)
+    s = jnp.clip(s, -abs(s_clip), abs(s_clip))
+    return best_idx, s, o, best_sym.astype(jnp.uint8), err
+
+
+def gain_topk_scan(
+    r_c: jnp.ndarray,        # (M, N) centered ranges
+    bank_sub: jnp.ndarray,   # (Dc, N) subsampled bank
+    d_weight: jnp.ndarray,   # (Dc,)
+    d_valid: jnp.ndarray,    # (Dc,)
+    top_c: int,
+    domain_block: int,
+):
+    """Top-C *gain* candidates per range over a (subsampled) bank —
+    orientation folded in with max (the refine stage re-evaluates both).
+    Returns idx (M, C) into the subsampled index space, -1 where invalid."""
+    M, N = r_c.shape
+    Dc = bank_sub.shape[0]
+    assert Dc % domain_block == 0
+    n_blocks = Dc // domain_block
+
+    r_both = jnp.concatenate([r_c, r_c[:, ::-1]], axis=0)
+    bank_blocks = bank_sub.reshape(n_blocks, domain_block, N)
+    weight_blocks = d_weight.reshape(n_blocks, domain_block)
+    valid_blocks = d_valid.reshape(n_blocks, domain_block)
+
+    def step(carry, xs):
+        best_s, best_i = carry
+        blk_i, bank_blk, weight_blk, valid_blk = xs
+        # DEFAULT (bf16-pass) precision: this picks coarse lobes only; the
+        # refine stage re-scores in full f32 and the refit is exact, so
+        # score noise here costs nothing (balanced-objective near-ties are
+        # quality-equivalent by construction).
+        num2 = jax.lax.dot_general(
+            r_both, bank_blk,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        num_o, num_m = num2[:M], num2[M:]
+        score = jnp.maximum(num_o * num_o, num_m * num_m) * weight_blk
+        score = jnp.where(valid_blk[None, :], score, _NEG)
+        idx = jnp.broadcast_to(
+            blk_i * domain_block
+            + jnp.arange(domain_block, dtype=jnp.int32)[None, :],
+            score.shape,
+        )
+        merged_s = jnp.concatenate([best_s, score], axis=1)
+        merged_i = jnp.concatenate([best_i, idx], axis=1)
+        top_s, pos = jax.lax.top_k(merged_s, top_c)
+        top_i = jnp.take_along_axis(merged_i, pos, axis=1)
+        return (top_s, top_i), None
+
+    init = (
+        jnp.full((M, top_c), _NEG, jnp.float32),
+        jnp.full((M, top_c), -1, jnp.int32),
+    )
+    xs = (jnp.arange(n_blocks, dtype=jnp.int32), bank_blocks, weight_blocks, valid_blocks)
+    (scores, idx), _ = jax.lax.scan(step, init, xs)
+    return jnp.where(jnp.isfinite(scores), idx, -1)
+
+
+def coarse_refine_search(
+    ranges: jnp.ndarray,     # (M, N)
+    bank: jnp.ndarray,       # (D, N) full bank
+    d_mean: jnp.ndarray,
+    d_denom: jnp.ndarray,
+    d_valid: jnp.ndarray,
+    stride: int,
+    top_c: int,
+    domain_block: int,
+    s_clip: float,
+    objective: str = "balanced",
+):
+    """Coarse-to-fine exact-family search: scan the bank at `stride`, keep
+    the top-C coarse candidates per range, then solve the affine match over
+    the +/-stride windows around them.
+
+    Why this is near-exact: with domain_step=1 adjacent domains are
+    block_len-sample box means shifted by ONE input sample
+    (fractal.py:301,326-327 semantics), so the gain surface num(p)^2*w(p) is
+    smooth at the block_len scale (~256 at defaults). Sampling it at
+    stride << block_len and refining +/-stride around the best lobes loses
+    essentially nothing — validated against brute-force exact in
+    tests/test_search_affine.py and by round-trip SNR.
+
+    Cost: M*D/stride coarse scores + M*(2*stride*top_c) refine solves,
+    vs M*D for brute force — a ~stride-fold reduction.
+    """
+    M, N = ranges.shape
+    D = bank.shape[0]
+    assert D % stride == 0 and (D // stride) % domain_block == 0
+
+    r_mean = jnp.mean(ranges, axis=1)
+    r_c = ranges - r_mean[:, None]
+    d_weight = domain_weights(d_mean, d_denom, N, objective)
+
+    bank_sub = bank.reshape(D // stride, stride, N)[:, 0, :]
+    weight_sub = d_weight.reshape(D // stride, stride)[:, 0]
+    valid_sub = d_valid.reshape(D // stride, stride)[:, 0]
+
+    coarse = gain_topk_scan(r_c, bank_sub, weight_sub, valid_sub, top_c, domain_block)
+
+    # Refine windows of W = 2*stride positions around each lobe. Window
+    # starts clamp to [0, n_valid - W] so every fetched row is a real
+    # domain; callers guarantee n_valid >= W for the coarse path
+    # (models.encode auto rule).
+    W = max(2, stride + stride // 4)
+    n_valid = jnp.sum(d_valid.astype(jnp.int32))
+    lobe_ok = coarse >= 0                                   # (M, C)
+    starts = jnp.clip(coarse * stride - W // 2, 0, jnp.maximum(n_valid - W, 0))
+    cand = (starts[:, :, None] + jnp.arange(W, dtype=jnp.int32)[None, None, :]
+            ).reshape(M, top_c * W)
+    invalid = ~jnp.broadcast_to(lobe_ok[:, :, None], (M, top_c, W)).reshape(M, -1)
+    tiles = bank[cand]                                      # (M, C*W, N)
+
+    return affine_match_tiles(
+        ranges, tiles, cand, invalid, s_clip=s_clip, objective=objective
+    )
+
+
+def topk_scores_block(
+    q: jnp.ndarray,          # (M, E) query embeddings
+    bank_emb: jnp.ndarray,   # (D, E) bank embeddings
+    d_valid: jnp.ndarray,    # (D,) bool
+    top_k: int,
+    domain_block: int,
+):
+    """Blockwise exact top-k MIPS with a running best-k merge — the on-device
+    replacement for the hnswlib index (reference: fractal.py:353-381,
+    605-620). Returns (scores (M, k) desc, idx (M, k) int32; invalid slots
+    idx=-1)."""
+    M, E = q.shape
+    D = bank_emb.shape[0]
+    assert D % domain_block == 0
+    n_blocks = D // domain_block
+
+    emb_blocks = bank_emb.reshape(n_blocks, domain_block, E)
+    valid_blocks = d_valid.reshape(n_blocks, domain_block)
+
+    def step(carry, xs):
+        best_s, best_i = carry
+        blk_i, emb_blk, valid_blk = xs
+        scores = jax.lax.dot_general(
+            q, emb_blk,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (M, Db)
+        scores = jnp.where(valid_blk[None, :], scores, _NEG)
+        idx = jnp.broadcast_to(
+            blk_i * domain_block + jnp.arange(domain_block, dtype=jnp.int32)[None, :],
+            scores.shape,
+        )
+        merged_s = jnp.concatenate([best_s, scores], axis=1)
+        merged_i = jnp.concatenate([best_i, idx], axis=1)
+        top_s, pos = jax.lax.top_k(merged_s, top_k)
+        top_i = jnp.take_along_axis(merged_i, pos, axis=1)
+        return (top_s, top_i), None
+
+    init = (
+        jnp.full((M, top_k), _NEG, jnp.float32),
+        jnp.full((M, top_k), -1, jnp.int32),
+    )
+    xs = (jnp.arange(n_blocks, dtype=jnp.int32), emb_blocks, valid_blocks)
+    (scores, idx), _ = jax.lax.scan(step, init, xs)
+    idx = jnp.where(jnp.isfinite(scores), idx, -1)
+    return scores, idx
+
+
+def topk_search_block(
+    ranges: jnp.ndarray,
+    bank: jnp.ndarray,
+    bank_emb: jnp.ndarray,
+    d_valid: jnp.ndarray,
+    top_k: int,
+    domain_block: int,
+    s_clip: float,
+    emb_dim: int = 16,
+    objective: str = "affine",
+):
+    """Reference-shaped two-stage search for one range block: true range
+    embeddings (fixing the reference's range/domain embedding swap,
+    fractal.py:1190-1195) -> blockwise top-k MIPS -> batched mirrored affine
+    solve over the shortlist."""
+    q = multi_head_embedding_batch(ranges, tonal_k=emb_dim // 2, transient_k=emb_dim // 2)
+    _, cand = topk_scores_block(q, bank_emb, d_valid, top_k, domain_block)
+    return batched_affine_match(ranges, cand, bank, s_clip=s_clip, objective=objective)
+
+
+def range_candidates_from_embedding_emb(q, domain_embs, top_k: int = 64):
+    """Dense top-k by inner product for a single query (reference:
+    fractal.py:535-541 API shape), returned in descending score order."""
+    import numpy as np
+
+    q = np.asarray(q, dtype=np.float32)
+    domain_embs = np.asarray(domain_embs, dtype=np.float32)
+    scores = domain_embs @ q
+    if top_k >= len(scores):
+        return np.argsort(scores)[::-1].astype(np.int32)
+    idxs = np.argpartition(scores, -top_k)[-top_k:]
+    return idxs[np.argsort(scores[idxs])[::-1]].astype(np.int32)
+
+
+def pad_candidates(idxs, top_k: int):
+    """Pad/truncate a candidate list to fixed top_k with -1 fill (reference:
+    fractal.py:544-552)."""
+    import numpy as np
+
+    if idxs is None or len(idxs) == 0:
+        return np.full(top_k, -1, dtype=np.int32)
+    idxs = np.asarray(idxs, dtype=np.int32)
+    if len(idxs) >= top_k:
+        return idxs[:top_k]
+    out = np.full(top_k, -1, dtype=np.int32)
+    out[: len(idxs)] = idxs
+    return out

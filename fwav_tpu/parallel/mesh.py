@@ -1,0 +1,46 @@
+"""Device mesh helpers.
+
+The reference's parallelism is N CPU processes + 1 GPU process + mp.Queues on
+one host (fractal.py:1176-1237). The TPU equivalents (SURVEY.md §2.5):
+
+- 'dp' axis: ranges sharded across chips (the codec's batch axis) — the
+  analog of the reference's np.array_split over cpu_worker processes;
+- 'tp' axis: the domain bank sharded across chips with an all-gather best
+  merge — the codec analog of tensor parallelism, needed when the bank
+  outgrows one chip's HBM.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DP_AXIS = "dp"
+TP_AXIS = "tp"
+
+
+def make_mesh(n_devices=None, dp=None, tp=1) -> Mesh:
+    """1-D or 2-D mesh over the first n_devices. dp defaults to
+    n_devices // tp."""
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    if dp is None:
+        dp = n // tp
+    assert dp * tp == n, (dp, tp, n)
+    arr = np.asarray(devices[:n]).reshape(dp, tp)
+    return Mesh(arr, (DP_AXIS, TP_AXIS))
+
+
+def ranges_sharding(mesh: Mesh) -> NamedSharding:
+    """(M, N) ranges sharded over dp, replicated over tp."""
+    return NamedSharding(mesh, P(DP_AXIS, None))
+
+
+def bank_sharding(mesh: Mesh) -> NamedSharding:
+    """(D, N) bank sharded over tp, replicated over dp."""
+    return NamedSharding(mesh, P(TP_AXIS, None))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

@@ -1,0 +1,139 @@
+"""Multi-chip encode/search (SURVEY.md §2.5, §7 M5).
+
+Two composable shardings on a (dp, tp) mesh:
+
+1. Range data-parallelism (dp): ranges are embarrassingly parallel — shard
+   the (M, N) range matrix over dp, replicate the bank, jit the same search
+   kernels; GSPMD partitions the matmuls with zero communication. This
+   replaces the reference's np.array_split over CPU worker processes
+   (fractal.py:1180-1207).
+
+2. Bank tensor-parallelism (tp): when the domain bank outgrows one chip, each
+   chip scans only its bank shard (local running best), then the per-shard
+   winners are merged with one all_gather of (score, idx, sym) triples —
+   "top-1 of top-1s". The refit (exact s/o/err of the winning tile) happens
+   on the shard that owns the winning tile and is combined with a psum.
+   Deterministic tie-breaks match the single-device kernel: higher score,
+   then lower global domain index, then original orientation before mirror.
+
+Both paths produce bit-identical matches to the single-device kernel
+(tests/test_sharding.py).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..ops.affine import affine_stats
+from ..ops.search import _EPS, exact_refit, exact_search_scan
+from .mesh import DP_AXIS, TP_AXIS
+
+
+def _merge_shard_bests(score, idx, sym, axis_name):
+    """all_gather the per-shard (score, idx, sym) and reduce with the
+    single-device tie-break order: max score, then min global idx, then
+    sym=0 first. Inputs are (M,) per shard; returns merged (M,) triples."""
+    scores = jax.lax.all_gather(score, axis_name)   # (S, M)
+    idxs = jax.lax.all_gather(idx, axis_name)
+    syms = jax.lax.all_gather(sym, axis_name)
+
+    n_shards = scores.shape[0]
+    best_s, best_i, best_y = scores[0], idxs[0], syms[0]
+    for k in range(1, n_shards):
+        s_k, i_k, y_k = scores[k], idxs[k], syms[k]
+        better = s_k > best_s
+        tie = s_k == best_s
+        take = better | (tie & (i_k < best_i)) | (
+            tie & (i_k == best_i) & (~y_k & best_y)
+        )
+        best_s = jnp.where(take, s_k, best_s)
+        best_i = jnp.where(take, i_k, best_i)
+        best_y = jnp.where(take, y_k, best_y)
+    return best_s, best_i, best_y
+
+
+def exact_search_tp(
+    ranges: jnp.ndarray,     # (M, N) replicated over tp
+    bank_shard: jnp.ndarray,  # (D_local, N) this chip's bank shard
+    d_valid_shard: jnp.ndarray,
+    domain_block: int,
+    s_clip: float,
+    objective: str,
+    axis_name: str = TP_AXIS,
+):
+    """Bank-sharded exact search body (call inside shard_map). Returns
+    (idx, s, o, sym, err) with GLOBAL domain indices, identical to the
+    single-device exact_search_block over the concatenated bank."""
+    M, N = ranges.shape
+    d_local = bank_shard.shape[0]
+    shard = jax.lax.axis_index(axis_name)
+    offset = shard * d_local
+
+    r_mean = jnp.mean(ranges, axis=1)
+    r_c = ranges - r_mean[:, None]
+
+    d_mean, d_denom = affine_stats(bank_shard)
+    score, idx, sym = exact_search_scan(
+        r_c, bank_shard, d_mean, d_denom, d_valid_shard, domain_block,
+        objective, idx_offset=offset,
+    )
+    score, idx, sym = _merge_shard_bests(score, idx, sym, axis_name)
+
+    # refit on the owning shard only, then psum the one-hot contributions
+    local = (idx >= offset) & (idx < offset + d_local)
+    local_idx = jnp.where(local, idx - offset, 0)
+    _, s, o, sym_u8, err = exact_refit(
+        r_mean, r_c, bank_shard, score, local_idx, sym, s_clip
+    )
+    z = jnp.float32(0.0)
+    s = jax.lax.psum(jnp.where(local, s, z), axis_name)
+    o = jax.lax.psum(jnp.where(local, o, z), axis_name)
+    # err may be inf (no valid domain anywhere): make the owner carry it
+    err = jax.lax.psum(jnp.where(local, jnp.where(jnp.isinf(err), 3.4e38, err), z), axis_name)
+    err = jnp.where(err >= 3.4e38, jnp.inf, err)
+    return idx, s, o, sym_u8, err
+
+
+@lru_cache(maxsize=16)
+def _tp_search_fn(mesh, domain_block: int, s_clip: float, objective: str):
+    body = partial(
+        exact_search_tp,
+        domain_block=domain_block,
+        s_clip=s_clip,
+        objective=objective,
+        axis_name=TP_AXIS,
+    )
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(None, None), P(TP_AXIS, None), P(TP_AXIS)),
+        out_specs=(P(), P(), P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def exact_search_sharded(
+    ranges, bank, d_valid, mesh, domain_block: int = 2048,
+    s_clip: float = 16.0, objective: str = "balanced",
+):
+    """Public entry: exact search with the bank sharded over the mesh's tp
+    axis. ranges replicated; outputs replicated."""
+    fn = _tp_search_fn(mesh, domain_block, float(s_clip), objective)
+    ranges = jax.device_put(ranges, NamedSharding(mesh, P(None, None)))
+    bank = jax.device_put(bank, NamedSharding(mesh, P(TP_AXIS, None)))
+    d_valid = jax.device_put(d_valid, NamedSharding(mesh, P(TP_AXIS)))
+    return fn(ranges, bank, d_valid)
+
+
+def shard_encode_inputs(mesh, weighted, raw):
+    """Place encode inputs for range-DP execution: the flat weighted signal
+    is sharded over dp (it reshapes to (M, N) row-contiguously, so a flat
+    split IS a range split); the raw signal (domain source) is replicated."""
+    w = jax.device_put(weighted, NamedSharding(mesh, P(DP_AXIS)))
+    r = jax.device_put(raw, NamedSharding(mesh, P()))
+    return w, r
