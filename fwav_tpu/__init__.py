@@ -21,6 +21,7 @@ from .models import (
     process_file_compress,
     process_file_decompress,
 )
+from .models.stream import compress_audio_streaming
 from .ops import (
     multi_head_embedding,
     tile_embedding,
@@ -37,7 +38,8 @@ __all__ = [
     "DecoderConfig", "EncoderConfig", "VADConfig",
     "MATCH_DTYPE", "load_compressed", "load_compressed_arrays",
     "read_wav_mono", "save_compressed", "write_wav",
-    "compress_audio", "compress_audio_arrays", "decompress_audio",
+    "compress_audio", "compress_audio_arrays", "compress_audio_streaming",
+    "decompress_audio",
     "process_file_compress", "process_file_decompress",
     "multi_head_embedding", "tile_embedding", "tonal_embedding",
     "transient_embedding", "voiced_detection",

@@ -9,6 +9,10 @@ decompression_metrics.json.
 One deliberate divergence: batch fan-out uses a thread pool (file-level data
 parallelism) instead of multiprocessing.Pool — every worker shares the same
 TPU runtime + compile cache, which fork-based pools would duplicate or break.
+A process-wide device lock inside the encode/decode engines serializes the
+jitted dispatch itself (one chip = one compute queue anyway), so threads
+overlap host-side work (WAV decode, container serialization, hashing) with
+device compute.
 """
 
 from __future__ import annotations

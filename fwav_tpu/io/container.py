@@ -144,6 +144,55 @@ def save_compressed(
         f.write(sha.digest())
 
 
+def save_compressed_streaming(
+    filepath,
+    matches,
+    domain_blocks,
+    n_domains,
+    range_size,
+    framerate,
+    sampwidth,
+    tile_size,
+    domain_step,
+    energy_threshold,
+    original_len,
+) -> None:
+    """Like save_compressed but takes the domain bank as an ITERATOR of
+    (block, range_size) float32 row-blocks, so multi-GB banks from long
+    files never materialize in RAM (the reference's memmap-streaming
+    capability, fractal.py:1308-1311 write loop + build_domains_memmap)."""
+    rec = matches_to_struct(matches)
+    n_ranges = len(rec)
+
+    sha = hashlib.sha256()
+    written = 0
+    with open(filepath, "wb") as f:
+        f.write(
+            pack_header(
+                range_size, framerate, sampwidth, tile_size, domain_step,
+                energy_threshold, n_ranges, n_domains, original_len,
+            )
+        )
+        f.write(b"\0" * 32)
+
+        for block in domain_blocks:
+            b = np.ascontiguousarray(block, dtype=np.float32).tobytes()
+            f.write(b)
+            sha.update(b)
+            written += len(block)
+        if written != n_domains:
+            raise ValueError(f"domain block iterator yielded {written} rows, expected {n_domains}")
+
+        mflat = rec.view(np.uint8).reshape(-1)
+        for off in range(0, mflat.nbytes, _CHUNK):
+            chunk = mflat[off : off + _CHUNK].tobytes()
+            f.write(chunk)
+            sha.update(chunk)
+
+        f.seek(_CHECKSUM_OFFSET)
+        f.write(sha.digest())
+
+
 def load_compressed_arrays(filepath, verify_checksum: bool = True):
     """Load a .fwav, returning the match record array (instead of a tuple
     list) plus the domain bank and header fields. Preferred fast path."""

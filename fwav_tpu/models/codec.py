@@ -19,11 +19,20 @@ import time
 
 import numpy as np
 
-from ..io.container import load_compressed_arrays, save_compressed
+from ..io.container import (
+    load_compressed_arrays,
+    save_compressed,
+    save_compressed_streaming,
+)
 from ..io.wav import read_wav_mono, write_wav
 from ..utils.logging import logger
 from .decode import decompress_audio
 from .encode import compress_audio_arrays
+from .stream import compress_audio_streaming, domain_block_iter
+
+#: Files longer than this (samples) encode via time-sharded streaming with
+#: a blockwise-serialized bank (BASELINE config 3: >=30 min files).
+STREAMING_THRESHOLD = 1 << 22
 
 
 def _resolve_out(path, outdir, default_suffix, expected_ext):
@@ -48,21 +57,44 @@ def process_file_compress(path, outdir=None, tile=1024, energy_thresh=1e-4, use_
         if sampwidth == 4:
             signal = np.clip(signal.astype(np.float32), -1.0, 1.0)
 
-        (
-            rec, domains, n_ranges, range_size, tile_size, domain_step,
-            energy_threshold, original_len,
-        ) = compress_audio_arrays(
-            signal, framerate, sampwidth, tile_size=tile,
-            energy_thresh=energy_thresh, use_gpu=use_gpu, **kwargs,
-        )
-        logger.info(
-            "Processed %d ranges, domain matrix shape %s", n_ranges, domains.shape
-        )
-        outpath = _resolve_out(path, outdir, ".fwav", ".fwav")
-        save_compressed(
-            outpath, rec, domains, range_size, framerate, sampwidth,
-            tile_size, domain_step, energy_threshold, original_len,
-        )
+        if len(signal) > STREAMING_THRESHOLD:
+            kwargs.pop("use_gpu", None)
+            (
+                rec, _, n_ranges, range_size, tile_size, domain_step,
+                energy_threshold, original_len,
+            ) = compress_audio_streaming(
+                signal, framerate, sampwidth, tile_size=tile,
+                energy_thresh=energy_thresh, **kwargs,
+            )
+            from ..ops.domains import n_domains_for
+
+            n_domains = n_domains_for(original_len, tile_size, domain_step)
+            logger.info(
+                "Processed %d ranges (streaming), %d domains", n_ranges, n_domains
+            )
+            outpath = _resolve_out(path, outdir, ".fwav", ".fwav")
+            save_compressed_streaming(
+                outpath, rec,
+                domain_block_iter(signal, tile_size, range_size, domain_step),
+                n_domains, range_size, framerate, sampwidth, tile_size,
+                domain_step, energy_threshold, original_len,
+            )
+        else:
+            (
+                rec, domains, n_ranges, range_size, tile_size, domain_step,
+                energy_threshold, original_len,
+            ) = compress_audio_arrays(
+                signal, framerate, sampwidth, tile_size=tile,
+                energy_thresh=energy_thresh, use_gpu=use_gpu, **kwargs,
+            )
+            logger.info(
+                "Processed %d ranges, domain matrix shape %s", n_ranges, domains.shape
+            )
+            outpath = _resolve_out(path, outdir, ".fwav", ".fwav")
+            save_compressed(
+                outpath, rec, domains, range_size, framerate, sampwidth,
+                tile_size, domain_step, energy_threshold, original_len,
+            )
         elapsed = time.time() - start
         in_size = os.path.getsize(path)
         out_size = os.path.getsize(outpath)

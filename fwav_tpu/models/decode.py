@@ -139,11 +139,14 @@ def decompress_audio(
     bank[:n_domains] = domains
 
     core = _decode_core(mb, db, range_size, int(iterations), float(s_clip), float(s_damping))
-    recon, _, _ = core(
-        jnp.asarray(idx), jnp.asarray(s), jnp.asarray(o), jnp.asarray(sym),
-        jnp.asarray(bank), jnp.float32(convergence_eps),
-    )
-    recon = np.asarray(jax.device_get(recon))[: n_ranges * range_size]
+    from .encode import DEVICE_LOCK
+
+    with DEVICE_LOCK:
+        recon, _, _ = core(
+            jnp.asarray(idx), jnp.asarray(s), jnp.asarray(o), jnp.asarray(sym),
+            jnp.asarray(bank), jnp.float32(convergence_eps),
+        )
+        recon = np.asarray(jax.device_get(recon))[: n_ranges * range_size]
     if original_len is not None:
         recon = recon[: int(original_len)]
     return recon

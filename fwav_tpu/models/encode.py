@@ -43,6 +43,15 @@ from ..ops.search import coarse_refine_search, exact_search_block, topk_search_b
 from ..ops.vad import voiced_detection
 from ..utils.buckets import bucket
 from ..utils.logging import device_banner
+from ..utils.trace import phase
+
+
+import threading
+
+#: One chip, one compute queue: concurrent jitted dispatch from batch worker
+#: threads can wedge tunneled device transports, and on real hardware it
+#: serializes anyway. Host-side work stays parallel.
+DEVICE_LOCK = threading.Lock()
 
 
 def _pow2_divisor(n: int, cap: int) -> int:
@@ -176,6 +185,7 @@ def compress_audio_arrays(
     search: str = "auto",
     objective: str = "balanced",
     config: EncoderConfig | None = None,
+    _weighted_override=None,
 ):
     """Fast-path encode returning a packed match record array.
 
@@ -203,21 +213,28 @@ def compress_audio_arrays(
     signal = np.ascontiguousarray(np.asarray(signal, dtype=np.float32))
     original_len = len(signal)
 
-    # --- VAD prepass: mask multiplies, silence is zeroed (fractal.py:1074-1079)
-    voiced = voiced_detection(
-        signal, frame_size=range_size * 2, energy_threshold=cfg.energy_thresh
-    )
-    weighted = signal * voiced
-    if float(np.sum(weighted.astype(np.float64) ** 2)) < 1e-8:
-        return _empty_result(
-            range_size, cfg.tile_size, domain_step, cfg.energy_thresh,
-            original_len, arrays=True,
-        )
-
-    # reflect-pad to a whole number of ranges (fractal.py:1095-1097)
-    pad_len = (range_size - (original_len % range_size)) % range_size
-    if pad_len:
-        weighted = np.pad(weighted, (0, pad_len), mode="reflect")
+    if _weighted_override is not None:
+        # streaming shard mode (models.stream): the caller already ran the
+        # global VAD + padding; `signal` is the shard's domain-search window
+        # and the returned bank is None (serialized separately).
+        weighted = np.ascontiguousarray(_weighted_override, dtype=np.float32)
+        assert len(weighted) % range_size == 0
+    else:
+        # --- VAD prepass: mask multiplies, silence is zeroed (fractal.py:1074-1079)
+        with phase("vad"):
+            voiced = voiced_detection(
+                signal, frame_size=range_size * 2, energy_threshold=cfg.energy_thresh
+            )
+            weighted = signal * voiced
+        if float(np.sum(weighted.astype(np.float64) ** 2)) < 1e-8:
+            return _empty_result(
+                range_size, cfg.tile_size, domain_step, cfg.energy_thresh,
+                original_len, arrays=True,
+            )
+        # reflect-pad to a whole number of ranges (fractal.py:1095-1097)
+        pad_len = (range_size - (original_len % range_size)) % range_size
+        if pad_len:
+            weighted = np.pad(weighted, (0, pad_len), mode="reflect")
     L = len(weighted)
     n_ranges = L // range_size
 
@@ -263,22 +280,29 @@ def compress_audio_arrays(
         cfg.top_k, cfg.emb_dim, cfg.fast_mode, cfg.s_clip, cfg.domain_block,
         cfg.range_block, cfg.objective, stride, cfg.coarse_topc,
     )
-    idx, s, o, sym, err = core(
-        jnp.asarray(wtd_p),
-        jnp.asarray(raw_p),
-        jnp.int32(original_len),
-        jnp.int32(n_ranges),
-        jnp.int32(n_domains),
-        jnp.float32(cfg.energy_thresh / (scale * scale)),
-    )
+    with DEVICE_LOCK, phase("device"):
+        idx, s, o, sym, err = core(
+            jnp.asarray(wtd_p),
+            jnp.asarray(raw_p),
+            jnp.int32(original_len),
+            jnp.int32(n_ranges),
+            jnp.int32(n_domains),
+            jnp.float32(cfg.energy_thresh / (scale * scale)),
+        )
 
-    # the serialized bank is rebuilt host-side (cumsum box means) — cheaper
-    # than pulling it over the device->host link and bit-equal in float32
-    # to well within decode tolerance
-    bank = build_domains_host(signal, cfg.tile_size, range_size, domain_step)
-    assert len(bank) == n_domains
+        # while the device runs: the serialized bank is rebuilt host-side
+        # (cumsum box means) — cheaper than pulling it over the
+        # device->host link and equal in float32 to well within decode
+        # tolerance. Streaming shards serialize the bank separately.
+        if _weighted_override is None:
+            with phase("host_bank"):
+                bank = build_domains_host(signal, cfg.tile_size, range_size, domain_step)
+            assert len(bank) == n_domains
+        else:
+            bank = None
 
-    idx, s, o, sym, err = jax.device_get((idx, s, o, sym, err))
+        with phase("d2h"):
+            idx, s, o, sym, err = jax.device_get((idx, s, o, sym, err))
 
     rec = np.empty(n_ranges, dtype=MATCH_DTYPE)
     rec["idx"] = idx[:n_ranges]

@@ -1,0 +1,140 @@
+"""Long-file streaming encode (SURVEY.md §5 long-context, BASELINE config 3).
+
+The reference scales to long audio with out-of-core memmaps: the domain bank
+and embeddings are built blockwise into temp files and re-opened read-only by
+worker processes (fractal.py:285-334, 238-280, 576-581). The TPU equivalents:
+
+- TIME SHARDING with halos: the signal is encoded in fixed shards; each
+  shard's ranges search the domains whose windows start within
+  [shard_start - halo, shard_end + halo). Domain indices stay GLOBAL, so the
+  emitted matches are indistinguishable from a whole-file encode restricted
+  to a local search neighborhood. This bounds HBM and compile shapes
+  regardless of duration, and is the same decomposition a multi-chip
+  time-axis sharding uses (each chip takes shards; the halo is the
+  CP/halo-exchange analog — SURVEY.md §2.5).
+- BLOCKWISE host bank generation: the serialized bank is produced block by
+  block from local cumulative sums (domain_block_iter), so a multi-GB bank
+  streams straight into the .fwav without materializing.
+
+Locality note: the reference searches every domain for every range; a halo
+search is a neighborhood restriction. Audio self-similarity is strongly
+local, and the balanced objective needs only *a* well-fitting small-|s*mean|
+domain, so round-trip SNR is unaffected (tested); the default halo spans
+hundreds of thousands of candidate domains either side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import EncoderConfig
+from ..io.container import MATCH_DTYPE
+from ..ops.domains import n_domains_for
+from ..ops.vad import voiced_detection
+from .encode import compress_audio_arrays
+
+#: Encode shard length in samples (~24 s at 44.1 kHz); must stay well under
+#: the bucket grid's comfort zone so every shard reuses one compiled program.
+DEFAULT_SHARD = 1 << 20
+#: Extra signal (samples) visible to each shard's domain search on each side.
+DEFAULT_HALO = 1 << 18
+
+
+def domain_block_iter(signal, tile_size, range_size, domain_step, block_rows=65536):
+    """Yield the (D, range_size) bank in row blocks, each computed from a
+    local float64 cumulative sum — O(block) memory for any file length."""
+    signal = np.asarray(signal, dtype=np.float32)
+    n = len(signal)
+    d = n_domains_for(n, tile_size, domain_step)
+    block_len = tile_size // range_size
+    span = range_size * block_len  # samples touched by one domain row
+    for i0 in range(0, d, block_rows):
+        rows = min(block_rows, d - i0)
+        s0 = i0 * domain_step
+        s1 = min(n, (i0 + rows - 1) * domain_step + span)
+        seg = signal[s0:s1]
+        cs = np.zeros(len(seg) + 1, dtype=np.float64)
+        np.cumsum(seg, dtype=np.float64, out=cs[1:])
+        starts = (
+            np.arange(rows, dtype=np.int64)[:, None] * domain_step
+            + np.arange(range_size, dtype=np.int64)[None, :] * block_len
+        )
+        yield ((cs[starts + block_len] - cs[starts]) / block_len).astype(np.float32)
+
+
+def compress_audio_streaming(
+    signal,
+    framerate,
+    sampwidth,
+    shard_samples: int = DEFAULT_SHARD,
+    halo: int = DEFAULT_HALO,
+    **kwargs,
+):
+    """Shard-by-shard encode for long files. Same return contract as
+    compress_audio_arrays, except `domains` is returned as None — callers
+    serialize the bank with domain_block_iter (models.codec does this
+    automatically). Matches carry global domain indices."""
+    cfg = kwargs.pop("config", None) or EncoderConfig(
+        tile_size=kwargs.pop("tile_size", 1024),
+        energy_thresh=kwargs.pop("energy_thresh", 1e-4),
+        search=kwargs.pop("search", "auto"),
+        objective=kwargs.pop("objective", "balanced"),
+    )
+    range_size = cfg.range_size
+    step = cfg.domain_step
+
+    signal = np.ascontiguousarray(np.asarray(signal, dtype=np.float32))
+    original_len = len(signal)
+    n_domains = n_domains_for(original_len, cfg.tile_size, step)
+
+    # global prepass: VAD + scale, so shard boundaries don't shift decisions
+    voiced = voiced_detection(
+        signal, frame_size=2 * range_size, energy_threshold=cfg.energy_thresh
+    )
+    weighted = signal * voiced
+    pad_len = (range_size - (original_len % range_size)) % range_size
+    if pad_len:
+        weighted = np.pad(weighted, (0, pad_len), mode="reflect")
+    L = len(weighted)
+    n_ranges = L // range_size
+
+    shard_samples = max(range_size, (shard_samples // range_size) * range_size)
+    recs = []
+    for a in range(0, L, shard_samples):
+        b = min(L, a + shard_samples)
+        # domain neighborhood: windows starting in [g0, g1), g0 step-aligned
+        g0 = (max(0, a - halo) // step) * step
+        g1 = min(original_len, b + halo)
+        raw_window = signal[g0:g1]
+        if n_domains_for(len(raw_window), cfg.tile_size, step) == 0:
+            # shard past the end of usable signal: emit sentinels
+            m = (b - a) // range_size
+            rec = np.zeros(m, dtype=MATCH_DTYPE)
+            rec["idx"] = -1
+            rec["s"] = 1.0
+            recs.append(rec)
+            continue
+
+        rec, _, m, *_ = compress_audio_arrays(
+            raw_window,
+            framerate,
+            sampwidth,
+            config=cfg,
+            _weighted_override=weighted[a:b],
+        )
+        live = rec["idx"] >= 0
+        rec["idx"][live] += g0 // step
+        recs.append(rec)
+
+    rec = np.concatenate(recs) if recs else np.empty(0, dtype=MATCH_DTYPE)
+    assert len(rec) == n_ranges, (len(rec), n_ranges)
+    return (
+        rec,
+        None,
+        n_ranges,
+        range_size,
+        cfg.tile_size,
+        step,
+        cfg.energy_thresh,
+        original_len,
+    )

@@ -117,6 +117,37 @@ def affine_match_tiles(
     return best_idx.astype(jnp.int32), best_s, best_o, best_sym, best_err
 
 
+def find_best_domain_affine(range_block, domains, candidate_idxs, range_size=None,
+                            use_gpu: bool = False, s_clip: float = 16.0):
+    """Reference-shaped single-range candidate solve (fractal.py:404-486
+    signature — which is DEAD and crashes on an undefined name at
+    fractal.py:428 if ever called; this one works). `domains` may be a
+    (D, N) array or a path to a float32 domain memmap; returns the
+    (best_idx, s, o, sym, err) tuple with -1/inf for empty candidates."""
+    import numpy as np
+
+    if isinstance(domains, (str, bytes)) or hasattr(domains, "__fspath__"):
+        import os
+
+        size = os.path.getsize(domains)
+        n = size // (4 * int(range_size))
+        domains = np.memmap(domains, dtype="float32", mode="r", shape=(n, int(range_size)))
+    bank = np.asarray(domains, dtype=np.float32)
+    cand = np.asarray(
+        [int(c) for c in (candidate_idxs if candidate_idxs is not None else []) if int(c) >= 0],
+        dtype=np.int32,
+    )
+    if cand.size == 0:
+        return -1, 0.0, 0.0, 0, float("inf")
+    idx, s, o, sym, err = batched_affine_match(
+        jnp.asarray(range_block, jnp.float32)[None, :],
+        jnp.asarray(cand)[None, :],
+        jnp.asarray(bank),
+        s_clip=s_clip,
+    )
+    return int(idx[0]), float(s[0]), float(o[0]), int(sym[0]), float(err[0])
+
+
 def affine_solve_single(range_block: jnp.ndarray, tile: jnp.ndarray):
     """(s, o, err) for one range/tile pair, both orientations considered.
     Public op mirroring find_best_domain_affine's per-candidate math

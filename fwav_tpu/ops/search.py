@@ -372,6 +372,18 @@ def topk_search_block(
     return batched_affine_match(ranges, cand, bank, s_clip=s_clip, objective=objective)
 
 
+def range_candidates_from_embedding(range_block, domain_embs, emb_dim: int = 16,
+                                    top_k: int = 32):
+    """Reference-shaped candidate selection that recomputes the query
+    embedding from the raw range (fractal.py:337-351 signature)."""
+    from .dct import multi_head_embedding
+
+    q = multi_head_embedding(
+        range_block, tonal_k=emb_dim // 2, transient_k=emb_dim - emb_dim // 2
+    )
+    return range_candidates_from_embedding_emb(q, domain_embs, top_k=top_k)
+
+
 def range_candidates_from_embedding_emb(q, domain_embs, top_k: int = 64):
     """Dense top-k by inner product for a single query (reference:
     fractal.py:535-541 API shape), returned in descending score order."""

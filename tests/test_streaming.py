@@ -1,0 +1,95 @@
+"""Long-file streaming encode (models.stream) + streaming container writer."""
+
+import numpy as np
+
+from fwav_tpu import compute_snr, decompress_audio, load_compressed_arrays
+from fwav_tpu.io.container import save_compressed, save_compressed_streaming
+from fwav_tpu.models.encode import compress_audio_arrays
+from fwav_tpu.models.stream import compress_audio_streaming, domain_block_iter
+from fwav_tpu.ops.domains import build_domains_host, build_domains_np, n_domains_for
+
+
+def _sig(seconds=2.0, sr=8000, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(sr * seconds)) / sr
+    sig = 0.4 * np.sin(2 * np.pi * 300 * t) + 0.1 * np.sin(2 * np.pi * 1200 * t)
+    sig += 0.005 * rng.standard_normal(len(t))
+    sig[int(0.8 * sr) : int(0.95 * sr)] = 0.0
+    return (sig * 12000).astype(np.float32), sr
+
+
+def test_domain_block_iter_matches_reference_builder():
+    sig, sr = _sig(0.5)
+    tile, N, step = 128, 4, 1
+    want = build_domains_np(sig, tile, N, step)
+    got = np.concatenate(list(domain_block_iter(sig, tile, N, step, block_rows=777)))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-4)
+    # and the one-shot host builder agrees
+    np.testing.assert_allclose(build_domains_host(sig, tile, N, step), want, atol=1e-4)
+
+
+def test_streaming_writer_bytes_equal_plain_writer(tmp_path):
+    sig, sr = _sig(0.4)
+    rec, domains, n_ranges, N, tile, step, thr, olen = compress_audio_arrays(
+        sig, sr, 2, tile_size=128
+    )
+    p1 = tmp_path / "a.fwav"
+    p2 = tmp_path / "b.fwav"
+    save_compressed(p1, rec, domains, N, sr, 2, tile, step, thr, olen)
+    save_compressed_streaming(
+        p2, rec, domain_block_iter(sig, tile, N, step, block_rows=100),
+        len(domains), N, sr, 2, tile, step, thr, olen,
+    )
+    a, b = p1.read_bytes(), p2.read_bytes()
+    # identical except for float32 rounding inside the bank payload: compare
+    # structure by parsing both
+    ra, da, *ha = load_compressed_arrays(p1)
+    rb, dbk, *hb = load_compressed_arrays(p2)
+    assert ha == hb
+    np.testing.assert_array_equal(ra, rb)
+    np.testing.assert_allclose(da, dbk, atol=1e-4)
+
+
+def test_streaming_encode_round_trip_matches_whole_file():
+    sig, sr = _sig(2.0)
+    tile = 128
+
+    rec_w, domains, n_ranges, N, *_ = compress_audio_arrays(sig, sr, 2, tile_size=tile)
+    whole = decompress_audio(rec_w, domains, n_ranges, N, original_len=len(sig))
+
+    rec_s, none_bank, n_ranges_s, N_s, tile_s, step_s, thr_s, olen_s = (
+        compress_audio_streaming(
+            sig, sr, 2, tile_size=tile, shard_samples=4096, halo=2048
+        )
+    )
+    assert none_bank is None
+    assert (n_ranges_s, N_s) == (n_ranges, N)
+    bank = np.concatenate(list(domain_block_iter(sig, tile, N, step_s)))
+    assert np.all(rec_s["idx"] < len(bank))
+    streamed = decompress_audio(rec_s, bank, n_ranges_s, N_s, original_len=len(sig))
+
+    snr_whole = compute_snr(sig, whole)
+    snr_streamed = compute_snr(sig, streamed)
+    # halo-restricted search must not cost meaningful quality
+    assert snr_streamed > snr_whole - 0.3, (snr_streamed, snr_whole)
+    # silence sentinels survive sharding
+    assert np.any(rec_s["idx"] == -1)
+
+
+def test_streaming_file_level(tmp_path, monkeypatch):
+    """process_file_compress auto-streams above the threshold and the result
+    decodes through the normal file path."""
+    import fwav_tpu.models.codec as codec
+    from fwav_tpu.io.wav import read_wav_mono, write_wav
+
+    monkeypatch.setattr(codec, "STREAMING_THRESHOLD", 8000)  # force streaming
+    sig, sr = _sig(2.0)
+    wav = tmp_path / "long.wav"
+    write_wav(wav, sig, sr, 2)
+    m = codec.process_file_compress(str(wav), str(tmp_path / "out"), tile=128)
+    assert "error" not in m, m
+    d = codec.process_file_decompress(m["output"], str(tmp_path / "rec"))
+    assert "error" not in d, d
+    out, _, _ = read_wav_mono(d["output"])
+    assert compute_snr(sig, out) > 8.0
