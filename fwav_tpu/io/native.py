@@ -1,0 +1,140 @@
+"""ctypes binding for the native .fwav runtime (native/fwavio.cpp).
+
+Builds the shared library on first use (g++, cached next to the source) and
+exposes write/read entry points operating directly on numpy buffers — one
+pass, no interpreter-time per record, SHA-256 inline with the file write.
+Falls back silently when no compiler is available; io.container picks the
+native path automatically when it loads.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(__file__), "..", "native", "fwavio.cpp")
+_LIB = os.path.join(os.path.dirname(__file__), "..", "native", "libfwavio.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+_ERRORS = {
+    -1: "cannot open file",
+    -2: "I/O error",
+    -3: "checksum seek/write failed",
+    -4: "close failed",
+    -5: "Not a FWAV file",
+    -6: "Unsupported FWAV version",
+    -7: "Truncated FWAV payload",
+    -8: "Checksum mismatch — file may be corrupted",
+}
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        src = os.path.abspath(_SRC)
+        lib = os.path.abspath(_LIB)
+        try:
+            if not os.path.exists(lib) or os.path.getmtime(lib) < os.path.getmtime(src):
+                base = ["g++", "-O3", "-shared", "-fPIC", "-o", lib, src]
+                try:
+                    subprocess.run(
+                        base[:1] + ["-march=native"] + base[1:],
+                        check=True, capture_output=True, timeout=120,
+                    )
+                except Exception:
+                    subprocess.run(base, check=True, capture_output=True, timeout=120)
+            cdll = ctypes.CDLL(lib)
+        except Exception:
+            return None
+
+        cdll.fwav_write.restype = ctypes.c_int
+        cdll.fwav_write.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint8,
+            ctypes.c_uint16, ctypes.c_uint16, ctypes.c_float, ctypes.c_uint32,
+            ctypes.c_uint32, ctypes.c_uint32, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        cdll.fwav_read_header.restype = ctypes.c_int
+        cdll.fwav_read_header.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        cdll.fwav_read_payload.restype = ctypes.c_int
+        cdll.fwav_read_payload.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        _lib = cdll
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _check(code: int):
+    if code != 0:
+        raise ValueError(_ERRORS.get(code, f"fwavio error {code}"))
+
+
+def write(path, rec: np.ndarray, domains: np.ndarray, range_size, framerate,
+          sampwidth, tile_size, domain_step, energy_threshold, original_len) -> bool:
+    """Native single-pass writer. Returns False if the library is
+    unavailable (caller falls back to Python)."""
+    lib = _load()
+    if lib is None:
+        return False
+    domains = np.ascontiguousarray(domains, dtype=np.float32)
+    rec = np.ascontiguousarray(rec)
+    _check(
+        lib.fwav_write(
+            str(path).encode(), int(range_size), int(framerate), int(sampwidth),
+            int(tile_size), int(domain_step), float(energy_threshold),
+            len(rec), len(domains), int(original_len),
+            domains.ctypes.data_as(ctypes.c_void_p),
+            rec.ctypes.data_as(ctypes.c_void_p),
+        )
+    )
+    return True
+
+
+def read(path, verify_checksum: bool = True):
+    """Native loader: returns the same 10-tuple as
+    io.container.load_compressed_arrays, or None when unavailable."""
+    from .container import MATCH_DTYPE
+
+    lib = _load()
+    if lib is None:
+        return None
+    ints = np.zeros(9, dtype=np.int64)
+    thr = ctypes.c_double()
+    _check(
+        lib.fwav_read_header(
+            str(path).encode(), ints.ctypes.data_as(ctypes.c_void_p),
+            ctypes.byref(thr),
+        )
+    )
+    (_, range_size, framerate, sampwidth, tile_size, domain_step,
+     n_ranges, n_domains, original_len) = (int(v) for v in ints)
+
+    domains = np.empty((n_domains, range_size), dtype=np.float32)
+    rec = np.empty(n_ranges, dtype=MATCH_DTYPE)
+    _check(
+        lib.fwav_read_payload(
+            str(path).encode(), range_size, n_ranges, n_domains,
+            1 if verify_checksum else 0,
+            domains.ctypes.data_as(ctypes.c_void_p),
+            rec.ctypes.data_as(ctypes.c_void_p),
+        )
+    )
+    return (
+        rec, domains, n_ranges, range_size, framerate, sampwidth,
+        tile_size, domain_step, float(thr.value), original_len,
+    )
