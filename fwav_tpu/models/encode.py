@@ -78,6 +78,7 @@ def build_encode_core(
     objective: str,
     coarse_stride: int = 64,
     coarse_topc: int = 2,
+    use_pallas: bool = False,
 ):
     """Build the (unjitted) fused encode program for one shape bucket.
     Signature of the returned fn:
@@ -100,12 +101,27 @@ def build_encode_core(
 
         if search == "exact":
             d_mean, d_denom = affine_stats(bank)
+            if use_pallas:
+                from ..ops.pallas_search import exact_search_scan_pallas
+                from ..ops.search import domain_weights, exact_refit
 
-            def do_block(rb):
-                return exact_search_block(
-                    rb, bank, d_mean, d_denom, d_valid, dblk, s_clip,
-                    objective=objective,
-                )
+                bankT = bank.T
+                d_weight = domain_weights(d_mean, d_denom, n, objective)
+
+                def do_block(rb):
+                    r_mean = jnp.mean(rb, axis=1)
+                    r_c = rb - r_mean[:, None]
+                    score, bidx, bsym = exact_search_scan_pallas(
+                        r_c, bankT, d_weight, d_valid,
+                        range_block=min(256, rblk), domain_block=dblk,
+                    )
+                    return exact_refit(r_mean, r_c, bank, score, bidx, bsym, s_clip)
+            else:
+                def do_block(rb):
+                    return exact_search_block(
+                        rb, bank, d_mean, d_denom, d_valid, dblk, s_clip,
+                        objective=objective,
+                    )
         elif search == "coarse":
             d_mean, d_denom = affine_stats(bank)
             cdblk = _pow2_divisor(db // coarse_stride, domain_block)
@@ -279,6 +295,7 @@ def compress_audio_arrays(
         nb, lb, db, cfg.tile_size, range_size, domain_step, search_mode,
         cfg.top_k, cfg.emb_dim, cfg.fast_mode, cfg.s_clip, cfg.domain_block,
         cfg.range_block, cfg.objective, stride, cfg.coarse_topc,
+        cfg.use_pallas,
     )
     with DEVICE_LOCK, phase("device"):
         idx, s, o, sym, err = core(

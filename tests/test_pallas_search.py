@@ -1,0 +1,49 @@
+"""Pallas fused search kernel vs the lax.scan reference (interpret mode on
+the CPU mesh; the compiled path is exercised on hardware by bench/encode)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fwav_tpu.ops.affine import affine_stats
+from fwav_tpu.ops.pallas_search import exact_search_scan_pallas
+from fwav_tpu.ops.search import domain_weights, exact_search_scan
+
+
+@pytest.mark.parametrize("objective", ["balanced", "affine"])
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pallas_scan_matches_reference(objective, seed):
+    rng = np.random.default_rng(seed)
+    M, D, N = 256, 1024, 4
+    r = (rng.standard_normal((M, N)) * 0.3).astype(np.float32)
+    bank = (rng.standard_normal((D, N)) * 0.3).astype(np.float32)
+    r_c = jnp.asarray(r - r.mean(1, keepdims=True))
+    dm, dd = affine_stats(jnp.asarray(bank))
+    valid = np.ones(D, bool)
+    valid[-37:] = False
+    w = domain_weights(dm, dd, N, objective)
+
+    s0, i0, y0 = (np.asarray(x) for x in exact_search_scan(
+        r_c, jnp.asarray(bank), dm, dd, jnp.asarray(valid), 256, objective
+    ))
+    s1, i1, y1 = (np.asarray(x) for x in exact_search_scan_pallas(
+        r_c, jnp.asarray(bank.T.copy()), w, jnp.asarray(valid),
+        range_block=128, domain_block=256, interpret=True,
+    ))
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_array_equal(y0, y1)
+    np.testing.assert_allclose(s0, s1, rtol=1e-6)
+
+
+def test_pallas_scan_all_invalid():
+    rng = np.random.default_rng(2)
+    M, D, N = 128, 256, 4
+    r_c = jnp.asarray(rng.standard_normal((M, N)).astype(np.float32))
+    bank = rng.standard_normal((D, N)).astype(np.float32)
+    dm, dd = affine_stats(jnp.asarray(bank))
+    w = domain_weights(dm, dd, N, "balanced")
+    s, i, y = exact_search_scan_pallas(
+        r_c, jnp.asarray(bank.T.copy()), w, jnp.zeros(D, bool),
+        range_block=128, domain_block=256, interpret=True,
+    )
+    assert np.all(np.isneginf(np.asarray(s)))
