@@ -1,0 +1,122 @@
+"""Decoder semantics vs a golden numpy transcription of the reference
+decoder (fractal.py:1378-1473): damping blend, scale clip, stored-s
+fallback on degenerate tiles, convergence early break, fixed point."""
+
+import numpy as np
+import pytest
+
+from fwav_tpu import decompress_audio
+from fwav_tpu.io.container import MATCH_DTYPE
+
+
+def _golden_decode(matches, domains, n_ranges, range_size, iterations=8,
+                   eps=1e-3, original_len=None, s_clip=16.0, s_damping=0.0):
+    """Line-faithful numpy transcription of the reference decoder."""
+    recon = np.zeros(n_ranges * range_size, dtype=np.float32)
+    di = np.array([m[0] for m in matches], dtype=np.int32)
+    s_st = np.array([m[1] for m in matches], dtype=np.float32)
+    o_st = np.array([m[2] for m in matches], dtype=np.float32)
+    sym = np.array([m[3] for m in matches], dtype=bool)
+    invalid = di < 0
+    di = np.where(invalid, 0, di)
+    tiles_all = domains[di].copy()
+    tiles_all[invalid] = 0
+    s_st = np.where(invalid, 0.0, s_st)
+    o_st = np.where(invalid, 0.0, o_st)
+    sym = np.where(invalid, False, sym)
+    tiles_all = np.where(sym[:, None], tiles_all[:, ::-1], tiles_all)
+    for _ in range(iterations):
+        rr = recon.reshape(n_ranges, range_size)
+        d_mean = tiles_all.mean(1)
+        d_c = tiles_all - d_mean[:, None]
+        denom = (d_c * d_c).sum(1)
+        valid = denom > 1e-12
+        num = ((rr - rr.mean(1, keepdims=True)) * d_c).sum(1)
+        s_opt = np.where(valid, num / np.where(valid, denom, 1.0), 0.0)
+        if s_damping > 0:
+            s_used = (1.0 - s_damping) * s_st + s_damping * s_opt
+        else:
+            s_used = np.where(valid, s_opt, s_st)
+        s_used = np.clip(s_used, -abs(s_clip), abs(s_clip))
+        nxt = (s_used[:, None] * tiles_all + o_st[:, None]).reshape(-1)
+        dn = np.linalg.norm(recon) or 1.0
+        delta = np.linalg.norm(nxt - recon) / dn
+        recon = nxt.astype(np.float32)
+        if delta < eps:
+            break
+    if original_len is not None:
+        recon = recon[:original_len]
+    return recon
+
+
+def _fixture(seed=0, n_ranges=32, N=4, D=64):
+    rng = np.random.default_rng(seed)
+    domains = rng.standard_normal((D, N)).astype(np.float32)
+    matches = []
+    for i in range(n_ranges):
+        if i % 7 == 3:
+            matches.append((-1, 1.0, 0.0, 0, 0.0))
+        else:
+            matches.append((
+                int(rng.integers(0, D)), float(rng.normal()),
+                float(rng.normal()), int(rng.integers(0, 2)),
+                float(abs(rng.normal())),
+            ))
+    return matches, domains
+
+
+@pytest.mark.parametrize("s_damping", [0.0, 0.3, 0.9])
+@pytest.mark.parametrize("iterations", [1, 8])
+def test_decode_matches_golden(s_damping, iterations):
+    matches, domains = _fixture()
+    got = decompress_audio(matches, domains, len(matches), 4,
+                           iterations=iterations, s_damping=s_damping)
+    want = _golden_decode(matches, domains, len(matches), 4,
+                          iterations=iterations, s_damping=s_damping)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_damped_decode_converges_to_stored_transform():
+    """With 0 < s_damping < 1 the per-iteration refit converges to the
+    STORED transform, i.e. recon -> s*d + o (the true fractal decode)."""
+    rng = np.random.default_rng(1)
+    D, N, M = 16, 8, 16
+    domains = rng.standard_normal((D, N)).astype(np.float32)
+    rec = np.zeros(M, dtype=MATCH_DTYPE)
+    rec["idx"] = rng.integers(0, D, M)
+    rec["s"] = rng.uniform(-2, 2, M).astype(np.float32)
+    rec["o"] = rng.uniform(-1, 1, M).astype(np.float32)
+    got = decompress_audio(rec, domains, M, N, iterations=200,
+                           convergence_eps=1e-12, s_damping=0.5)
+    want = (rec["s"][:, None] * domains[rec["idx"]] + rec["o"][:, None]).reshape(-1)
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_default_decode_fixed_point_is_offset():
+    """s_damping=0: the reconstruction is exactly the stored offsets
+    (constant-per-range recon -> refit scale 0; SURVEY-level behavior the
+    balanced objective optimizes for)."""
+    matches, domains = _fixture(2)
+    got = decompress_audio(matches, domains, len(matches), 4, iterations=8)
+    o = np.array([m[2] if m[0] >= 0 else 0.0 for m in matches], np.float32)
+    np.testing.assert_allclose(got, np.repeat(o, 4), atol=1e-6)
+
+
+def test_s_clip_applies():
+    domains = np.array([[0.0, 1.0, 2.0, 3.0]], dtype=np.float32)
+    matches = [(0, 100.0, 0.5, 0, 0.0)]
+    got = decompress_audio(matches, domains, 1, 4, iterations=1,
+                           s_damping=1e-9, s_clip=2.0)
+    # s_used ~ s_stored (heavy damping toward stored at iter 1: (1-d)*100+d*0)
+    # clipped to 2.0
+    d_c = domains[0] - domains[0].mean()
+    want = 2.0 * domains[0] + 0.5
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_original_len_trim_and_zero_ranges():
+    matches, domains = _fixture(3, n_ranges=8)
+    got = decompress_audio(matches, domains, 8, 4, original_len=13)
+    assert got.shape == (13,)
+    z = decompress_audio([], np.zeros((0, 4), np.float32), 0, 4, original_len=5)
+    np.testing.assert_array_equal(z, np.zeros(5, np.float32))
