@@ -99,10 +99,15 @@ def process_file_compress(path, outdir=None, tile=1024, energy_thresh=1e-4, use_
         in_size = os.path.getsize(path)
         out_size = os.path.getsize(outpath)
         ratio = in_size / out_size if out_size > 0 else 0
+        xrt = (original_len / framerate / elapsed) if elapsed > 0 else float("inf")
         logger.info(
-            "Compressed %s -> %s  time=%.2fs  ratio=%.2f", path, outpath, elapsed, ratio
+            "Compressed %s -> %s  time=%.2fs  ratio=%.2f  x_realtime=%.1f",
+            path, outpath, elapsed, ratio, xrt,
         )
-        return {"input": path, "output": outpath, "time_s": elapsed, "ratio": ratio}
+        return {
+            "input": path, "output": outpath, "time_s": elapsed,
+            "ratio": ratio, "x_realtime": xrt,
+        }
     except Exception as e:  # noqa: BLE001 — per-file isolation, like the reference
         logger.exception("Compression failed for %s", path)
         return {"input": path, "error": str(e)}
@@ -125,8 +130,12 @@ def process_file_decompress(path, outdir=None, iterations=8, eps=1e-3, use_gpu=F
         outpath = _resolve_out(path, outdir, "_recon.wav", ".wav")
         write_wav(outpath, np.asarray(recon), framerate, sampwidth)
         elapsed = time.time() - start
-        logger.info("Decompressed %s -> %s  time=%.2fs", path, outpath, elapsed)
-        return {"input": path, "output": outpath, "time_s": elapsed}
+        xrt = (original_len / framerate / elapsed) if elapsed > 0 else float("inf")
+        logger.info(
+            "Decompressed %s -> %s  time=%.2fs  x_realtime=%.1f",
+            path, outpath, elapsed, xrt,
+        )
+        return {"input": path, "output": outpath, "time_s": elapsed, "x_realtime": xrt}
     except Exception as e:  # noqa: BLE001
         logger.exception("Decompression failed for %s", path)
         return {"input": path, "error": str(e)}

@@ -16,14 +16,36 @@ _banner_done = False
 
 
 def device_banner() -> str:
-    """One-line device summary, logged once on first pipeline use."""
+    """One-line device summary + self-test, logged once on first pipeline
+    use. The reference runs a CuPy self-test at import and falls back to CPU
+    on failure (fractal.py:38-57); here a tiny jitted reduction validates the
+    selected backend the same way — JAX itself provides the CPU fallback when
+    no accelerator initializes."""
     global _banner_done
+    if _banner_done:
+        return _banner_msg
     import jax
+    import jax.numpy as jnp
 
     devs = jax.devices()
     kind = devs[0].platform if devs else "none"
-    msg = f"[FWAVC-TPU] backend={kind} devices={len(devs)}"
-    if not _banner_done:
+    try:
+        ok = int(jax.jit(lambda: jnp.arange(2).sum())()) == 1
+    except Exception:  # noqa: BLE001 — mirror the reference's broad self-test
+        ok = False
+    msg = f"[FWAVC-TPU] backend={kind} devices={len(devs)} self-test={'ok' if ok else 'FAILED'}"
+    if ok:
         logger.info(msg)
-        _banner_done = True
+    else:
+        logger.warning(msg + " — device dispatch failed its smoke test")
+    _set_banner(msg)
     return msg
+
+
+_banner_msg = ""
+
+
+def _set_banner(msg: str) -> None:
+    global _banner_done, _banner_msg
+    _banner_done = True
+    _banner_msg = msg

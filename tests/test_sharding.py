@@ -89,3 +89,37 @@ def test_sharded_all_invalid_bank():
         mesh, domain_block=32,
     )
     assert np.all(np.isinf(np.asarray(err)))
+
+
+def test_compress_audio_sharded_matches_single_device(tone):
+    """Full multi-chip encode (range-DP over the 8-device mesh) must produce
+    the same matches as the single-device exact encoder."""
+    from fwav_tpu.models.encode import compress_audio_arrays
+    from fwav_tpu.parallel.shard import compress_audio_sharded
+
+    sig, sr, sw = tone
+    rec_1, dom_1, n1, rs1, *_ = compress_audio_arrays(
+        sig, sr, sw, tile_size=128, search="exact"
+    )
+    mesh = make_mesh(8, dp=8, tp=1)
+    rec_8, dom_8, n8, rs8, *_ = compress_audio_sharded(
+        sig, sr, sw, mesh=mesh, tile_size=128
+    )
+    assert (n8, rs8) == (n1, rs1)
+    np.testing.assert_allclose(dom_8, dom_1, atol=1e-5)
+    # a pure tone has exactly-tied mirror pairs (domain j reversed == domain
+    # k), and ulp-level fusion differences may resolve those ties either way
+    # across program partitionings — so compare the MATCH QUALITY, not the
+    # tie resolution: fit magnitude, offset and error must agree, and the
+    # sentinel sets must be identical.
+    np.testing.assert_array_equal(rec_8["idx"] < 0, rec_1["idx"] < 0)
+    np.testing.assert_allclose(np.abs(rec_8["s"]), np.abs(rec_1["s"]),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(rec_8["o"], rec_1["o"], rtol=1e-4, atol=1e-2)
+    np.testing.assert_allclose(rec_8["err"], rec_1["err"], rtol=1e-3, atol=1e-2)
+    # end to end, the decodes must match
+    from fwav_tpu import decompress_audio
+
+    d1 = decompress_audio(rec_1, dom_1, n1, rs1, original_len=len(sig))
+    d8 = decompress_audio(rec_8, dom_8, n8, rs8, original_len=len(sig))
+    np.testing.assert_allclose(d1, d8, atol=0.1)
