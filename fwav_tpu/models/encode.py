@@ -156,7 +156,11 @@ def build_encode_core(
         o = jnp.where(dead, 0.0, o)
         sym = jnp.where(dead, 0, sym).astype(jnp.uint8)
         err = jnp.where(dead, 0.0, err)
-        return idx, s, o, sym, err
+        # one packed output = one device->host transfer. idx fits float32
+        # exactly (< 2^24 domains per shard by construction); err may be inf.
+        return jnp.stack(
+            [idx.astype(jnp.float32), s, o, sym.astype(jnp.float32), err]
+        )
 
     return core
 
@@ -260,6 +264,12 @@ def compress_audio_arrays(
             range_size, cfg.tile_size, domain_step, cfg.energy_thresh,
             original_len, arrays=True,
         )
+    if n_domains >= 1 << 24:
+        raise ValueError(
+            f"{n_domains} domains exceeds the single-shot encoder's 2^24 "
+            "index range; use models.stream.compress_audio_streaming "
+            "(process_file_compress selects it automatically)"
+        )
 
     # --- bucket + pad, then one fused device program
     # Scale normalization: float32 search arithmetic on raw PCM amplitudes
@@ -298,7 +308,7 @@ def compress_audio_arrays(
         cfg.use_pallas,
     )
     with DEVICE_LOCK, phase("device"):
-        idx, s, o, sym, err = core(
+        packed = core(
             jnp.asarray(wtd_p),
             jnp.asarray(raw_p),
             jnp.int32(original_len),
@@ -319,13 +329,13 @@ def compress_audio_arrays(
             bank = None
 
         with phase("d2h"):
-            idx, s, o, sym, err = jax.device_get((idx, s, o, sym, err))
+            idx, s, o, sym, err = np.asarray(jax.device_get(packed))
 
     rec = np.empty(n_ranges, dtype=MATCH_DTYPE)
-    rec["idx"] = idx[:n_ranges]
+    rec["idx"] = idx[:n_ranges].astype(np.int32)
     rec["s"] = s[:n_ranges]
     rec["o"] = o[:n_ranges] * scale
-    rec["sym"] = sym[:n_ranges]
+    rec["sym"] = sym[:n_ranges].astype(np.uint8)
     rec["err"] = err[:n_ranges] * scale
 
     return (
