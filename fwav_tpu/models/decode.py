@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..io.container import MATCH_DTYPE, matches_to_struct
+from ..io.container import matches_to_struct
 from ..utils.buckets import bucket
 
 _DENOM_EPS = 1e-12  # fractal.py:1409
@@ -44,51 +44,61 @@ def _decode_core(
     s_clip: float,
     s_damping: float,
 ):
+    """All per-range tensors live in TRANSPOSED (N, M) layout: with
+    range_size ~ 4 a (M, N) float32 tensor tiles as T(8, 128) with a 32x
+    lane-padding blowup (a 30-min file's decode state would be 12 GB per
+    copy); (N, M) pads only the sublane axis 2x. The caller transposes the
+    (N, M) reconstruction back on the host."""
     n = range_size
 
-    def core(idx, s_stored, o_stored, sym, bank, convergence_eps):
+    def core(idx, s_stored, o_stored, sym, bank_t, convergence_eps):
         invalid = idx < 0
         safe = jnp.where(invalid, 0, idx)
-        tiles = bank[safe]                                   # (mb, n)
-        tiles = jnp.where(invalid[:, None], 0.0, tiles)
+        tiles = bank_t[:, safe]                              # (n, mb)
+        tiles = jnp.where(invalid[None, :], 0.0, tiles)
         s_st = jnp.where(invalid, 0.0, s_stored)
         o_st = jnp.where(invalid, 0.0, o_stored)
         symb = jnp.where(invalid, False, sym.astype(bool))
 
-        tiles = jnp.where(symb[:, None], tiles[:, ::-1], tiles)
-        d_mean = jnp.mean(tiles, axis=1)
-        d_c = tiles - d_mean[:, None]
-        denom = jnp.sum(d_c * d_c, axis=1)
+        tiles = jnp.where(symb[None, :], tiles[::-1, :], tiles)
+        d_mean = jnp.mean(tiles, axis=0)
+        d_c = tiles - d_mean[None, :]
+        denom = jnp.sum(d_c * d_c, axis=0)
         valid = denom > _DENOM_EPS
 
         def body(state):
-            it, recon, _ = state
-            rr = recon.reshape(mb, n)
-            r_mean = jnp.mean(rr, axis=1)
-            r_c = rr - r_mean[:, None]
-            num = jnp.sum(r_c * d_c, axis=1)
+            it, recon_t, _ = state                           # (n, mb)
+            r_mean = jnp.mean(recon_t, axis=0)
+            r_c = recon_t - r_mean[None, :]
+            num = jnp.sum(r_c * d_c, axis=0)
             s_opt = jnp.where(valid, num / jnp.where(valid, denom, 1.0), 0.0)
             if s_damping > 0:
                 s_used = (1.0 - s_damping) * s_st + s_damping * s_opt
             else:
                 s_used = jnp.where(valid, s_opt, s_st)
             s_used = jnp.clip(s_used, -abs(s_clip), abs(s_clip))
-            transformed = s_used[:, None] * tiles + o_st[:, None]
-            recon_next = transformed.reshape(-1)
-            prev_norm = jnp.linalg.norm(recon)
+            recon_next = s_used[None, :] * tiles + o_st[None, :]
+            prev_norm = jnp.linalg.norm(recon_t)
             denom_norm = jnp.where(prev_norm > 0, prev_norm, 1.0)
-            delta = jnp.linalg.norm(recon_next - recon) / denom_norm
+            delta = jnp.linalg.norm(recon_next - recon_t) / denom_norm
             return it + 1, recon_next, delta
 
         def cond(state):
             it, _, delta = state
             return (it < iterations) & (delta >= convergence_eps)
 
-        init = (jnp.int32(0), jnp.zeros(mb * n, jnp.float32), jnp.float32(jnp.inf))
-        it, recon, delta = jax.lax.while_loop(cond, body, init)
-        return recon, it, delta
+        init = (jnp.int32(0), jnp.zeros((n, mb), jnp.float32), jnp.float32(jnp.inf))
+        it, recon_t, delta = jax.lax.while_loop(cond, body, init)
+        return recon_t, it, delta
 
     return jax.jit(core)
+
+
+#: Ranges per decode shard: bounds device memory for arbitrarily long files.
+#: Decode is per-range independent; the only global coupling is the
+#: convergence delta, which becomes per-shard (identical final fixed point —
+#: only the early-break iteration count can differ between shards).
+DECODE_SHARD_RANGES = 1 << 22
 
 
 def decompress_audio(
@@ -118,35 +128,41 @@ def decompress_audio(
     domains = np.ascontiguousarray(np.asarray(domains_array, dtype=np.float32))
     n_domains = len(domains)
 
-    mb = bucket(n_ranges, 256)
     db = bucket(max(n_domains, 1), 256)
+    bank_t = np.zeros((range_size, db), np.float32)
+    bank_t[:, :n_domains] = domains.T
 
-    idx = np.full(mb, -1, dtype=np.int32)
-    idx[:n_ranges] = rec["idx"]
-    if n_domains:
-        # clamp any out-of-range stored index like the reference's gather would fail;
-        # -1 handling happens on device
-        idx[:n_ranges] = np.where(
-            rec["idx"] >= n_domains, n_domains - 1, rec["idx"]
-        )
-    s = np.zeros(mb, np.float32)
-    s[:n_ranges] = rec["s"]
-    o = np.zeros(mb, np.float32)
-    o[:n_ranges] = rec["o"]
-    sym = np.zeros(mb, np.uint8)
-    sym[:n_ranges] = rec["sym"]
-    bank = np.zeros((db, range_size), np.float32)
-    bank[:n_domains] = domains
-
-    core = _decode_core(mb, db, range_size, int(iterations), float(s_clip), float(s_damping))
     from .encode import DEVICE_LOCK
 
+    pieces = []
     with DEVICE_LOCK:
-        recon, _, _ = core(
-            jnp.asarray(idx), jnp.asarray(s), jnp.asarray(o), jnp.asarray(sym),
-            jnp.asarray(bank), jnp.float32(convergence_eps),
-        )
-        recon = np.asarray(jax.device_get(recon))[: n_ranges * range_size]
+        bank_dev = jnp.asarray(bank_t)
+        for a in range(0, n_ranges, DECODE_SHARD_RANGES):
+            b = min(n_ranges, a + DECODE_SHARD_RANGES)
+            m = b - a
+            mb = bucket(m, 256)
+            idx = np.full(mb, -1, dtype=np.int32)
+            # clamp any out-of-range stored index (a corrupt file would make
+            # the reference's gather fail); -1 handling happens on device
+            idx[:m] = np.minimum(rec["idx"][a:b], max(n_domains - 1, 0))
+            s = np.zeros(mb, np.float32)
+            s[:m] = rec["s"][a:b]
+            o = np.zeros(mb, np.float32)
+            o[:m] = rec["o"][a:b]
+            sym = np.zeros(mb, np.uint8)
+            sym[:m] = rec["sym"][a:b]
+
+            core = _decode_core(
+                mb, db, range_size, int(iterations), float(s_clip), float(s_damping)
+            )
+            recon_t, _, _ = core(
+                jnp.asarray(idx), jnp.asarray(s), jnp.asarray(o),
+                jnp.asarray(sym), bank_dev, jnp.float32(convergence_eps),
+            )
+            # (n, mb) -> host -> interleave back to sample order
+            piece = np.asarray(jax.device_get(recon_t)).T[:m].reshape(-1)
+            pieces.append(piece)
+    recon = pieces[0] if len(pieces) == 1 else np.concatenate(pieces)
     if original_len is not None:
         recon = recon[: int(original_len)]
     return recon

@@ -28,13 +28,13 @@ and the dead _worker_batch path emitted exactly this tuple (fractal.py:1037).
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import EncoderConfig, derive_domain_step, derive_range_size
+from ..config import EncoderConfig
 from ..io.container import MATCH_DTYPE
 from ..ops.affine import affine_stats
 from ..ops.dct import multi_head_embedding_batch

@@ -63,12 +63,15 @@ def affine_match_tiles(
     invalid: jnp.ndarray,     # (B, K) bool, True = masked slot
     s_clip: float = 16.0,
     objective: str = "affine",
+    selection_precision=None,
 ):
     """Core of batched_affine_match for callers that already hold the tiles
-    (e.g. the coarse-to-fine refiner, which fetches contiguous windows with
-    batched dynamic slices instead of row gathers)."""
+    (e.g. the coarse-to-fine refiner). `selection_precision` controls only
+    which candidate WINS (the winner is refit exactly either way); the
+    noise-tolerant balanced coarse path passes DEFAULT for speed."""
     B, N = ranges.shape
     safe = cand_idx
+    prec = selection_precision or jax.lax.Precision.HIGHEST
 
     d_mean, d_denom = affine_stats(tiles)            # (B, K) — mirror-invariant
     r_mean = jnp.mean(ranges, axis=1, keepdims=True)  # (B, 1)
@@ -76,8 +79,8 @@ def affine_match_tiles(
     r_e = jnp.sum(r_c * r_c, axis=1, keepdims=True)   # (B, 1)
 
     # num for original and mirrored orientation via reversed ranges
-    num_o = jnp.einsum("bkn,bn->bk", tiles, r_c, precision=jax.lax.Precision.HIGHEST)
-    num_m = jnp.einsum("bkn,bn->bk", tiles, r_c[:, ::-1], precision=jax.lax.Precision.HIGHEST)
+    num_o = jnp.einsum("bkn,bn->bk", tiles, r_c, precision=prec)
+    num_m = jnp.einsum("bkn,bn->bk", tiles, r_c[:, ::-1], precision=prec)
     # (B, 2K): originals first — argmin tie-break prefers sym=0
     num = jnp.concatenate([num_o, num_m], axis=1)
     denom = jnp.concatenate([d_denom, d_denom], axis=1) + _EPS

@@ -298,8 +298,13 @@ def coarse_refine_search(
     invalid = ~jnp.broadcast_to(lobe_ok[:, :, None], (M, top_c, W)).reshape(M, -1)
     tiles = bank[cand]                                      # (M, C*W, N)
 
+    # balanced selection tolerates score noise (near-ties are
+    # quality-equivalent and the winner is refit exactly), so the refine
+    # selection runs at fast matmul precision when balanced
+    prec = None if objective == "affine" else jax.lax.Precision.DEFAULT
     return affine_match_tiles(
-        ranges, tiles, cand, invalid, s_clip=s_clip, objective=objective
+        ranges, tiles, cand, invalid, s_clip=s_clip, objective=objective,
+        selection_precision=prec,
     )
 
 

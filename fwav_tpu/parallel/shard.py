@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..ops.affine import affine_stats
-from ..ops.search import _EPS, exact_refit, exact_search_scan
+from ..ops.search import exact_refit, exact_search_scan
 from .mesh import DP_AXIS, TP_AXIS
 
 

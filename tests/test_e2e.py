@@ -181,3 +181,21 @@ def test_matches_accept_list_dict_and_recarray(tone):
     )
     np.testing.assert_array_equal(as_list, as_rec)
     np.testing.assert_array_equal(as_list, as_dict)
+
+
+def test_encode_is_deterministic(tone, tmp_path):
+    """The fused single-program design removes the reference's process/queue
+    race surface (SURVEY.md §5): two encodes of the same input must produce
+    byte-identical .fwav files."""
+    from fwav_tpu.io.container import save_compressed
+
+    sig, sr, sw = tone
+    paths = []
+    for k in range(2):
+        rec, dom, n, rs, tile, step, thr, olen = compress_audio_arrays(
+            sig, sr, sw, tile_size=128
+        )
+        p = tmp_path / f"det{k}.fwav"
+        save_compressed(p, rec, dom, rs, sr, sw, tile, step, thr, olen)
+        paths.append(p)
+    assert paths[0].read_bytes() == paths[1].read_bytes()
