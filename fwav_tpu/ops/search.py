@@ -102,10 +102,13 @@ def exact_search_scan(
     domain_block: int,
     objective: str,
     idx_offset=0,
+    d_weight=None,
+    precision=None,
 ):
     """The scan stage: running (best_score, best_idx, best_sym) per range
     over domain blocks. `idx_offset` shifts emitted indices — used by the
-    bank-sharded search to produce global domain indices per shard."""
+    bank-sharded search to produce global domain indices per shard.
+    `d_weight` overrides the objective-derived selection weights."""
     M, N = r_c.shape
     D = bank.shape[0]
     assert D % domain_block == 0
@@ -113,7 +116,8 @@ def exact_search_scan(
 
     # both orientations in one matmul operand: (2M, N)
     r_both = jnp.concatenate([r_c, r_c[:, ::-1]], axis=0)
-    d_weight = domain_weights(d_mean, d_denom, N, objective)
+    if d_weight is None:
+        d_weight = domain_weights(d_mean, d_denom, N, objective)
 
     bank_blocks = bank.reshape(n_blocks, domain_block, N)
     weight_blocks = d_weight.reshape(n_blocks, domain_block)
@@ -128,7 +132,7 @@ def exact_search_scan(
             r_both, bank_blk,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=precision or jax.lax.Precision.HIGHEST,
         )
         num_o, num_m = num2[:M], num2[M:]
         score_o = num_o * num_o * weight_blk
@@ -203,6 +207,15 @@ def gain_topk_scan(
     Dc = bank_sub.shape[0]
     assert Dc % domain_block == 0
     n_blocks = Dc // domain_block
+
+    if top_c == 1:
+        # top-1 degenerates to the running-argmax scan — cheaper than the
+        # concat + lax.top_k merge
+        score, idx, _ = exact_search_scan(
+            r_c, bank_sub, None, None, d_valid, domain_block, "",
+            d_weight=d_weight, precision=jax.lax.Precision.DEFAULT,
+        )
+        return jnp.where(jnp.isfinite(score), idx, -1)[:, None]
 
     r_both = jnp.concatenate([r_c, r_c[:, ::-1]], axis=0)
     bank_blocks = bank_sub.reshape(n_blocks, domain_block, N)
@@ -289,23 +302,65 @@ def coarse_refine_search(
     # starts clamp to [0, n_valid - W] so every fetched row is a real
     # domain; callers guarantee n_valid >= W for the coarse path
     # (models.encode auto rule).
+    #
+    # Everything below runs in lane-major (N, K, M) / (K, M) layout: with
+    # N = 4, candidate tensors shaped (M, K, N) tile as T(8, 128) with a 32x
+    # lane-padding blowup in both memory and VPU work; ranges on the lane
+    # axis pad only the tiny N sublane axis 2x.
     W = max(2, stride + stride // 4)
+    K = top_c * W
     n_valid = jnp.sum(d_valid.astype(jnp.int32))
     lobe_ok = coarse >= 0                                   # (M, C)
     starts = jnp.clip(coarse * stride - W // 2, 0, jnp.maximum(n_valid - W, 0))
-    cand = (starts[:, :, None] + jnp.arange(W, dtype=jnp.int32)[None, None, :]
-            ).reshape(M, top_c * W)
-    invalid = ~jnp.broadcast_to(lobe_ok[:, :, None], (M, top_c, W)).reshape(M, -1)
-    tiles = bank[cand]                                      # (M, C*W, N)
+    # (K, M) candidate matrix, K = C*W
+    cand_t = (
+        starts.T[:, None, :] + jnp.arange(W, dtype=jnp.int32)[None, :, None]
+    ).reshape(K, M)
+    valid_t = jnp.broadcast_to(lobe_ok.T[:, None, :], (top_c, W, M)).reshape(K, M)
 
-    # balanced selection tolerates score noise (near-ties are
-    # quality-equivalent and the winner is refit exactly), so the refine
-    # selection runs at fast matmul precision when balanced
-    prec = None if objective == "affine" else jax.lax.Precision.DEFAULT
-    return affine_match_tiles(
-        ranges, tiles, cand, invalid, s_clip=s_clip, objective=objective,
-        selection_precision=prec,
-    )
+    bank_t = bank.T                                          # (N, D)
+    tiles = jnp.take(bank_t, cand_t.reshape(-1), axis=1).reshape(N, K, M)
+
+    r_t = ranges.T                                           # (N, M)
+    r_mean = jnp.mean(r_t, axis=0)                           # (M,)
+    r_c = r_t - r_mean[None, :]
+
+    d_mean = jnp.mean(tiles, axis=0)                         # (K, M)
+    d_c = tiles - d_mean[None]
+    denom = jnp.sum(d_c * d_c, axis=0) + _EPS                # (K, M)
+    num_o = jnp.sum(d_c * r_c[:, None, :], axis=0)           # (K, M)
+    num_m = jnp.sum(d_c * r_c[::-1][:, None, :], axis=0)
+
+    if objective == "balanced":
+        w = (denom - _EPS - N * d_mean * d_mean) / (denom * denom)
+    else:
+        w = 1.0 / denom
+    score_o = num_o * num_o * w
+    score_m = num_m * num_m * w
+    use_m = score_m > score_o                                # orig wins ties
+    score = jnp.where(use_m, score_m, score_o)
+    score = jnp.where(valid_t, score, _NEG)
+
+    pick = jnp.argmax(score, axis=0)                         # (M,) first max
+    cols = jnp.arange(M)
+    best_idx = cand_t[pick, cols]
+    best_sym = use_m[pick, cols]
+    best_score = score[pick, cols]
+
+    # exact refit on the winning tile, still transposed
+    tile = jnp.take(bank_t, best_idx, axis=1)                # (N, M)
+    tile = jnp.where(best_sym[None, :], tile[::-1, :], tile)
+    t_mean = jnp.mean(tile, axis=0)
+    t_c = tile - t_mean[None, :]
+    t_denom = jnp.sum(t_c * t_c, axis=0)
+    t_num = jnp.sum(r_c * t_c, axis=0)
+    s = t_num / (t_denom + _EPS)
+    o = r_mean - s * t_mean
+    resid = r_c - s[None, :] * t_c
+    err = jnp.sqrt(jnp.sum(resid * resid, axis=0))
+    err = jnp.where(jnp.isfinite(best_score), err, jnp.inf)
+    s = jnp.clip(s, -abs(s_clip), abs(s_clip))
+    return best_idx, s, o, best_sym.astype(jnp.uint8), err
 
 
 def topk_scores_block(
