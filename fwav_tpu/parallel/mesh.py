@@ -44,3 +44,19 @@ def bank_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def init_distributed(coordinator_address=None, num_processes=None, process_id=None):
+    """Multi-host initialization (SURVEY.md §5 distributed backend): within
+    a pod slice, collectives ride ICI under the mesh created by make_mesh;
+    across hosts, JAX's distributed runtime coordinates over DCN. Call once
+    per process before any device use; arguments default to the standard
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars."""
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return make_mesh()

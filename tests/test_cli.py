@@ -1,0 +1,79 @@
+"""CLI behavior (cli.main run in-process on the CPU mesh): single-file
+round trip, batch with skip-resume and metrics JSON, error handling."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from fwav_tpu.cli import main
+from fwav_tpu.io.wav import read_wav_mono, write_wav
+from fwav_tpu.utils.metrics import compute_snr
+
+
+@pytest.fixture
+def wav_dir(tmp_path, tone):
+    sig, sr, _ = tone
+    d = tmp_path / "wavs"
+    d.mkdir()
+    write_wav(d / "a.wav", sig, sr, 2)
+    write_wav(d / "b.wav", sig * 0.5, sr, 2)
+    return d, sig, sr
+
+
+def test_cli_single_file_round_trip(tmp_path, wav_dir):
+    d, sig, sr = wav_dir
+    fwav = tmp_path / "a.fwav"
+    main(["compress", str(d / "a.wav"), str(fwav), "--tile", "128"])
+    assert fwav.exists()
+    out = tmp_path / "a_recon.wav"
+    main(["decompress", str(fwav), "--out", str(out)])
+    recon, fr, sw = read_wav_mono(out)
+    assert (fr, sw) == (sr, 2)
+    assert compute_snr(sig, recon) > 4.0
+
+
+def test_cli_batch_with_skip_resume_and_metrics(tmp_path, wav_dir):
+    d, sig, sr = wav_dir
+    out = tmp_path / "out"
+    main(["compress", str(d), "--batch", "--out", str(out), "--tile", "128",
+          "--workers", "2"])
+    metrics = json.loads((out / "compression_metrics.json").read_text())
+    assert len(metrics) == 2
+    assert all("x_realtime" in m for m in metrics)
+    produced = sorted(os.listdir(out))
+    assert "a.wav.fwav" in produced and "b.wav.fwav" in produced
+
+    # second run skips everything: metrics file untouched
+    mtime = (out / "compression_metrics.json").stat().st_mtime
+    main(["compress", str(d), "--batch", "--out", str(out), "--tile", "128"])
+    assert (out / "compression_metrics.json").stat().st_mtime == mtime
+
+    # batch decompress
+    main(["decompress", str(out), "--batch", "--out", str(out)])
+    dm = json.loads((out / "decompression_metrics.json").read_text())
+    assert len(dm) == 2
+    for m in dm:
+        recon, _, _ = read_wav_mono(m["output"])
+        assert len(recon) == len(sig)
+
+
+def test_cli_compress_requires_output(wav_dir):
+    d, _, _ = wav_dir
+    with pytest.raises(SystemExit):
+        main(["compress", str(d / "a.wav")])
+    with pytest.raises(SystemExit):
+        main(["compress", str(d / "a.wav"), "x.fwav", "--batch"])
+
+
+def test_cli_batch_isolates_bad_files(tmp_path, wav_dir):
+    d, sig, sr = wav_dir
+    (d / "broken.wav").write_bytes(b"RIFFnotawav")
+    out = tmp_path / "out2"
+    main(["compress", str(d), "--batch", "--out", str(out), "--tile", "128",
+          "--workers", "1"])
+    metrics = json.loads((out / "compression_metrics.json").read_text())
+    by_input = {os.path.basename(m["input"]): m for m in metrics}
+    assert "error" in by_input["broken.wav"]
+    assert "output" in by_input["a.wav"]
