@@ -52,9 +52,14 @@ def main(argv=None):
                     help="treat input as directory and compress all WAV inside")
     pc.add_argument("--workers", type=int, default=4,
                     help="parallel file-level workers for batch")
-    pc.add_argument("--search", default="exact", choices=["exact", "topk"],
-                    help="exact matched-filter search (default) or reference-shaped "
+    pc.add_argument("--search", default="auto",
+                    choices=["auto", "exact", "coarse", "topk"],
+                    help="auto (default: coarse-to-fine for large banks, brute "
+                         "exact otherwise), exact, coarse, or reference-shaped "
                          "embedding top-k shortlist")
+    pc.add_argument("--prune-bank", action="store_true",
+                    help="store only referenced domain rows (much smaller "
+                         ".fwav, decodes identically with any decoder)")
 
     pd = sub.add_parser("decompress")
     pd.add_argument("input", help="input file or directory")
@@ -74,7 +79,7 @@ def main(argv=None):
                 parser.error("compress requires OUTPUT unless --batch is used")
             process_file_compress(
                 args.input, args.output, args.tile, args.energy_thresh, args.gpu,
-                search=args.search,
+                search=args.search, prune_bank=args.prune_bank,
             )
         else:
             if args.output is not None:
@@ -89,7 +94,8 @@ def main(argv=None):
             for f in files:
                 outpath = os.path.join(out_dir, os.path.basename(f) + ".fwav")
                 if not os.path.exists(outpath):  # skip-resume (fractal.py:1597-1600)
-                    todo.append((f, outpath, args.tile, args.energy_thresh, args.gpu))
+                    todo.append((f, outpath, args.tile, args.energy_thresh,
+                                 args.gpu, args.prune_bank))
             logger.info(
                 "Batch compressing %d/%d files using %d workers",
                 len(todo), len(files), args.workers,

@@ -50,7 +50,12 @@ def _resolve_out(path, outdir, default_suffix, expected_ext):
     return os.path.join(outdir, base + "_recon.wav")
 
 
-def process_file_compress(path, outdir=None, tile=1024, energy_thresh=1e-4, use_gpu=False, **kwargs):
+def process_file_compress(path, outdir=None, tile=1024, energy_thresh=1e-4,
+                          use_gpu=False, prune_bank=False, **kwargs):
+    """prune_bank=True drops unreferenced domain rows from the container
+    (models.encode.prune_bank): the file stays format-valid for ANY decoder
+    and decodes bit-identically, at a fraction of the size (the full bank is
+    the reference's ~10x inflation, SURVEY.md §2.4.5)."""
     try:
         start = time.time()
         signal, framerate, sampwidth = read_wav_mono(path)
@@ -73,12 +78,29 @@ def process_file_compress(path, outdir=None, tile=1024, energy_thresh=1e-4, use_
                 "Processed %d ranges (streaming), %d domains", n_ranges, n_domains
             )
             outpath = _resolve_out(path, outdir, ".fwav", ".fwav")
-            save_compressed_streaming(
-                outpath, rec,
-                domain_block_iter(signal, tile_size, range_size, domain_step),
-                n_domains, range_size, framerate, sampwidth, tile_size,
-                domain_step, energy_threshold, original_len,
-            )
+            if prune_bank:
+                from ..ops.domains import bank_rows_host
+                from .encode import prune_bank as _prune
+
+                live = rec["idx"] >= 0
+                used = np.unique(rec["idx"][live])
+                bank = bank_rows_host(signal, tile_size, range_size,
+                                      domain_step, used)
+                rec = rec.copy()
+                remap = np.full(n_domains, -1, dtype=np.int32)
+                remap[used] = np.arange(len(used), dtype=np.int32)
+                rec["idx"][live] = remap[rec["idx"][live]]
+                save_compressed(
+                    outpath, rec, bank, range_size, framerate, sampwidth,
+                    tile_size, domain_step, energy_threshold, original_len,
+                )
+            else:
+                save_compressed_streaming(
+                    outpath, rec,
+                    domain_block_iter(signal, tile_size, range_size, domain_step),
+                    n_domains, range_size, framerate, sampwidth, tile_size,
+                    domain_step, energy_threshold, original_len,
+                )
         else:
             (
                 rec, domains, n_ranges, range_size, tile_size, domain_step,
@@ -90,6 +112,11 @@ def process_file_compress(path, outdir=None, tile=1024, energy_thresh=1e-4, use_
             logger.info(
                 "Processed %d ranges, domain matrix shape %s", n_ranges, domains.shape
             )
+            if prune_bank:
+                from .encode import prune_bank as _prune
+
+                rec, domains = _prune(rec, domains)
+                logger.info("Pruned bank to %d referenced domains", len(domains))
             outpath = _resolve_out(path, outdir, ".fwav", ".fwav")
             save_compressed(
                 outpath, rec, domains, range_size, framerate, sampwidth,

@@ -350,6 +350,27 @@ def compress_audio_arrays(
     )
 
 
+def prune_bank(rec: np.ndarray, bank: np.ndarray):
+    """Drop every domain row the match table never references and reindex.
+
+    The reference serializes the ENTIRE sliding-window bank — n_domains ~
+    n_samples rows — which inflates the container ~10x over the input
+    (SURVEY.md §2.4.5, README.md:356 'not yet competitive'). Matches
+    reference at most n_ranges distinct domains, so the pruned bank is
+    bounded by the range count regardless of duration. The output is still
+    a perfectly ordinary .fwav: decoders (ours and the reference's) only
+    ever gather rows by index. Round-trip output is bit-identical.
+
+    Returns (rec', bank') — rec is not modified in place."""
+    live = rec["idx"] >= 0
+    used = np.unique(rec["idx"][live])
+    remap = np.full(len(bank), -1, dtype=np.int32)
+    remap[used] = np.arange(len(used), dtype=np.int32)
+    out = rec.copy()
+    out["idx"][live] = remap[rec["idx"][live]]
+    return out, np.ascontiguousarray(bank[used])
+
+
 def compress_audio(signal, framerate, sampwidth, **kwargs):
     """Reference-shaped encode: returns (matches LIST of 5-tuples, domains,
     n_ranges, range_size, tile_size, domain_step, energy_thresh,

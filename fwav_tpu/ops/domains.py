@@ -94,6 +94,22 @@ def build_domains_host(
     return ((cs[starts + block_len] - cs[starts]) / block_len).astype(np.float32)
 
 
+def bank_rows_host(signal, tile_size: int, range_size: int, domain_step: int,
+                   rows: np.ndarray) -> np.ndarray:
+    """Build only the given bank rows (same math as build_domains_host) —
+    used by bank pruning, where the kept set is bounded by the range count
+    however long the file is."""
+    signal = np.asarray(signal, dtype=np.float32)
+    block_len = tile_size // range_size
+    cs = np.zeros(len(signal) + 1, dtype=np.float64)
+    np.cumsum(signal, dtype=np.float64, out=cs[1:])
+    starts = (
+        np.asarray(rows, dtype=np.int64)[:, None] * domain_step
+        + np.arange(range_size, dtype=np.int64)[None, :] * block_len
+    )
+    return ((cs[starts + block_len] - cs[starts]) / block_len).astype(np.float32)
+
+
 def build_domains_np(
     signal: np.ndarray, tile_size: int, range_size: int, domain_step: int = 1
 ) -> np.ndarray:
