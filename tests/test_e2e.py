@@ -199,3 +199,42 @@ def test_encode_is_deterministic(tone, tmp_path):
         save_compressed(p, rec, dom, rs, sr, sw, tile, step, thr, olen)
         paths.append(p)
     assert paths[0].read_bytes() == paths[1].read_bytes()
+
+
+def test_multichannel_file_round_trip(tmp_path, tone):
+    """BASELINE config 2: stereo input folds to mono and round-trips at the
+    original sample width."""
+    import wave
+
+    sig, sr, _ = tone
+    left = sig.astype(np.int16)
+    right = (sig * 0.25).astype(np.int16)
+    inter = np.empty(2 * len(sig), dtype=np.int16)
+    inter[0::2] = left
+    inter[1::2] = right
+    p = tmp_path / "stereo.wav"
+    with wave.open(str(p), "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(inter.tobytes())
+
+    m = process_file_compress(str(p), str(tmp_path / "o"), tile=128)
+    assert "error" not in m, m
+    d = process_file_decompress(m["output"], str(tmp_path / "r"))
+    out, fr, sw = read_wav_mono(d["output"])
+    assert (fr, sw) == (sr, 2)
+    mono = (left.astype(np.float64) + right) / 2.0
+    assert compute_snr(mono, out) > 4.0
+
+
+def test_fast_mode_off_no_sentinels(speechlike):
+    """fast_mode=False disables the energy prune: every range gets a real
+    match even in the carved-out silence (fractal.py:602 semantics)."""
+    sig, sr, sw = speechlike
+    rec, domains, n_ranges, rs, *_ = compress_audio_arrays(
+        sig, sr, sw, fast_mode=False
+    )
+    assert np.all(rec["idx"] >= 0)
+    recon = decompress_audio(rec, domains, n_ranges, rs, original_len=len(sig))
+    assert compute_snr(sig, recon) > 11.0
