@@ -63,9 +63,11 @@ class EncoderConfig:
     #: Number of coarse lobes refined per range (1 measured within 0.005 dB
     #: of 2 on the parity fixtures at ~25% less encode time).
     coarse_topc: int = 1
-    #: Use the Pallas fused search kernel for the exact scan (TPU only;
-    #: bf16 lobe selection + exact f32 refit, ~1.7x the lax.scan path).
-    use_pallas: bool = False
+    #: Use the Pallas fused search kernels (exact scan + coarse lobe scan):
+    #: score tiles stay in VMEM instead of round-tripping HBM. bf16 lobe
+    #: selection + exact f32 refit. None (default) = auto: on for TPU
+    #: backends, off elsewhere (the lax.scan path is the portable oracle).
+    use_pallas: bool | None = None
     #: Match-selection objective. "balanced" (default) minimizes the affine
     #: residual plus the shipped decoder's offset-deviation penalty
     #: N*(s*d_mean)^2 — the s_damping=0 decoder reconstructs exactly the

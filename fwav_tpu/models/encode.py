@@ -39,7 +39,11 @@ from ..io.container import MATCH_DTYPE
 from ..ops.affine import affine_stats
 from ..ops.dct import multi_head_embedding_batch
 from ..ops.domains import build_bank_jax, build_domains_host, n_domains_for
-from ..ops.search import coarse_refine_search, exact_search_block, topk_search_block
+from ..ops.search import (
+    coarse_refine_search,
+    exact_search_block,
+    topk_search_block,
+)
 from ..ops.vad import voiced_detection
 from ..utils.buckets import bucket
 from ..utils.logging import device_banner
@@ -125,12 +129,37 @@ def build_encode_core(
         elif search == "coarse":
             d_mean, d_denom = affine_stats(bank)
             cdblk = _pow2_divisor(db // coarse_stride, domain_block)
+            if use_pallas and coarse_topc == 1:
+                # fused Pallas scan for the coarse lobes: keeps score tiles
+                # in VMEM instead of round-tripping them through HBM
+                # (measured 35 vs 87 ms on the 10s bench shapes)
+                from ..ops.pallas_search import exact_search_scan_pallas
+                from ..ops.search import domain_weights, refine_from_lobes
 
-            def do_block(rb):
-                return coarse_refine_search(
-                    rb, bank, d_mean, d_denom, d_valid, coarse_stride,
-                    coarse_topc, cdblk, s_clip, objective=objective,
-                )
+                dc = db // coarse_stride
+                bank_subT = bank.reshape(dc, coarse_stride, n)[:, 0, :].T
+                w_sub = domain_weights(d_mean, d_denom, n, objective).reshape(
+                    dc, coarse_stride
+                )[:, 0]
+                v_sub = d_valid.reshape(dc, coarse_stride)[:, 0]
+                prb = 256 if rblk % 256 == 0 else _pow2_divisor(rblk, 256)
+
+                def do_block(rb):
+                    r_c = rb - jnp.mean(rb, axis=1, keepdims=True)
+                    score, cidx, _ = exact_search_scan_pallas(
+                        r_c, bank_subT, w_sub, v_sub, prb, cdblk
+                    )
+                    lobes = jnp.where(jnp.isfinite(score), cidx, -1)[:, None]
+                    return refine_from_lobes(
+                        rb, bank, d_valid, lobes, coarse_stride, s_clip,
+                        objective,
+                    )
+            else:
+                def do_block(rb):
+                    return coarse_refine_search(
+                        rb, bank, d_mean, d_denom, d_valid, coarse_stride,
+                        coarse_topc, cdblk, s_clip, objective=objective,
+                    )
         else:
             bank_emb = multi_head_embedding_batch(
                 bank, tonal_k=emb_dim // 2, transient_k=emb_dim // 2
@@ -301,11 +330,14 @@ def compress_audio_arrays(
             else "exact"
         )
 
+    use_pallas = cfg.use_pallas
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
     core = _encode_core(
         nb, lb, db, cfg.tile_size, range_size, domain_step, search_mode,
         cfg.top_k, cfg.emb_dim, cfg.fast_mode, cfg.s_clip, cfg.domain_block,
         cfg.range_block, cfg.objective, stride, cfg.coarse_topc,
-        cfg.use_pallas,
+        bool(use_pallas),
     )
     with DEVICE_LOCK, phase("device"):
         packed = core(

@@ -297,6 +297,25 @@ def coarse_refine_search(
     valid_sub = d_valid.reshape(D // stride, stride)[:, 0]
 
     coarse = gain_topk_scan(r_c, bank_sub, weight_sub, valid_sub, top_c, domain_block)
+    return refine_from_lobes(
+        ranges, bank, d_valid, coarse, stride, s_clip, objective
+    )
+
+
+def refine_from_lobes(
+    ranges: jnp.ndarray,    # (M, N)
+    bank: jnp.ndarray,      # (D, N)
+    d_valid: jnp.ndarray,   # (D,)
+    coarse: jnp.ndarray,    # (M, C) coarse lobe indices (subsampled space)
+    stride: int,
+    s_clip: float,
+    objective: str = "balanced",
+):
+    """The window-refinement stage of coarse_refine_search, callable with
+    lobes from any coarse scanner (lax.scan or the Pallas kernel)."""
+    M, N = ranges.shape
+    D = bank.shape[0]
+    top_c = coarse.shape[1]
 
     # Refine windows of W = 2*stride positions around each lobe. Window
     # starts clamp to [0, n_valid - W] so every fetched row is a real
