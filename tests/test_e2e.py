@@ -238,3 +238,26 @@ def test_fast_mode_off_no_sentinels(speechlike):
     assert np.all(rec["idx"] >= 0)
     recon = decompress_audio(rec, domains, n_ranges, rs, original_len=len(sig))
     assert compute_snr(sig, recon) > 11.0
+
+
+@pytest.mark.parametrize("tile", [512, 2048, 4096])
+def test_round_trip_other_tile_sizes(tone, tile):
+    """Non-default tiles exercise range_size 4/8/16 shape paths."""
+    sig, sr, sw = tone
+    sig = np.tile(sig, 8)  # long enough for a 4096 tile
+    rec, domains, n_ranges, rs, tile_out, step, *_ = compress_audio_arrays(
+        sig, sr, sw, tile_size=tile
+    )
+    assert tile_out == tile
+    assert rs == max(4, tile // 256)
+    assert domains.shape[1] == rs
+    recon = decompress_audio(rec, domains, n_ranges, rs, original_len=len(sig))
+    # the shipped decoder's quality ceiling is the piecewise-constant mean
+    # (docs/ARCHITECTURE.md §4) and it drops with range_size on a pure tone;
+    # assert we are within 0.5 dB of the bound rather than a fixed floor
+    L = (len(sig) // rs) * rs
+    bound = compute_snr(
+        sig[:L], np.repeat(sig[:L].reshape(-1, rs).mean(1), rs)
+    )
+    got = compute_snr(sig, recon)
+    assert got > bound - 0.5, (tile, got, bound)
