@@ -1,5 +1,13 @@
-from .mesh import DP_AXIS, TP_AXIS, bank_sharding, make_mesh, ranges_sharding, replicated
-from .shard import exact_search_sharded, exact_search_tp, shard_encode_inputs
+from .mesh import (
+    DP_AXIS,
+    TP_AXIS,
+    bank_sharding,
+    init_distributed,
+    make_mesh,
+    ranges_sharding,
+    replicated,
+)
+from .shard import compress_audio_sharded, exact_search_sharded, exact_search_tp
 
 __all__ = [
     "DP_AXIS",
@@ -8,7 +16,8 @@ __all__ = [
     "make_mesh",
     "ranges_sharding",
     "replicated",
+    "compress_audio_sharded",
     "exact_search_sharded",
     "exact_search_tp",
-    "shard_encode_inputs",
+    "init_distributed",
 ]

@@ -249,10 +249,3 @@ def compress_audio_sharded(signal, framerate, sampwidth, mesh=None,
             original_len)
 
 
-def shard_encode_inputs(mesh, weighted, raw):
-    """Place encode inputs for range-DP execution: the flat weighted signal
-    is sharded over dp (it reshapes to (M, N) row-contiguously, so a flat
-    split IS a range split); the raw signal (domain source) is replicated."""
-    w = jax.device_put(weighted, NamedSharding(mesh, P(DP_AXIS)))
-    r = jax.device_put(raw, NamedSharding(mesh, P()))
-    return w, r

@@ -1,6 +1,7 @@
 from .buckets import bucket, pad_to
 from .logging import device_banner, logger
 from .metrics import compression_ratio, compute_snr, x_realtime
+from .trace import collect_phases, jax_profile, phase
 
 __all__ = [
     "bucket",
@@ -10,4 +11,7 @@ __all__ = [
     "compression_ratio",
     "compute_snr",
     "x_realtime",
+    "collect_phases",
+    "jax_profile",
+    "phase",
 ]
