@@ -302,6 +302,29 @@ def coarse_refine_search(
     )
 
 
+def _window_gains(r_c, bank_t, cand_t, valid_t, objective):
+    """Gains (and orientation pick) for per-range candidate positions.
+    r_c (N, M) centered-transposed ranges; cand_t (K, M) positions into the
+    full bank; returns (score, use_m) each (K, M). Lane-major throughout."""
+    N = r_c.shape[0]
+    K, M = cand_t.shape
+    tiles = jnp.take(bank_t, cand_t.reshape(-1), axis=1).reshape(N, K, M)
+    d_mean = jnp.mean(tiles, axis=0)
+    d_c = tiles - d_mean[None]
+    denom = jnp.sum(d_c * d_c, axis=0) + _EPS
+    num_o = jnp.sum(d_c * r_c[:, None, :], axis=0)
+    num_m = jnp.sum(d_c * r_c[::-1][:, None, :], axis=0)
+    if objective == "balanced":
+        w = (denom - _EPS - N * d_mean * d_mean) / (denom * denom)
+    else:
+        w = 1.0 / denom
+    score_o = num_o * num_o * w
+    score_m = num_m * num_m * w
+    use_m = score_m > score_o                                # orig wins ties
+    score = jnp.where(use_m, score_m, score_o)
+    return jnp.where(valid_t, score, _NEG), use_m
+
+
 def refine_from_lobes(
     ranges: jnp.ndarray,    # (M, N)
     bank: jnp.ndarray,      # (D, N)
@@ -310,12 +333,21 @@ def refine_from_lobes(
     stride: int,
     s_clip: float,
     objective: str = "balanced",
+    two_stage: bool = None,
 ):
     """The window-refinement stage of coarse_refine_search, callable with
-    lobes from any coarse scanner (lax.scan or the Pallas kernel)."""
+    lobes from any coarse scanner (lax.scan or the Pallas kernel).
+
+    With two_stage (default on for stride >= 32), the +/-stride window is
+    sampled at stride 8 first and only +/-4 around the best mid position is
+    evaluated densely — ~3x less gather volume; safe because the gain
+    surface is smooth at the block_len (~256) scale, far coarser than 8.
+    """
     M, N = ranges.shape
     D = bank.shape[0]
     top_c = coarse.shape[1]
+    if two_stage is None:
+        two_stage = stride >= 32 and top_c == 1
 
     # Refine windows of W = 2*stride positions around each lobe. Window
     # starts clamp to [0, n_valid - W] so every fetched row is a real
@@ -338,30 +370,35 @@ def refine_from_lobes(
     valid_t = jnp.broadcast_to(lobe_ok.T[:, None, :], (top_c, W, M)).reshape(K, M)
 
     bank_t = bank.T                                          # (N, D)
-    tiles = jnp.take(bank_t, cand_t.reshape(-1), axis=1).reshape(N, K, M)
-
     r_t = ranges.T                                           # (N, M)
     r_mean = jnp.mean(r_t, axis=0)                           # (M,)
     r_c = r_t - r_mean[None, :]
-
-    d_mean = jnp.mean(tiles, axis=0)                         # (K, M)
-    d_c = tiles - d_mean[None]
-    denom = jnp.sum(d_c * d_c, axis=0) + _EPS                # (K, M)
-    num_o = jnp.sum(d_c * r_c[:, None, :], axis=0)           # (K, M)
-    num_m = jnp.sum(d_c * r_c[::-1][:, None, :], axis=0)
-
-    if objective == "balanced":
-        w = (denom - _EPS - N * d_mean * d_mean) / (denom * denom)
-    else:
-        w = 1.0 / denom
-    score_o = num_o * num_o * w
-    score_m = num_m * num_m * w
-    use_m = score_m > score_o                                # orig wins ties
-    score = jnp.where(use_m, score_m, score_o)
-    score = jnp.where(valid_t, score, _NEG)
-
-    pick = jnp.argmax(score, axis=0)                         # (M,) first max
     cols = jnp.arange(M)
+
+    if two_stage:
+        # stage 1: sample the window at stride 8
+        mid_step = 8
+        k1 = W // mid_step + 1
+        mid = (starts.T[:, None, :]
+               + (mid_step * jnp.arange(k1, dtype=jnp.int32))[None, :, None]
+               ).reshape(top_c * k1, M)
+        mid = jnp.minimum(mid, jnp.maximum(n_valid - 1, 0))
+        v1 = jnp.broadcast_to(lobe_ok.T[:, None, :], (top_c, k1, M)
+                              ).reshape(top_c * k1, M)
+        s1, _ = _window_gains(r_c, bank_t, mid, v1, objective)
+        p1 = jnp.argmax(s1, axis=0)
+        center = mid[p1, cols]
+        # stage 2: dense +/- mid_step/2 around the best mid sample
+        w2 = mid_step + 2
+        starts2 = jnp.clip(center - w2 // 2, 0, jnp.maximum(n_valid - w2, 0))
+        cand_t = starts2[None, :] + jnp.arange(w2, dtype=jnp.int32)[:, None]
+        valid_t = jnp.broadcast_to(
+            jnp.any(lobe_ok, axis=1)[None, :], (w2, M)
+        )
+    # else: cand_t / valid_t from the dense single-stage window above
+
+    score, use_m = _window_gains(r_c, bank_t, cand_t, valid_t, objective)
+    pick = jnp.argmax(score, axis=0)                         # (M,) first max
     best_idx = cand_t[pick, cols]
     best_sym = use_m[pick, cols]
     best_score = score[pick, cols]
