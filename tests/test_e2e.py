@@ -261,3 +261,41 @@ def test_round_trip_other_tile_sizes(tone, tile):
     )
     got = compute_snr(sig, recon)
     assert got > bound - 0.5, (tile, got, bound)
+
+
+def test_signal_exactly_one_tile():
+    rng = np.random.default_rng(1)
+    sig = (rng.standard_normal(1024) * 10000).astype(np.float32)
+    rec, domains, n_ranges, rs, *_ = compress_audio_arrays(sig, 8000, 2, tile_size=1024)
+    assert len(domains) == 1  # exactly one sliding window
+    recon = decompress_audio(rec, domains, n_ranges, rs, original_len=len(sig))
+    assert recon.shape == (1024,)
+
+
+def test_all_sentinel_file_round_trip(tmp_path):
+    """A file whose every match is the -1 sentinel (nonzero n_ranges, zero
+    usable domains) must decode to silence of the right length."""
+    from fwav_tpu.io.container import MATCH_DTYPE
+
+    rec = np.zeros(10, dtype=MATCH_DTYPE)
+    rec["idx"] = -1
+    rec["s"] = 1.0
+    domains = np.zeros((0, 4), np.float32)
+    p = tmp_path / "sent.fwav"
+    save_compressed(p, rec, domains, 4, 8000, 2, 128, 1, 1e-4, 37)
+    m2, d2, n2, rs2, fr2, sw2, *_rest, olen2 = load_compressed(p)
+    out = decompress_audio(m2, d2, n2, rs2, original_len=olen2)
+    assert out.shape == (37,)
+    assert np.all(out == 0)
+
+
+def test_file_level_all_silent(tmp_path):
+    sig = np.zeros(9000, dtype=np.float32)
+    wav = tmp_path / "quiet.wav"
+    write_wav(wav, sig, 8000, 2)
+    m = process_file_compress(str(wav), str(tmp_path / "o"))
+    assert "error" not in m, m
+    d = process_file_decompress(m["output"], str(tmp_path / "r"))
+    assert "error" not in d, d
+    out, _, _ = read_wav_mono(d["output"])
+    assert len(out) == 9000 and np.all(out == 0)
