@@ -123,8 +123,9 @@ def main(argv=None):
             ]
             todo = []
             for f in files:
+                base = os.path.basename(f)
                 outpath = os.path.join(
-                    out_dir, os.path.basename(f).replace(".fwav", "_recon.wav")
+                    out_dir, base[: -len(".fwav")] + "_recon.wav"
                 )
                 if not os.path.exists(outpath):
                     todo.append((f, outpath, args.iter, args.eps, args.gpu))

@@ -80,16 +80,14 @@ def process_file_compress(path, outdir=None, tile=1024, energy_thresh=1e-4,
             outpath = _resolve_out(path, outdir, ".fwav", ".fwav")
             if prune_bank:
                 from ..ops.domains import bank_rows_host
-                from .encode import prune_bank as _prune
 
                 live = rec["idx"] >= 0
                 used = np.unique(rec["idx"][live])
                 bank = bank_rows_host(signal, tile_size, range_size,
                                       domain_step, used)
                 rec = rec.copy()
-                remap = np.full(n_domains, -1, dtype=np.int32)
-                remap[used] = np.arange(len(used), dtype=np.int32)
-                rec["idx"][live] = remap[rec["idx"][live]]
+                # O(live log used) remap, no n_domains-sized allocation
+                rec["idx"][live] = np.searchsorted(used, rec["idx"][live]).astype(np.int32)
                 save_compressed(
                     outpath, rec, bank, range_size, framerate, sampwidth,
                     tile_size, domain_step, energy_threshold, original_len,

@@ -308,7 +308,10 @@ def compress_audio_arrays(
     scale = float(np.max(np.abs(signal))) or 1.0
     inv = np.float32(1.0 / scale)
     nb = bucket(original_len, 4096)
-    lb = bucket(L, 256)
+    # bucket the RANGE COUNT, not the sample count: lb must be an exact
+    # multiple of range_size for the (mb, N) reshape (range_size can have
+    # odd factors, e.g. tile_size=1536 -> range_size=6)
+    lb = bucket(n_ranges, 256) * range_size
     db = bucket(n_domains, 256)
     raw_p = np.zeros(nb, dtype=np.float32)
     raw_p[:original_len] = signal

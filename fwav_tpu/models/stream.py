@@ -25,6 +25,8 @@ hundreds of thousands of candidate domains either side.
 
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 
 from ..config import EncoderConfig
@@ -41,25 +43,24 @@ DEFAULT_HALO = 1 << 18
 
 
 def domain_block_iter(signal, tile_size, range_size, domain_step, block_rows=65536):
-    """Yield the (D, range_size) bank in row blocks, each computed from a
-    local float64 cumulative sum — O(block) memory for any file length."""
+    """Yield the (D, range_size) bank in row blocks via ops.domains'
+    shared box-mean builder (local cumulative sums — O(block) memory for
+    any file length)."""
+    from ..ops.domains import bank_rows_host
+
     signal = np.asarray(signal, dtype=np.float32)
-    n = len(signal)
-    d = n_domains_for(n, tile_size, domain_step)
-    block_len = tile_size // range_size
-    span = range_size * block_len  # samples touched by one domain row
+    d = n_domains_for(len(signal), tile_size, domain_step)
     for i0 in range(0, d, block_rows):
-        rows = min(block_rows, d - i0)
-        s0 = i0 * domain_step
-        s1 = min(n, (i0 + rows - 1) * domain_step + span)
-        seg = signal[s0:s1]
-        cs = np.zeros(len(seg) + 1, dtype=np.float64)
-        np.cumsum(seg, dtype=np.float64, out=cs[1:])
-        starts = (
-            np.arange(rows, dtype=np.int64)[:, None] * domain_step
-            + np.arange(range_size, dtype=np.int64)[None, :] * block_len
-        )
-        yield ((cs[starts + block_len] - cs[starts]) / block_len).astype(np.float32)
+        rows = np.arange(i0, min(i0 + block_rows, d), dtype=np.int64)
+        yield bank_rows_host(signal, tile_size, range_size, domain_step, rows)
+
+
+#: Reference-API kwargs that are no-ops on TPU (accepted for parity, same
+#: as compress_audio_arrays).
+_IGNORED_KWARGS = frozenset({
+    "ef_search", "use_gpu", "domains_tmpdir", "batch_size_gpu",
+    "batch_size_cpu", "transient_weight", "n_mels", "cpu_workers",
+})
 
 
 def compress_audio_streaming(
@@ -73,13 +74,20 @@ def compress_audio_streaming(
     """Shard-by-shard encode for long files. Same return contract as
     compress_audio_arrays, except `domains` is returned as None — callers
     serialize the bank with domain_block_iter (models.codec does this
-    automatically). Matches carry global domain indices."""
-    cfg = kwargs.pop("config", None) or EncoderConfig(
-        tile_size=kwargs.pop("tile_size", 1024),
-        energy_thresh=kwargs.pop("energy_thresh", 1e-4),
-        search=kwargs.pop("search", "auto"),
-        objective=kwargs.pop("objective", "balanced"),
-    )
+    automatically). Matches carry global domain indices.
+
+    Encoder knobs (tile_size, energy_thresh, fast_mode, search, objective,
+    top_k, emb_dim, ...) are forwarded into EncoderConfig; unknown kwargs
+    raise instead of silently changing semantics by file length."""
+    cfg = kwargs.pop("config", None)
+    if cfg is None:
+        fields = {f.name for f in dataclasses.fields(EncoderConfig)}
+        cfg_kwargs = {k: kwargs.pop(k) for k in list(kwargs) if k in fields}
+        cfg = EncoderConfig(**cfg_kwargs)
+    leftover = {k: kwargs.pop(k) for k in list(kwargs) if k in _IGNORED_KWARGS}
+    del leftover
+    if kwargs:
+        raise TypeError(f"unknown compress kwargs: {sorted(kwargs)}")
     range_size = cfg.range_size
     step = cfg.domain_step
 

@@ -79,32 +79,33 @@ def build_domains_host(
     materialization. Used for .fwav serialization so the 16-bytes-per-domain
     bank never crosses the (slow) device->host path; the device builds its
     own copy from the raw signal (build_bank_jax) for searching."""
-    signal = np.asarray(signal, dtype=np.float32)
-    n = len(signal)
-    d = n_domains_for(n, tile_size, domain_step)
+    d = n_domains_for(len(signal), tile_size, domain_step)
     if d == 0:
         return np.zeros((0, range_size), dtype=np.float32)
-    block_len = tile_size // range_size
-    cs = np.zeros(n + 1, dtype=np.float64)
-    np.cumsum(signal, dtype=np.float64, out=cs[1:])
-    starts = (
-        np.arange(d, dtype=np.int64)[:, None] * domain_step
-        + np.arange(range_size, dtype=np.int64)[None, :] * block_len
+    return bank_rows_host(
+        signal, tile_size, range_size, domain_step, np.arange(d, dtype=np.int64)
     )
-    return ((cs[starts + block_len] - cs[starts]) / block_len).astype(np.float32)
 
 
 def bank_rows_host(signal, tile_size: int, range_size: int, domain_step: int,
                    rows: np.ndarray) -> np.ndarray:
-    """Build only the given bank rows (same math as build_domains_host) —
-    used by bank pruning, where the kept set is bounded by the range count
-    however long the file is."""
+    """Build only the given bank rows — the ONE host-side implementation of
+    the box-mean math (build_domains_host and models.stream.domain_block_iter
+    both delegate here). Cumulative sums cover only [min(rows), max(rows) +
+    tile span), so memory is O(covered span), not O(file)."""
     signal = np.asarray(signal, dtype=np.float32)
+    rows = np.asarray(rows, dtype=np.int64)
+    if rows.size == 0:
+        return np.zeros((0, range_size), dtype=np.float32)
     block_len = tile_size // range_size
-    cs = np.zeros(len(signal) + 1, dtype=np.float64)
-    np.cumsum(signal, dtype=np.float64, out=cs[1:])
+    span = range_size * block_len
+    s0 = int(rows.min()) * domain_step
+    s1 = min(len(signal), int(rows.max()) * domain_step + span)
+    seg = signal[s0:s1]
+    cs = np.zeros(len(seg) + 1, dtype=np.float64)
+    np.cumsum(seg, dtype=np.float64, out=cs[1:])
     starts = (
-        np.asarray(rows, dtype=np.int64)[:, None] * domain_step
+        (rows[:, None] * domain_step - s0)
         + np.arange(range_size, dtype=np.int64)[None, :] * block_len
     )
     return ((cs[starts + block_len] - cs[starts]) / block_len).astype(np.float32)

@@ -385,7 +385,7 @@ def refine_from_lobes(
         mid = jnp.minimum(mid, jnp.maximum(n_valid - 1, 0))
         v1 = jnp.broadcast_to(lobe_ok.T[:, None, :], (top_c, k1, M)
                               ).reshape(top_c * k1, M)
-        s1, _ = _window_gains(r_c, bank_t, mid, v1, objective)
+        s1, _ = _window_gains(r_c, bank_t, mid, v1 & (mid < n_valid), objective)
         p1 = jnp.argmax(s1, axis=0)
         center = mid[p1, cols]
         # stage 2: dense +/- mid_step/2 around the best mid sample
@@ -397,6 +397,13 @@ def refine_from_lobes(
         )
     # else: cand_t / valid_t from the dense single-stage window above
 
+    # bank rows past n_valid are zero padding: they score exactly 0, which
+    # can beat real (negative-weight) balanced scores — mask them out so an
+    # out-of-range index can never be emitted (window starts are clamped to
+    # n_valid - W, but that is not enough when n_valid < W)
+    valid_t = valid_t & (cand_t < n_valid)
+
+    cand_t = jnp.minimum(cand_t, D - 1)
     score, use_m = _window_gains(r_c, bank_t, cand_t, valid_t, objective)
     pick = jnp.argmax(score, axis=0)                         # (M,) first max
     best_idx = cand_t[pick, cols]

@@ -216,10 +216,11 @@ def compress_audio_sharded(signal, framerate, sampwidth, mesh=None,
     scale = float(np.max(np.abs(signal))) or 1.0
     nb = bucket(original_len, 4096)
     db = bucket(n_domains, 256)
-    # mb divisible by the dp extent so the shard is even
+    # mb divisible by the dp extent so the shard is even (round the bucket
+    # up to the next multiple of n_dev — doubling never reaches divisibility
+    # for device counts with odd factors)
     mb = bucket(n_ranges, 256)
-    while mb % n_dev:
-        mb *= 2
+    mb = ((mb + n_dev - 1) // n_dev) * n_dev
 
     ranges_p = np.zeros((mb, range_size), np.float32)
     ranges_p[:n_ranges] = weighted.reshape(n_ranges, range_size) / scale
