@@ -22,6 +22,8 @@ import json
 import os
 from concurrent.futures import ThreadPoolExecutor
 
+import numpy as np
+
 from .models.codec import process_file_compress, process_file_decompress
 from .utils.logging import logger
 
@@ -60,6 +62,11 @@ def main(argv=None):
     pc.add_argument("--prune-bank", action="store_true",
                     help="store only referenced domain rows (much smaller "
                          ".fwav, decodes identically with any decoder)")
+
+    pi = sub.add_parser("info", help="print .fwav header + integrity info")
+    pi.add_argument("input", help=".fwav file")
+    pi.add_argument("--verify", action="store_true",
+                    help="also verify the SHA-256 payload checksum")
 
     pd = sub.add_parser("decompress")
     pd.add_argument("input", help="input file or directory")
@@ -109,6 +116,32 @@ def main(argv=None):
                 logger.info("Wrote metrics to %s", metrics_file)
             else:
                 logger.info("No files to compress — all already exist.")
+
+    elif args.cmd == "info":
+        from .io.container import load_compressed_arrays
+
+        (rec, domains, n_ranges, range_size, framerate, sampwidth, tile_size,
+         domain_step, energy_threshold, original_len) = load_compressed_arrays(
+            args.input, verify_checksum=args.verify
+        )
+        sentinels = int(np.sum(rec["idx"] < 0)) if len(rec) else 0
+        info = {
+            "file": args.input,
+            "n_ranges": int(n_ranges),
+            "n_domains": int(len(domains)),
+            "range_size": int(range_size),
+            "tile_size": int(tile_size),
+            "domain_step": int(domain_step),
+            "framerate": int(framerate),
+            "sampwidth": int(sampwidth),
+            "energy_threshold": float(energy_threshold),
+            "original_len": int(original_len),
+            "duration_s": round(original_len / framerate, 3) if framerate else None,
+            "silent_sentinel_ranges": sentinels,
+            "file_bytes": os.path.getsize(args.input),
+            "checksum": "verified" if args.verify else "not checked",
+        }
+        print(json.dumps(info, indent=2))
 
     elif args.cmd == "decompress":
         if not args.batch:

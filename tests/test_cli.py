@@ -77,3 +77,15 @@ def test_cli_batch_isolates_bad_files(tmp_path, wav_dir):
     by_input = {os.path.basename(m["input"]): m for m in metrics}
     assert "error" in by_input["broken.wav"]
     assert "output" in by_input["a.wav"]
+
+
+def test_cli_info(tmp_path, wav_dir, capsys):
+    d, sig, sr = wav_dir
+    fwav = tmp_path / "i.fwav"
+    main(["compress", str(d / "a.wav"), str(fwav), "--tile", "128"])
+    main(["info", str(fwav), "--verify"])
+    info = json.loads(capsys.readouterr().out)
+    assert info["framerate"] == sr
+    assert info["checksum"] == "verified"
+    assert info["n_ranges"] > 0
+    assert info["duration_s"] == pytest.approx(len(sig) / sr, abs=1e-3)
