@@ -1,0 +1,81 @@
+"""Deterministic round-trip fuzz: random content, lengths, tiles, widths and
+modes through the full encode -> .fwav -> decode cycle, asserting structural
+invariants and the decode-quality bound."""
+
+import numpy as np
+import pytest
+
+from fwav_tpu import (
+    compress_audio_arrays,
+    compute_snr,
+    decompress_audio,
+    load_compressed_arrays,
+    save_compressed,
+)
+
+
+def _random_signal(rng, n, sr):
+    kind = rng.integers(0, 4)
+    t = np.arange(n) / sr
+    if kind == 0:  # tonal
+        sig = 0.5 * np.sin(2 * np.pi * rng.uniform(100, sr / 4) * t)
+    elif kind == 1:  # noise bursts
+        sig = 0.02 * rng.standard_normal(n)
+        for _ in range(3):
+            a = rng.integers(0, max(1, n - 100))
+            sig[a : a + rng.integers(50, 400)] += 0.4 * rng.standard_normal(1)
+    elif kind == 2:  # chirp + gap
+        sig = 0.4 * np.sin(2 * np.pi * (100 + 50 * t) * t)
+        a = rng.integers(0, max(1, n // 2))
+        sig[a : a + n // 8] = 0.0
+    else:  # near-silence with one blip
+        sig = 1e-5 * rng.standard_normal(n)
+        sig[n // 2 : n // 2 + 64] += 0.3
+    return (sig * (2**14)).astype(np.float32)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_round_trip(seed, tmp_path):
+    rng = np.random.default_rng(seed)
+    sr = int(rng.choice([8000, 16000, 44100]))
+    n = int(rng.integers(300, 30000))
+    tile = int(rng.choice([128, 256, 1024, 1536]))
+    search = str(rng.choice(["auto", "exact", "topk"]))
+    sig = _random_signal(rng, n, sr)
+
+    rec, domains, n_ranges, rs, tile_out, step, thr, olen = (
+        compress_audio_arrays(sig, sr, 2, tile_size=tile, search=search)
+    )
+    assert olen == n
+    if n_ranges == 0:
+        return  # silent or too short: valid early return
+
+    # structural invariants
+    assert len(rec) == n_ranges
+    live = rec["idx"] >= 0
+    assert np.all(rec["idx"][live] < len(domains))
+    assert np.all(np.abs(rec["s"]) <= 16.0 + 1e-5)
+    assert np.all(np.isfinite(rec["s"]))
+    assert np.all(np.isfinite(rec["o"]))
+    sent = rec[~live]
+    if len(sent):
+        assert np.all(sent["s"] == 1.0) and np.all(sent["o"] == 0.0)
+
+    # container round trip
+    p = tmp_path / f"f{seed}.fwav"
+    save_compressed(p, rec, domains, rs, sr, 2, tile_out, step, thr, olen)
+    rec2, dom2, *_ = load_compressed_arrays(p)
+    np.testing.assert_array_equal(rec2, rec)
+    np.testing.assert_array_equal(dom2, domains)
+
+    # decode within tolerance of the piecewise-constant bound
+    recon = decompress_audio(rec2, dom2, n_ranges, rs, original_len=olen)
+    assert recon.shape == (n,)
+    assert np.all(np.isfinite(recon))
+    L = (n // rs) * rs
+    if L and np.sum(sig[:L].astype(np.float64) ** 2) > 1e-6:
+        bound = compute_snr(sig[:L], np.repeat(sig[:L].reshape(-1, rs).mean(1), rs))
+        got = compute_snr(sig, recon)
+        # silent-range pruning + search approximation cost at most ~3 dB vs
+        # the oracle bound on adversarial content
+        assert got > bound - 3.0, (seed, got, bound)
