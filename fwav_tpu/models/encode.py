@@ -235,6 +235,7 @@ def compress_audio_arrays(
     objective: str = "balanced",
     config: EncoderConfig | None = None,
     _weighted_override=None,
+    _defer_d2h: bool = False,
 ):
     """Fast-path encode returning a packed match record array.
 
@@ -342,6 +343,21 @@ def compress_audio_arrays(
         cfg.range_block, cfg.objective, stride, cfg.coarse_topc,
         bool(use_pallas),
     )
+    if _defer_d2h:
+        # streaming pipeline mode (models.stream): the CALLER holds
+        # DEVICE_LOCK, dispatches the next shard before collecting this one
+        # (single-threaded async overlap) and materializes the record later
+        # with collect_packed_matches.
+        packed = core(
+            jnp.asarray(wtd_p),
+            jnp.asarray(raw_p),
+            jnp.int32(original_len),
+            jnp.int32(n_ranges),
+            jnp.int32(n_domains),
+            jnp.float32(cfg.energy_thresh / (scale * scale)),
+        )
+        return packed, scale, n_ranges
+
     with DEVICE_LOCK, phase("device"):
         packed = core(
             jnp.asarray(wtd_p),
@@ -364,14 +380,7 @@ def compress_audio_arrays(
             bank = None
 
         with phase("d2h"):
-            idx, s, o, sym, err = np.asarray(jax.device_get(packed))
-
-    rec = np.empty(n_ranges, dtype=MATCH_DTYPE)
-    rec["idx"] = idx[:n_ranges].astype(np.int32)
-    rec["s"] = s[:n_ranges]
-    rec["o"] = o[:n_ranges] * scale
-    rec["sym"] = sym[:n_ranges].astype(np.uint8)
-    rec["err"] = err[:n_ranges] * scale
+            rec = collect_packed_matches(packed, scale, n_ranges)
 
     return (
         rec,
@@ -383,6 +392,19 @@ def compress_audio_arrays(
         cfg.energy_thresh,
         original_len,
     )
+
+
+def collect_packed_matches(packed, scale: float, n_ranges: int) -> np.ndarray:
+    """Device->host transfer + record materialization for a packed (5, M)
+    encode output (the counterpart of build_encode_core's packing)."""
+    idx, s, o, sym, err = np.asarray(jax.device_get(packed))
+    rec = np.empty(n_ranges, dtype=MATCH_DTYPE)
+    rec["idx"] = idx[:n_ranges].astype(np.int32)
+    rec["s"] = s[:n_ranges]
+    rec["o"] = o[:n_ranges] * scale
+    rec["sym"] = sym[:n_ranges].astype(np.uint8)
+    rec["err"] = err[:n_ranges] * scale
+    return rec
 
 
 def prune_bank(rec: np.ndarray, bank: np.ndarray):

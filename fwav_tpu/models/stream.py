@@ -107,34 +107,56 @@ def compress_audio_streaming(
     n_ranges = L // range_size
 
     shard_samples = max(range_size, (shard_samples // range_size) * range_size)
-    recs = []
-    for a in range(0, L, shard_samples):
-        b = min(L, a + shard_samples)
-        # domain neighborhood: windows starting in [g0, g1), g0 step-aligned
-        g0 = (max(0, a - halo) // step) * step
-        g1 = min(original_len, b + halo)
-        raw_window = signal[g0:g1]
-        if n_domains_for(len(raw_window), cfg.tile_size, step) == 0:
-            # shard past the end of usable signal: emit sentinels
-            m = (b - a) // range_size
-            rec = np.zeros(m, dtype=MATCH_DTYPE)
-            rec["idx"] = -1
-            rec["s"] = 1.0
-            recs.append(rec)
-            continue
+    bounds = [
+        (a, min(L, a + shard_samples)) for a in range(0, L, shard_samples)
+    ]
+    slots = [None] * len(bounds)
 
-        rec, _, m, *_ = compress_audio_arrays(
-            raw_window,
-            framerate,
-            sampwidth,
-            config=cfg,
-            _weighted_override=weighted[a:b],
-        )
+    from .encode import DEVICE_LOCK, collect_packed_matches
+
+    def _collect(pending):
+        k, packed, scale, g0 = pending
+        rec = collect_packed_matches(packed, scale, (bounds[k][1] - bounds[k][0]) // range_size)
         live = rec["idx"] >= 0
         rec["idx"][live] += g0 // step
-        recs.append(rec)
+        slots[k] = rec
 
-    rec = np.concatenate(recs) if recs else np.empty(0, dtype=MATCH_DTYPE)
+    # one-deep pipeline: dispatch shard k+1 before pulling shard k's results,
+    # so the device computes while the host waits on the (slow) D2H path.
+    # All calls are issued from this thread under one lock — no concurrent
+    # dispatch (see models.encode.DEVICE_LOCK).
+    pending = None
+    with DEVICE_LOCK:
+        for k, (a, b) in enumerate(bounds):
+            # domain neighborhood: windows starting in [g0, g1), g0 step-aligned
+            g0 = (max(0, a - halo) // step) * step
+            g1 = min(original_len, b + halo)
+            raw_window = signal[g0:g1]
+            if n_domains_for(len(raw_window), cfg.tile_size, step) == 0:
+                # shard past the end of usable signal: emit sentinels
+                m = (b - a) // range_size
+                rec = np.zeros(m, dtype=MATCH_DTYPE)
+                rec["idx"] = -1
+                rec["s"] = 1.0
+                slots[k] = rec
+                continue
+
+            packed, scale, m = compress_audio_arrays(
+                raw_window,
+                framerate,
+                sampwidth,
+                config=cfg,
+                _weighted_override=weighted[a:b],
+                _defer_d2h=True,
+            )
+            assert m == (b - a) // range_size
+            if pending is not None:
+                _collect(pending)
+            pending = (k, packed, scale, g0)
+        if pending is not None:
+            _collect(pending)
+
+    rec = np.concatenate(slots) if slots else np.empty(0, dtype=MATCH_DTYPE)
     assert len(rec) == n_ranges, (len(rec), n_ranges)
     return (
         rec,
