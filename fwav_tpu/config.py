@@ -76,8 +76,9 @@ class EncoderConfig:
     objective: str = "balanced"
     #: Domain-block size for the streaming search scan (HBM->VMEM tiles).
     domain_block: int = 2048
-    #: Range-block size for the outer search loop.
-    range_block: int = 8192
+    #: Range-block size for the outer search loop (32k measured best for
+    #: the Pallas coarse path; the Pallas grid does the fine tiling).
+    range_block: int = 32768
 
     @property
     def range_size(self) -> int:
