@@ -120,3 +120,32 @@ def test_original_len_trim_and_zero_ranges():
     assert got.shape == (13,)
     z = decompress_audio([], np.zeros((0, 4), np.float32), 0, 4, original_len=5)
     np.testing.assert_array_equal(z, np.zeros(5, np.float32))
+
+
+def test_fixed_point_fast_path_equals_device_loop():
+    """The s_damping=0 closed form must match the jitted while_loop decoder
+    bit-for-bit (including degenerate constant tiles, where the stored s is
+    used and clipped)."""
+    rng = np.random.default_rng(7)
+    D, N, M = 32, 4, 64
+    domains = rng.standard_normal((D, N)).astype(np.float32)
+    domains[5] = 3.14          # constant tile -> degenerate denom
+    domains[11] = 0.0
+    rec = np.zeros(M, dtype=MATCH_DTYPE)
+    rec["idx"] = rng.integers(0, D, M)
+    rec["idx"][::9] = -1
+    rec["idx"][3] = 5          # hits the degenerate tile
+    rec["idx"][4] = 11
+    rec["s"] = rng.uniform(-30, 30, M).astype(np.float32)  # exercises clip
+    rec["o"] = rng.standard_normal(M).astype(np.float32)
+    rec["sym"] = rng.integers(0, 2, M).astype(np.uint8)
+
+    fast = decompress_audio(rec, domains, M, N, iterations=8, s_damping=0.0)
+    # force the device loop by using an infinitesimal damping (same math as
+    # damping 0 only in the limit, so compare against the golden instead)
+    golden = _golden_decode(
+        [(int(r["idx"]), float(r["s"]), float(r["o"]), int(r["sym"]), 0.0)
+         for r in rec],
+        domains, M, N, iterations=8, s_damping=0.0,
+    )
+    np.testing.assert_array_equal(fast, golden)
