@@ -73,6 +73,10 @@ def main(argv=None):
     pd.add_argument("--out", default=None, help="output file or directory")
     pd.add_argument("--iter", type=int, default=8)
     pd.add_argument("--eps", type=float, default=1e-3)
+    pd.add_argument("--damping", type=float, default=0.0,
+                    help="s_damping blend toward the per-iteration refit "
+                         "scale (0 = reference default; >0 converges to the "
+                         "stored affine transform)")
     pd.add_argument("--gpu", action="store_true")
     pd.add_argument("--batch", action="store_true",
                     help="treat input as directory and decompress all FWAV inside")
@@ -146,7 +150,8 @@ def main(argv=None):
     elif args.cmd == "decompress":
         if not args.batch:
             out_file = args.out or (os.path.splitext(args.input)[0] + "_recon.wav")
-            process_file_decompress(args.input, out_file, args.iter, args.eps, args.gpu)
+            process_file_decompress(args.input, out_file, args.iter, args.eps,
+                                    args.gpu, s_damping=args.damping)
         else:
             out_dir = args.out or args.input
             files = [
@@ -161,7 +166,8 @@ def main(argv=None):
                     out_dir, base[: -len(".fwav")] + "_recon.wav"
                 )
                 if not os.path.exists(outpath):
-                    todo.append((f, outpath, args.iter, args.eps, args.gpu))
+                    todo.append((f, outpath, args.iter, args.eps, args.gpu,
+                                 args.damping))
             logger.info(
                 "Batch decompressing %d/%d files using %d workers",
                 len(todo), len(files), args.workers,
