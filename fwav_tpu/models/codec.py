@@ -138,7 +138,8 @@ def process_file_compress(path, outdir=None, tile=1024, energy_thresh=1e-4,
         return {"input": path, "error": str(e)}
 
 
-def process_file_decompress(path, outdir=None, iterations=8, eps=1e-3, use_gpu=False, **kwargs):
+def process_file_decompress(path, outdir=None, iterations=8, eps=1e-3,
+                            use_gpu=False, s_damping=0.0, **kwargs):
     try:
         start = time.time()
         (
@@ -148,7 +149,7 @@ def process_file_decompress(path, outdir=None, iterations=8, eps=1e-3, use_gpu=F
         recon = decompress_audio(
             rec, domains, n_ranges, range_size, iterations=iterations,
             convergence_eps=eps, use_gpu=use_gpu, original_len=original_len,
-            **kwargs,
+            s_damping=s_damping, **kwargs,
         )
         if sampwidth == 4:
             recon = np.clip(recon, -1.0, 1.0)
