@@ -135,11 +135,18 @@ def decompress_audio(
     original_len=None,
     s_clip: float = 16.0,
     s_damping: float = 0.0,
+    config=None,
 ):
     """Reference-shaped decode (fractal.py:1378 signature). `matches` may be
     a tuple list, a dict of arrays, or a packed record array; `use_gpu` is
-    accepted for API parity (the device is whatever JAX selected)."""
+    accepted for API parity (the device is whatever JAX selected). A
+    DecoderConfig may be passed instead of the individual knobs."""
     del use_gpu
+    if config is not None:
+        iterations = config.iterations
+        convergence_eps = config.convergence_eps
+        s_clip = config.s_clip
+        s_damping = config.s_damping
     n_ranges = int(n_ranges)
     range_size = int(range_size)
     if n_ranges == 0:

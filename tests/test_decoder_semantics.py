@@ -149,3 +149,14 @@ def test_fixed_point_fast_path_equals_device_loop():
         domains, M, N, iterations=8, s_damping=0.0,
     )
     np.testing.assert_array_equal(fast, golden)
+
+
+def test_decoder_config_object():
+    from fwav_tpu.config import DecoderConfig
+
+    matches, domains = _fixture(4)
+    a = decompress_audio(matches, domains, len(matches), 4,
+                         config=DecoderConfig(iterations=3, s_damping=0.4))
+    b = decompress_audio(matches, domains, len(matches), 4,
+                         iterations=3, s_damping=0.4)
+    np.testing.assert_array_equal(a, b)
