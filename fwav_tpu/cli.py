@@ -106,7 +106,7 @@ def main(argv=None):
                 outpath = os.path.join(out_dir, os.path.basename(f) + ".fwav")
                 if not os.path.exists(outpath):  # skip-resume (fractal.py:1597-1600)
                     todo.append((f, outpath, args.tile, args.energy_thresh,
-                                 args.gpu, args.prune_bank))
+                                 args.gpu, args.prune_bank, args.search))
             logger.info(
                 "Batch compressing %d/%d files using %d workers",
                 len(todo), len(files), args.workers,
@@ -122,17 +122,29 @@ def main(argv=None):
                 logger.info("No files to compress — all already exist.")
 
     elif args.cmd == "info":
-        from .io.container import load_compressed_arrays
+        if args.verify:
+            # full read (hashes the payload)
+            from .io.container import load_compressed_arrays
 
-        (rec, domains, n_ranges, range_size, framerate, sampwidth, tile_size,
-         domain_step, energy_threshold, original_len) = load_compressed_arrays(
-            args.input, verify_checksum=args.verify
-        )
+            (rec, _domains, n_ranges, range_size, framerate, sampwidth,
+             tile_size, domain_step, energy_threshold, original_len) = (
+                load_compressed_arrays(args.input, verify_checksum=True)
+            )
+            n_domains = len(_domains)
+        else:
+            # header + match table only — never touches the (possibly
+            # multi-GB) domain bank payload
+            from .io.container import read_header, read_matches
+
+            hdr = read_header(args.input)
+            (range_size, framerate, sampwidth, tile_size, domain_step,
+             energy_threshold, n_ranges, n_domains, original_len) = hdr
+            rec = read_matches(args.input)
         sentinels = int(np.sum(rec["idx"] < 0)) if len(rec) else 0
         info = {
             "file": args.input,
             "n_ranges": int(n_ranges),
-            "n_domains": int(len(domains)),
+            "n_domains": int(n_domains),
             "range_size": int(range_size),
             "tile_size": int(tile_size),
             "domain_step": int(domain_step),

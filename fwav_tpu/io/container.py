@@ -203,6 +203,33 @@ def save_compressed_streaming(
         f.write(sha.digest())
 
 
+def read_header(filepath):
+    """Parse only the fixed 66-byte header. Returns the 9-tuple
+    (range_size, framerate, sampwidth, tile_size, domain_step,
+    energy_threshold, n_ranges, n_domains, original_len)."""
+    with open(filepath, "rb") as f:
+        if f.read(4) != MAGIC:
+            raise ValueError("Not a FWAV file")
+        version = struct.unpack("<B", f.read(1))[0]
+        if version != FWAV_VERSION:
+            raise ValueError(f"Unsupported FWAV version: {version}")
+        return _HEADER.unpack(f.read(_HEADER.size))
+
+
+def read_matches(filepath) -> np.ndarray:
+    """Read only the match record table, seeking past the domain bank —
+    O(n_ranges) I/O however large the bank is."""
+    (range_size, _fr, _sw, _tile, _step, _thr, n_ranges, n_domains, _olen) = (
+        read_header(filepath)
+    )
+    with open(filepath, "rb") as f:
+        f.seek(_PAYLOAD_OFFSET + n_domains * range_size * 4)
+        buf = f.read(n_ranges * MATCH_DTYPE.itemsize)
+    if len(buf) != n_ranges * MATCH_DTYPE.itemsize:
+        raise ValueError("Truncated FWAV payload")
+    return np.frombuffer(buf, dtype=MATCH_DTYPE)
+
+
 def load_compressed_arrays(filepath, verify_checksum: bool = True):
     """Load a .fwav, returning the match record array (instead of a tuple
     list) plus the domain bank and header fields. Preferred fast path.

@@ -51,7 +51,8 @@ def _resolve_out(path, outdir, default_suffix, expected_ext):
 
 
 def process_file_compress(path, outdir=None, tile=1024, energy_thresh=1e-4,
-                          use_gpu=False, prune_bank=False, **kwargs):
+                          use_gpu=False, prune_bank=False, search="auto",
+                          **kwargs):
     """prune_bank=True drops unreferenced domain rows from the container
     (models.encode.prune_bank): the file stays format-valid for ANY decoder
     and decodes bit-identically, at a fraction of the size (the full bank is
@@ -69,7 +70,7 @@ def process_file_compress(path, outdir=None, tile=1024, energy_thresh=1e-4,
                 energy_threshold, original_len,
             ) = compress_audio_streaming(
                 signal, framerate, sampwidth, tile_size=tile,
-                energy_thresh=energy_thresh, **kwargs,
+                energy_thresh=energy_thresh, search=search, **kwargs,
             )
             from ..ops.domains import n_domains_for
 
@@ -80,14 +81,12 @@ def process_file_compress(path, outdir=None, tile=1024, energy_thresh=1e-4,
             outpath = _resolve_out(path, outdir, ".fwav", ".fwav")
             if prune_bank:
                 from ..ops.domains import bank_rows_host
+                from .encode import remap_matches
 
-                live = rec["idx"] >= 0
-                used = np.unique(rec["idx"][live])
+                used = np.unique(rec["idx"][rec["idx"] >= 0])
                 bank = bank_rows_host(signal, tile_size, range_size,
                                       domain_step, used)
-                rec = rec.copy()
-                # O(live log used) remap, no n_domains-sized allocation
-                rec["idx"][live] = np.searchsorted(used, rec["idx"][live]).astype(np.int32)
+                rec = remap_matches(rec, used)
                 save_compressed(
                     outpath, rec, bank, range_size, framerate, sampwidth,
                     tile_size, domain_step, energy_threshold, original_len,
@@ -105,7 +104,8 @@ def process_file_compress(path, outdir=None, tile=1024, energy_thresh=1e-4,
                 energy_threshold, original_len,
             ) = compress_audio_arrays(
                 signal, framerate, sampwidth, tile_size=tile,
-                energy_thresh=energy_thresh, use_gpu=use_gpu, **kwargs,
+                energy_thresh=energy_thresh, use_gpu=use_gpu, search=search,
+                **kwargs,
             )
             logger.info(
                 "Processed %d ranges, domain matrix shape %s", n_ranges, domains.shape

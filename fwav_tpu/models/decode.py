@@ -102,7 +102,18 @@ DECODE_SHARD_RANGES = 1 << 22
 
 
 def _decode_fixed_point_np(rec, domains, n_ranges, range_size, s_clip):
-    """Host evaluation of the s_damping=0 fixed point (see decompress_audio)."""
+    """Host evaluation of the s_damping=0 fixed point (see decompress_audio),
+    chunked so peak temporary memory stays bounded for multi-hour files."""
+    out = np.empty(n_ranges * range_size, np.float32)
+    for a in range(0, n_ranges, DECODE_SHARD_RANGES):
+        b = min(n_ranges, a + DECODE_SHARD_RANGES)
+        out[a * range_size : b * range_size] = _fixed_point_chunk(
+            rec[a:b], domains, b - a, range_size, s_clip
+        )
+    return out
+
+
+def _fixed_point_chunk(rec, domains, n_ranges, range_size, s_clip):
     idx = rec["idx"].astype(np.int64)
     invalid = idx < 0
     safe = np.where(invalid, 0, np.minimum(idx, max(len(domains) - 1, 0)))

@@ -419,13 +419,18 @@ def prune_bank(rec: np.ndarray, bank: np.ndarray):
     ever gather rows by index. Round-trip output is bit-identical.
 
     Returns (rec', bank') — rec is not modified in place."""
-    live = rec["idx"] >= 0
-    used = np.unique(rec["idx"][live])
-    remap = np.full(len(bank), -1, dtype=np.int32)
-    remap[used] = np.arange(len(used), dtype=np.int32)
+    used = np.unique(rec["idx"][rec["idx"] >= 0])
+    return remap_matches(rec, used), np.ascontiguousarray(bank[used])
+
+
+def remap_matches(rec: np.ndarray, used: np.ndarray) -> np.ndarray:
+    """Reindex live matches against the SORTED kept-row list `used` —
+    O(live log used), no bank-sized allocation. Shared by prune_bank and
+    the streaming prune path (models.codec)."""
     out = rec.copy()
-    out["idx"][live] = remap[rec["idx"][live]]
-    return out, np.ascontiguousarray(bank[used])
+    live = out["idx"] >= 0
+    out["idx"][live] = np.searchsorted(used, out["idx"][live]).astype(np.int32)
+    return out
 
 
 def compress_audio(signal, framerate, sampwidth, **kwargs):

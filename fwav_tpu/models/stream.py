@@ -84,8 +84,8 @@ def compress_audio_streaming(
         fields = {f.name for f in dataclasses.fields(EncoderConfig)}
         cfg_kwargs = {k: kwargs.pop(k) for k in list(kwargs) if k in fields}
         cfg = EncoderConfig(**cfg_kwargs)
-    leftover = {k: kwargs.pop(k) for k in list(kwargs) if k in _IGNORED_KWARGS}
-    del leftover
+    for k in _IGNORED_KWARGS:
+        kwargs.pop(k, None)
     if kwargs:
         raise TypeError(f"unknown compress kwargs: {sorted(kwargs)}")
     range_size = cfg.range_size

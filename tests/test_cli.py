@@ -89,3 +89,29 @@ def test_cli_info(tmp_path, wav_dir, capsys):
     assert info["checksum"] == "verified"
     assert info["n_ranges"] > 0
     assert info["duration_s"] == pytest.approx(len(sig) / sr, abs=1e-3)
+
+
+def test_cli_batch_forwards_search_and_info_is_header_only(tmp_path, wav_dir, capsys):
+    """--search must reach batch workers; `info` without --verify must not
+    read the domain bank payload."""
+    d, sig, sr = wav_dir
+    out = tmp_path / "s"
+    main(["compress", str(d), "--batch", "--out", str(out), "--tile", "128",
+          "--search", "exact", "--workers", "1"])
+    assert (out / "a.wav.fwav").exists()
+
+    # truncate the bank payload of a copy: header+matches parse must still work
+    import shutil
+
+    src = out / "a.wav.fwav"
+    main(["info", str(src)])
+    info = json.loads(capsys.readouterr().out)
+    trunc = tmp_path / "trunc.fwav"
+    shutil.copy(src, trunc)
+    with open(trunc, "r+b") as f:
+        f.truncate(66 + 10)  # destroy most of the bank
+    # header still parses even though the payload is gone
+    from fwav_tpu.io.container import read_header
+
+    hdr = read_header(trunc)
+    assert hdr[6] == info["n_ranges"]
