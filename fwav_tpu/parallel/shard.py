@@ -123,6 +123,13 @@ def exact_search_sharded(
 ):
     """Public entry: exact search with the bank sharded over the mesh's tp
     axis. ranges replicated; outputs replicated."""
+    tp = mesh.shape[TP_AXIS]
+    if bank.shape[0] % (tp * domain_block):
+        raise ValueError(
+            f"bank rows ({bank.shape[0]}) must divide evenly into "
+            f"tp={tp} shards of {domain_block}-row blocks; pad the bank "
+            "(with d_valid=False rows) to a multiple first"
+        )
     fn = _tp_search_fn(mesh, domain_block, float(s_clip), objective)
     ranges = jax.device_put(ranges, NamedSharding(mesh, P(None, None)))
     bank = jax.device_put(bank, NamedSharding(mesh, P(TP_AXIS, None)))
