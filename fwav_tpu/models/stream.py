@@ -69,6 +69,7 @@ def compress_audio_streaming(
     sampwidth,
     shard_samples: int = DEFAULT_SHARD,
     halo: int = DEFAULT_HALO,
+    resume_dir=None,
     **kwargs,
 ):
     """Shard-by-shard encode for long files. Same return contract as
@@ -78,7 +79,12 @@ def compress_audio_streaming(
 
     Encoder knobs (tile_size, energy_thresh, fast_mode, search, objective,
     top_k, emb_dim, ...) are forwarded into EncoderConfig; unknown kwargs
-    raise instead of silently changing semantics by file length."""
+    raise instead of silently changing semantics by file length.
+
+    resume_dir: chunk-level checkpointing (SURVEY.md §5) — each completed
+    shard's match records are persisted there and skipped on re-run, so a
+    crashed multi-hour encode resumes at the last finished shard (the
+    analog of the CLI's file-level skip-resume, one level finer)."""
     cfg = kwargs.pop("config", None)
     if cfg is None:
         fields = {f.name for f in dataclasses.fields(EncoderConfig)}
@@ -120,14 +126,29 @@ def compress_audio_streaming(
         live = rec["idx"] >= 0
         rec["idx"][live] += g0 // step
         slots[k] = rec
+        if resume_dir:
+            np.save(_ckpt(k), rec)
 
     # one-deep pipeline: dispatch shard k+1 before pulling shard k's results,
     # so the device computes while the host waits on the (slow) D2H path.
     # All calls are issued from this thread under one lock — no concurrent
     # dispatch (see models.encode.DEVICE_LOCK).
+    import os
+
+    def _ckpt(k):
+        return os.path.join(resume_dir, f"shard_{k:06d}.npy") if resume_dir else None
+
+    if resume_dir:
+        os.makedirs(resume_dir, exist_ok=True)
+
     pending = None
     with DEVICE_LOCK:
         for k, (a, b) in enumerate(bounds):
+            if resume_dir and os.path.exists(_ckpt(k)):
+                rec = np.load(_ckpt(k))
+                if rec.dtype == MATCH_DTYPE and len(rec) == (b - a) // range_size:
+                    slots[k] = rec
+                    continue  # resume: shard already encoded
             # domain neighborhood: windows starting in [g0, g1), g0 step-aligned
             g0 = (max(0, a - halo) // step) * step
             g1 = min(original_len, b + halo)

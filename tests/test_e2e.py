@@ -299,3 +299,15 @@ def test_file_level_all_silent(tmp_path):
     assert "error" not in d, d
     out, _, _ = read_wav_mono(d["output"])
     assert len(out) == 9000 and np.all(out == 0)
+
+
+@pytest.mark.parametrize("emb_dim", [8, 16, 32])
+def test_topk_emb_dim_variants(tone, emb_dim):
+    """The embedding-shortlist family works across emb_dim (reference
+    default 16 = 8 tonal + 8 transient; fractal.py:1050)."""
+    sig, sr, sw = tone
+    rec, domains, n_ranges, rs, *_ = compress_audio_arrays(
+        sig, sr, sw, tile_size=128, search="topk", emb_dim=emb_dim
+    )
+    recon = decompress_audio(rec, domains, n_ranges, rs, original_len=len(sig))
+    assert compute_snr(sig, recon) > 4.0

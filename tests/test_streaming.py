@@ -93,3 +93,40 @@ def test_streaming_file_level(tmp_path, monkeypatch):
     assert "error" not in d, d
     out, _, _ = read_wav_mono(d["output"])
     assert compute_snr(sig, out) > 8.0
+
+
+def test_streaming_shard_resume(tmp_path):
+    """resume_dir checkpoints each shard; a rerun skips completed shards and
+    produces identical matches."""
+    import fwav_tpu.models.stream as S
+
+    sig, sr = _sig(2.0)
+    ck = tmp_path / "ck"
+    rec1, *_ = compress_audio_streaming(
+        sig, sr, 2, tile_size=128, shard_samples=4096, halo=2048,
+        resume_dir=str(ck),
+    )
+    files = sorted(ck.iterdir())
+    assert len(files) >= 2
+
+    # delete the LAST checkpoint and rerun: only that shard recomputes;
+    # earlier shards must be served from disk (poison the encoder to prove it)
+    files[-1].unlink()
+    n_calls = 0
+    orig = S.compress_audio_arrays
+
+    def counting(*a, **k):
+        nonlocal n_calls
+        n_calls += 1
+        return orig(*a, **k)
+
+    S.compress_audio_arrays = counting
+    try:
+        rec2, *_ = compress_audio_streaming(
+            sig, sr, 2, tile_size=128, shard_samples=4096, halo=2048,
+            resume_dir=str(ck),
+        )
+    finally:
+        S.compress_audio_arrays = orig
+    assert n_calls == 1  # only the missing shard ran
+    np.testing.assert_array_equal(rec1, rec2)
