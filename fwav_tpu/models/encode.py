@@ -117,7 +117,8 @@ def build_encode_core(
                     r_c = rb - r_mean[:, None]
                     score, bidx, bsym = exact_search_scan_pallas(
                         r_c, bankT, d_weight, d_valid,
-                        range_block=min(256, rblk), domain_block=dblk,
+                        range_block=min(512, rblk) if rblk % 512 == 0 or rblk < 512 else 256,
+                        domain_block=dblk,
                     )
                     return exact_refit(r_mean, r_c, bank, score, bidx, bsym, s_clip)
             else:
@@ -142,7 +143,7 @@ def build_encode_core(
                     dc, coarse_stride
                 )[:, 0]
                 v_sub = d_valid.reshape(dc, coarse_stride)[:, 0]
-                prb = 256 if rblk % 256 == 0 else _pow2_divisor(rblk, 256)
+                prb = 512 if rblk % 512 == 0 else _pow2_divisor(rblk, 512)
 
                 def do_block(rb):
                     r_c = rb - jnp.mean(rb, axis=1, keepdims=True)
