@@ -184,13 +184,13 @@ def build_encode_core(
         idx = jnp.where(dead, -1, idx)
         s = jnp.where(dead, 1.0, s)
         o = jnp.where(dead, 0.0, o)
-        sym = jnp.where(dead, 0, sym).astype(jnp.uint8)
+        sym = jnp.where(dead, 0, sym).astype(bool)
         err = jnp.where(dead, 0.0, err)
         # one packed output = one device->host transfer. idx fits float32
-        # exactly (< 2^24 domains per shard by construction); err may be inf.
-        return jnp.stack(
-            [idx.astype(jnp.float32), s, o, sym.astype(jnp.float32), err]
-        )
+        # exactly (< 2^24 domains per shard by construction); err >= 0, so
+        # the mirror flag rides its sign bit (sym=1 -> -err, incl. -0.0).
+        err_signed = jnp.where(sym, -err, err)
+        return jnp.stack([idx.astype(jnp.float32), s, o, err_signed])
 
     return core
 
@@ -396,15 +396,16 @@ def compress_audio_arrays(
 
 
 def collect_packed_matches(packed, scale: float, n_ranges: int) -> np.ndarray:
-    """Device->host transfer + record materialization for a packed (5, M)
-    encode output (the counterpart of build_encode_core's packing)."""
-    idx, s, o, sym, err = np.asarray(jax.device_get(packed))
+    """Device->host transfer + record materialization for a packed (4, M)
+    encode output (the counterpart of build_encode_core's packing: the
+    mirror flag is the sign bit of the err row)."""
+    idx, s, o, err_signed = np.asarray(jax.device_get(packed))
     rec = np.empty(n_ranges, dtype=MATCH_DTYPE)
     rec["idx"] = idx[:n_ranges].astype(np.int32)
     rec["s"] = s[:n_ranges]
     rec["o"] = o[:n_ranges] * scale
-    rec["sym"] = sym[:n_ranges].astype(np.uint8)
-    rec["err"] = err[:n_ranges] * scale
+    rec["sym"] = np.signbit(err_signed[:n_ranges]).astype(np.uint8)
+    rec["err"] = np.abs(err_signed[:n_ranges]) * scale
     return rec
 
 
