@@ -28,7 +28,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .affine import affine_match_tiles, batched_affine_match
+from .affine import batched_affine_match
 from .dct import multi_head_embedding_batch
 
 _EPS = 1e-12
