@@ -160,3 +160,21 @@ def test_decoder_config_object():
     b = decompress_audio(matches, domains, len(matches), 4,
                          iterations=3, s_damping=0.4)
     np.testing.assert_array_equal(a, b)
+
+
+def test_sharded_device_decode_matches_golden(monkeypatch):
+    """The damped (device while_loop) decode must shard over ranges without
+    changing results — exercised by shrinking DECODE_SHARD_RANGES."""
+    import fwav_tpu.models.decode as D
+
+    monkeypatch.setattr(D, "DECODE_SHARD_RANGES", 16)
+    matches, domains = _fixture(5, n_ranges=50)
+    got = decompress_audio(matches, domains, 50, 4, iterations=6, s_damping=0.3)
+    want = _golden_decode(matches, domains, 50, 4, iterations=6, s_damping=0.3)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+    # and the closed-form path shards too
+    monkeypatch.setattr(D, "DECODE_SHARD_RANGES", 7)
+    got0 = decompress_audio(matches, domains, 50, 4, iterations=8)
+    want0 = _golden_decode(matches, domains, 50, 4, iterations=8)
+    np.testing.assert_allclose(got0, want0, atol=1e-6)
