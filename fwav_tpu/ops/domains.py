@@ -104,6 +104,25 @@ def bank_rows_host(signal, tile_size: int, range_size: int, domain_step: int,
     seg = signal[s0:s1]
     cs = np.zeros(len(seg) + 1, dtype=np.float64)
     np.cumsum(seg, dtype=np.float64, out=cs[1:])
+
+    d = len(rows)
+    contiguous = d > 1 and rows[-1] - rows[0] == d - 1 and bool(
+        np.all(np.diff(rows[:: max(1, d // 16)]) > 0)
+    ) and bool(np.all(np.diff(rows) == 1)) if d > 1 else True
+    if contiguous:
+        # contiguous row blocks (the serialization path): column j of the
+        # bank is a strided SLICE of the cumulative sums — N slice
+        # subtractions instead of a (D, N) fancy-index gather (~6x faster,
+        # keeps the host bank build off the encode critical path)
+        out = np.empty((d, range_size), dtype=np.float32)
+        base = rows[0] * domain_step - s0
+        for j in range(range_size):
+            lo = base + j * block_len
+            a = cs[lo + block_len : lo + block_len + d * domain_step : domain_step]
+            b = cs[lo : lo + d * domain_step : domain_step]
+            np.multiply(a - b, 1.0 / block_len, out=out[:, j], casting="unsafe")
+        return out
+
     starts = (
         (rows[:, None] * domain_step - s0)
         + np.arange(range_size, dtype=np.int64)[None, :] * block_len
