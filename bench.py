@@ -47,7 +47,7 @@ def main():
     # min over reps: host<->device transport on tunneled devices has
     # heavy-tailed latency; min is the honest hardware-capability number
     times = []
-    for _ in range(8):
+    for _ in range(12):
         t0 = time.perf_counter()
         rec, domains, n_ranges, range_size, *_ = compress_audio_arrays(sig, sr, 2)
         times.append(time.perf_counter() - t0)
