@@ -34,13 +34,13 @@ def _random_signal(rng, n, sr):
     return (sig * (2**14)).astype(np.float32)
 
 
-@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("seed", range(12))
 def test_fuzz_round_trip(seed, tmp_path):
     rng = np.random.default_rng(seed)
     sr = int(rng.choice([8000, 16000, 44100]))
     n = int(rng.integers(300, 30000))
     tile = int(rng.choice([128, 256, 1024, 1536]))
-    search = str(rng.choice(["auto", "exact", "topk"]))
+    search = str(rng.choice(["auto", "exact", "topk", "coarse"]))
     sig = _random_signal(rng, n, sr)
 
     rec, domains, n_ranges, rs, tile_out, step, thr, olen = (
