@@ -171,36 +171,50 @@ def save_compressed_streaming(
     (block, range_size) float32 row-blocks, so multi-GB banks from long
     files never materialize in RAM (the reference's memmap-streaming
     capability, fractal.py:1308-1311 write loop + build_domains_memmap)."""
+    import os
+
     rec = matches_to_struct(matches)
     n_ranges = len(rec)
 
+    # write to a sibling temp file and rename on success: a failing block
+    # iterator (e.g. row-count mismatch) must never leave a plausible-looking
+    # truncated container with a zeroed checksum at the target path
+    tmp_path = f"{filepath}.tmp"
     sha = hashlib.sha256()
     written = 0
-    with open(filepath, "wb") as f:
-        f.write(
-            pack_header(
-                range_size, framerate, sampwidth, tile_size, domain_step,
-                energy_threshold, n_ranges, n_domains, original_len,
+    try:
+        with open(tmp_path, "wb") as f:
+            f.write(
+                pack_header(
+                    range_size, framerate, sampwidth, tile_size, domain_step,
+                    energy_threshold, n_ranges, n_domains, original_len,
+                )
             )
-        )
-        f.write(b"\0" * 32)
+            f.write(b"\0" * 32)
 
-        for block in domain_blocks:
-            b = np.ascontiguousarray(block, dtype=np.float32).tobytes()
-            f.write(b)
-            sha.update(b)
-            written += len(block)
-        if written != n_domains:
-            raise ValueError(f"domain block iterator yielded {written} rows, expected {n_domains}")
+            for block in domain_blocks:
+                b = np.ascontiguousarray(block, dtype=np.float32).tobytes()
+                f.write(b)
+                sha.update(b)
+                written += len(block)
+            if written != n_domains:
+                raise ValueError(f"domain block iterator yielded {written} rows, expected {n_domains}")
 
-        mflat = rec.view(np.uint8).reshape(-1)
-        for off in range(0, mflat.nbytes, _CHUNK):
-            chunk = mflat[off : off + _CHUNK].tobytes()
-            f.write(chunk)
-            sha.update(chunk)
+            mflat = rec.view(np.uint8).reshape(-1)
+            for off in range(0, mflat.nbytes, _CHUNK):
+                chunk = mflat[off : off + _CHUNK].tobytes()
+                f.write(chunk)
+                sha.update(chunk)
 
-        f.seek(_CHECKSUM_OFFSET)
-        f.write(sha.digest())
+            f.seek(_CHECKSUM_OFFSET)
+            f.write(sha.digest())
+        os.replace(tmp_path, filepath)
+    except BaseException:
+        try:
+            os.unlink(tmp_path)
+        except OSError:
+            pass
+        raise
 
 
 def read_header(filepath):

@@ -327,7 +327,7 @@ def compress_audio_arrays(
     block_len = cfg.tile_size // range_size
     search_mode = cfg.search
     stride = min(cfg.coarse_stride, max(1, block_len // 4))
-    stride = _pow2_divisor(stride * 2, stride)  # largest pow2 <= stride
+    stride = 1 << (stride.bit_length() - 1)  # largest pow2 <= stride
     if search_mode == "auto":
         search_mode = (
             "coarse"
@@ -420,8 +420,15 @@ def prune_bank(rec: np.ndarray, bank: np.ndarray):
     a perfectly ordinary .fwav: decoders (ours and the reference's) only
     ever gather rows by index. Round-trip output is bit-identical.
 
+    When every match is a sentinel, one zero row is kept instead of an
+    empty bank: the reference's load_compressed crashes on n_domains=0
+    (np.vstack of nothing, fractal.py:1372), so an all-silent pruned file
+    stays loadable by both decoders.
+
     Returns (rec', bank') — rec is not modified in place."""
     used = np.unique(rec["idx"][rec["idx"] >= 0])
+    if used.size == 0 and len(bank):
+        return rec.copy(), np.zeros((1, bank.shape[1]), dtype=np.float32)
     return remap_matches(rec, used), np.ascontiguousarray(bank[used])
 
 

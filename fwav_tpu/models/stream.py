@@ -106,6 +106,16 @@ def compress_audio_streaming(
         signal, frame_size=2 * range_size, energy_threshold=cfg.energy_thresh
     )
     weighted = signal * voiced
+    if float(np.sum(weighted.astype(np.float64) ** 2)) < 1e-8:
+        # all-silent early return, same shape as the short-file path
+        # (fractal.py:1083-1093): empty matches, n_ranges=0 — not a file
+        # full of sentinel records
+        from .encode import _empty_result
+
+        return _empty_result(
+            range_size, cfg.tile_size, step, cfg.energy_thresh,
+            original_len, arrays=True,
+        )
     pad_len = (range_size - (original_len % range_size)) % range_size
     if pad_len:
         weighted = np.pad(weighted, (0, pad_len), mode="reflect")
