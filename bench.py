@@ -30,7 +30,9 @@ def make_signal(seconds: float = 10.0, sr: int = 44100) -> np.ndarray:
     for k in range(1, int(seconds / 2) + 1):
         a = int((2 * k - 0.3) * sr)
         sig[a : a + int(0.15 * sr)] = 0.0
-    return (sig * 0.5 * (2**15 - 1)).astype(np.float32)
+    # true int16 sample values — what read_wav_mono yields for every real
+    # 16-bit WAV (the values a codec encoding 16-bit PCM actually sees)
+    return np.round(sig * 0.5 * (2**15 - 1)).astype(np.float32)
 
 
 def main():

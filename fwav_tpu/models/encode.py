@@ -83,11 +83,34 @@ def build_encode_core(
     coarse_stride: int = 64,
     coarse_topc: int = 2,
     use_pallas: bool = False,
+    device_vad: bool = False,
+    pack: str = "full",
+    in_i16: bool = False,
 ):
     """Build the (unjitted) fused encode program for one shape bucket.
-    Signature of the returned fn:
-    (weighted (lb,), raw (nb,), n_samples, n_ranges, n_domains,
-     energy_thresh) -> (idx, s, o, sym, err).
+
+    Two input protocols (static `device_vad`):
+
+    - device_vad=False (legacy / streaming-shard): the host ran VAD, padding
+      and scale normalization; fn(weighted (lb,), raw (nb,), n_samples,
+      n_ranges, n_domains, energy_thresh_normalized).
+    - device_vad=True (default single-shot path): ONE raw array crosses
+      host->device (int16 when the input is 16-bit-exact — `in_i16`);
+      scale normalization, the VAD mask (fractal.py:1074-1079 semantics),
+      the reflect range padding (fractal.py:1095-1097) and the range reshape
+      all happen on device; fn(raw (nb,), n_samples, n_ranges, n_domains,
+      energy_thresh_RAW_scale).
+
+    Two output protocols (static `pack`):
+
+    - pack="full": (4, mb) float32 [idx, s, o, err-with-sym-sign-bit] — the
+      complete match table (collect_packed_matches).
+    - pack="idx": (mb,) int32 — -1 sentinel, else domain index (bits 0..23)
+      | mirror flag (bit 24). s/o/err are recomputed HOST-side with the
+      exact f32 refit against the serialized bank (ops.affine.refit_host +
+      collect_idx_matches): only the selection crosses the slow
+      device->host path, and the stored parameters are exactly consistent
+      with the stored bank.
 
     The domain bank is built on-device for searching but NOT returned —
     the host rebuilds it independently (ops.domains.build_domains_host) for
@@ -97,12 +120,11 @@ def build_encode_core(
     mb = lb // n
     dblk = _pow2_divisor(db, domain_block)
     rblk = _pow2_divisor(mb, range_block)
+    assert pack in ("full", "idx")
+    if device_vad:
+        assert pack == "idx", "device_vad implies the idx output protocol"
 
-    def core(weighted, raw, n_samples, n_ranges, n_domains, energy_thresh):
-        bank = build_bank_jax(raw, tile_size, range_size, domain_step, db, n_domains)
-        d_valid = jnp.arange(db, dtype=jnp.int32) < n_domains
-        ranges = weighted.reshape(mb, n)
-
+    def run_search(ranges, bank, d_valid):
         if search == "exact":
             d_mean, d_denom = affine_stats(bank)
             if use_pallas:
@@ -173,14 +195,18 @@ def build_encode_core(
                 )
 
         outs = jax.lax.map(do_block, ranges.reshape(mb // rblk, rblk, n))
-        idx, s, o, sym, err = (x.reshape(mb) for x in outs)
+        return tuple(x.reshape(mb) for x in outs)
 
+    def pack_out(ranges, idx, s, o, sym, err, n_ranges, energy_thresh_n):
         # sentinels: energy-pruned (fast_mode, 0.75*thresh on mean power —
         # fractal.py:602) and bucket-pad rows
         r_pow = jnp.mean(ranges * ranges, axis=1)
         r_valid = jnp.arange(mb, dtype=jnp.int32) < n_ranges
-        silent = (r_pow < energy_thresh * 0.75) if fast_mode else jnp.zeros(mb, bool)
+        silent = (r_pow < energy_thresh_n * 0.75) if fast_mode else jnp.zeros(mb, bool)
         dead = silent | ~r_valid | ~jnp.isfinite(err)
+        if pack == "idx":
+            code = idx + (sym.astype(jnp.int32) << 24)
+            return jnp.where(dead, -1, code).astype(jnp.int32)
         idx = jnp.where(dead, -1, idx)
         s = jnp.where(dead, 1.0, s)
         o = jnp.where(dead, 0.0, o)
@@ -191,6 +217,57 @@ def build_encode_core(
         # the mirror flag rides its sign bit (sym=1 -> -err, incl. -0.0).
         err_signed = jnp.where(sym, -err, err)
         return jnp.stack([idx.astype(jnp.float32), s, o, err_signed])
+
+    if not device_vad:
+        def core(weighted, raw, n_samples, n_ranges, n_domains, energy_thresh):
+            bank = build_bank_jax(
+                raw, tile_size, range_size, domain_step, db, n_domains
+            )
+            d_valid = jnp.arange(db, dtype=jnp.int32) < n_domains
+            ranges = weighted.reshape(mb, n)
+            idx, s, o, sym, err = run_search(ranges, bank, d_valid)
+            return pack_out(ranges, idx, s, o, sym, err, n_ranges, energy_thresh)
+
+        return core
+
+    from ..ops.vad import voiced_mask_jax
+
+    def core(raw, n_samples, n_ranges, n_domains, energy_thresh):
+        rawf = raw.astype(jnp.float32) if in_i16 else raw
+        # scale normalization on device (see compress_audio_arrays notes):
+        # float32 search arithmetic near unit range keeps squared terms
+        # well-conditioned; s is scale-invariant and o/err are refit on the
+        # host at raw scale, so inv never leaves the device.
+        scale = jnp.max(jnp.abs(rawf))
+        inv = jnp.where(scale > 0, 1.0 / scale, 1.0)
+        ns = jnp.asarray(n_samples, jnp.int32)
+        mask = voiced_mask_jax(rawf, ns, 2 * n, energy_thresh)
+        weighted = rawf * (mask.astype(jnp.float32) * inv)
+        if lb <= nb:
+            base = weighted[:lb]
+        else:
+            base = jnp.concatenate([weighted, jnp.zeros(lb - nb, jnp.float32)])
+        ranges = base.reshape(mb, n)
+        # reflect-pad the tail range (np.pad(..., 'reflect') parity,
+        # fractal.py:1095-1097): position p >= ns reads sample 2*ns-2-p
+        last = jnp.maximum(ns - 1, 0) // n
+        tpos = last * n + jnp.arange(n, dtype=jnp.int32)
+        refl = jnp.where(tpos < ns, tpos, 2 * ns - 2 - tpos)
+        tail = jnp.take(weighted, jnp.clip(refl, 0, nb - 1), axis=0)
+        need_tail = (ns % n) != 0
+        ranges = jnp.where(
+            ((jnp.arange(mb, dtype=jnp.int32) == last) & need_tail)[:, None],
+            tail[None, :],
+            ranges,
+        )
+        bank = build_bank_jax(
+            rawf * inv, tile_size, range_size, domain_step, db, n_domains
+        )
+        d_valid = jnp.arange(db, dtype=jnp.int32) < n_domains
+        idx, s, o, sym, err = run_search(ranges, bank, d_valid)
+        return pack_out(
+            ranges, idx, s, o, sym, err, n_ranges, energy_thresh * inv * inv
+        )
 
     return core
 
@@ -265,16 +342,109 @@ def compress_audio_arrays(
     original_len = len(signal)
 
     if _weighted_override is not None:
-        # streaming shard mode (models.stream): the caller already ran the
-        # global VAD + padding; `signal` is the shard's domain-search window
-        # and the returned bank is None (serialized separately).
-        weighted = np.ascontiguousarray(_weighted_override, dtype=np.float32)
-        assert len(weighted) % range_size == 0
-    else:
-        # --- VAD prepass: mask multiplies, silence is zeroed (fractal.py:1074-1079)
+        return _compress_shard(
+            signal, cfg, _weighted_override, _defer_d2h, original_len
+        )
+
+    # ---- default single-shot path: device-side VAD, idx-only D2H --------
+    n_ranges = -(-original_len // range_size) if original_len else 0
+    n_domains = n_domains_for(original_len, cfg.tile_size, domain_step)
+    if n_ranges == 0 or n_domains == 0:
+        return _empty_result(
+            range_size, cfg.tile_size, domain_step, cfg.energy_thresh,
+            original_len, arrays=True,
+        )
+    if n_domains >= 1 << 24:
+        raise ValueError(
+            f"{n_domains} domains exceeds the single-shot encoder's 2^24 "
+            "index range; use models.stream.compress_audio_streaming "
+            "(process_file_compress selects it automatically)"
+        )
+
+    nb = bucket(original_len, 4096)
+    # bucket the RANGE COUNT, not the sample count: lb must be an exact
+    # multiple of range_size for the (mb, N) reshape (range_size can have
+    # odd factors, e.g. tile_size=1536 -> range_size=6)
+    lb = bucket(n_ranges, 256) * range_size
+    db = bucket(n_domains, 256)
+
+    # 16-bit PCM content (every real 8/16-bit WAV) crosses host->device as
+    # int16 — half the bytes of float32 on the link that costs ~50 MB/s
+    # through tunneled transports; the device casts back to f32 exactly.
+    peak = float(np.max(np.abs(signal)))
+    in_i16 = False
+    if np.isfinite(peak) and peak <= 32767.0:
+        as_i16 = signal.astype(np.int16)
+        in_i16 = bool(np.array_equal(signal, as_i16))
+    raw_p = np.zeros(nb, dtype=np.int16 if in_i16 else np.float32)
+    raw_p[:original_len] = as_i16 if in_i16 else signal
+
+    search_mode, stride = _resolve_search(cfg, range_size, db)
+    use_pallas = cfg.use_pallas
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    core = _encode_core(
+        nb, lb, db, cfg.tile_size, range_size, domain_step, search_mode,
+        cfg.top_k, cfg.emb_dim, cfg.fast_mode, cfg.s_clip, cfg.domain_block,
+        cfg.range_block, cfg.objective, stride, cfg.coarse_topc,
+        bool(use_pallas), True, "idx", in_i16,
+    )
+
+    # single-core hosts (tunnel rigs): the tunnel client shares the CPU with
+    # numpy, so NOTHING runs between dispatch and fetch — the fetch thread
+    # blocks in C with the GIL released and the transport pumps at full
+    # speed; all host work happens after.
+    with DEVICE_LOCK, phase("device"):
+        codes = core(
+            jnp.asarray(raw_p),
+            jnp.int32(original_len),
+            jnp.int32(n_ranges),
+            jnp.int32(n_domains),
+            jnp.float32(cfg.energy_thresh),
+        )
+        with phase("d2h"):
+            c = np.asarray(jax.device_get(codes))[:n_ranges]
+
+    # serialized bank rebuilt host-side (cumsum box means) — cheaper than
+    # pulling it over the device->host link
+    with phase("host_bank"):
+        bank = build_domains_host(signal, cfg.tile_size, range_size, domain_step)
+    assert len(bank) == n_domains
+
+    pad_len = (range_size - (original_len % range_size)) % range_size
+    if cfg.fast_mode and bool(np.all(c < 0)):
+        # every range pruned: distinguish the reference's all-silent empty
+        # container (fractal.py:1083-1093) from an all-sentinel file — only
+        # here is the host VAD pass actually needed
         with phase("vad"):
             voiced = voiced_detection(
-                signal, frame_size=range_size * 2, energy_threshold=cfg.energy_thresh
+                signal, frame_size=range_size * 2,
+                energy_threshold=cfg.energy_thresh,
+            )
+        if float(np.sum((signal * voiced).astype(np.float64) ** 2)) < 1e-8:
+            return _empty_result(
+                range_size, cfg.tile_size, domain_step, cfg.energy_thresh,
+                original_len, arrays=True,
+            )
+        ranges_host = None  # all sentinels: no refit targets needed
+    elif cfg.fast_mode:
+        # refit against the RAW ranges: the VAD frame (2*range_size) aligns
+        # with range boundaries, so every range is either fully voiced
+        # (weighted == raw on it) or fully zeroed (device emitted a sentinel
+        # — its refit row is ignored). The host VAD pass is skipped
+        # entirely on this, the common, path.
+        if pad_len:
+            padded = np.pad(signal, (0, pad_len), mode="reflect")
+        else:
+            padded = signal
+        ranges_host = padded.reshape(n_ranges, range_size)
+    else:
+        # fast_mode=False keeps live matches for sub-threshold ranges, whose
+        # content IS the weighted signal — the VAD pass is load-bearing
+        with phase("vad"):
+            voiced = voiced_detection(
+                signal, frame_size=range_size * 2,
+                energy_threshold=cfg.energy_thresh,
             )
             weighted = signal * voiced
         if float(np.sum(weighted.astype(np.float64) ** 2)) < 1e-8:
@@ -282,12 +452,52 @@ def compress_audio_arrays(
                 range_size, cfg.tile_size, domain_step, cfg.energy_thresh,
                 original_len, arrays=True,
             )
-        # reflect-pad to a whole number of ranges (fractal.py:1095-1097)
-        pad_len = (range_size - (original_len % range_size)) % range_size
         if pad_len:
             weighted = np.pad(weighted, (0, pad_len), mode="reflect")
-    L = len(weighted)
-    n_ranges = L // range_size
+        ranges_host = weighted.reshape(n_ranges, range_size)
+
+    with phase("refit"):
+        rec = collect_idx_matches(c, n_ranges, ranges_host, bank, cfg.s_clip)
+
+    return (
+        rec,
+        bank,
+        n_ranges,
+        range_size,
+        cfg.tile_size,
+        domain_step,
+        cfg.energy_thresh,
+        original_len,
+    )
+
+
+def _resolve_search(cfg: EncoderConfig, range_size: int, db: int):
+    """Resolve search mode + coarse stride for a bucketed bank size: coarse
+    pays off once the bank dwarfs the refine windows; the stride must stay
+    well under the box-mean width."""
+    block_len = cfg.tile_size // range_size
+    stride = min(cfg.coarse_stride, max(1, block_len // 4))
+    stride = 1 << (stride.bit_length() - 1)  # largest pow2 <= stride
+    search_mode = cfg.search
+    if search_mode == "auto":
+        search_mode = (
+            "coarse"
+            if db >= max(cfg.auto_coarse_threshold, 256 * stride) and stride > 1
+            else "exact"
+        )
+    return search_mode, stride
+
+
+def _compress_shard(signal, cfg: EncoderConfig, weighted, defer_d2h, original_len):
+    """Streaming shard mode (models.stream): the caller already ran the
+    global VAD + padding; `signal` is the shard's domain-search window and
+    the returned bank is None (serialized separately). Host-side scale
+    normalization + the full packed output protocol."""
+    range_size = cfg.range_size
+    domain_step = cfg.domain_step
+    weighted = np.ascontiguousarray(weighted, dtype=np.float32)
+    assert len(weighted) % range_size == 0
+    n_ranges = len(weighted) // range_size
 
     n_domains = n_domains_for(original_len, cfg.tile_size, domain_step)
     if n_ranges == 0 or n_domains == 0:
@@ -302,7 +512,6 @@ def compress_audio_arrays(
             "(process_file_compress selects it automatically)"
         )
 
-    # --- bucket + pad, then one fused device program
     # Scale normalization: float32 search arithmetic on raw PCM amplitudes
     # (~3e4) loses ~7 significant digits on squared terms; working near unit
     # scale keeps the selection scores and refit well-conditioned. s is
@@ -310,31 +519,16 @@ def compress_audio_arrays(
     scale = float(np.max(np.abs(signal))) or 1.0
     inv = np.float32(1.0 / scale)
     nb = bucket(original_len, 4096)
-    # bucket the RANGE COUNT, not the sample count: lb must be an exact
-    # multiple of range_size for the (mb, N) reshape (range_size can have
-    # odd factors, e.g. tile_size=1536 -> range_size=6)
     lb = bucket(n_ranges, 256) * range_size
     db = bucket(n_domains, 256)
     raw_p = np.zeros(nb, dtype=np.float32)
     raw_p[:original_len] = signal
     raw_p *= inv
     wtd_p = np.zeros(lb, dtype=np.float32)
-    wtd_p[:L] = weighted
+    wtd_p[: len(weighted)] = weighted
     wtd_p *= inv
 
-    # resolve the search mode: coarse pays off once the bank dwarfs the
-    # refine windows; the stride must stay well under the box-mean width
-    block_len = cfg.tile_size // range_size
-    search_mode = cfg.search
-    stride = min(cfg.coarse_stride, max(1, block_len // 4))
-    stride = 1 << (stride.bit_length() - 1)  # largest pow2 <= stride
-    if search_mode == "auto":
-        search_mode = (
-            "coarse"
-            if db >= max(cfg.auto_coarse_threshold, 256 * stride) and stride > 1
-            else "exact"
-        )
-
+    search_mode, stride = _resolve_search(cfg, range_size, db)
     use_pallas = cfg.use_pallas
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
@@ -342,50 +536,31 @@ def compress_audio_arrays(
         nb, lb, db, cfg.tile_size, range_size, domain_step, search_mode,
         cfg.top_k, cfg.emb_dim, cfg.fast_mode, cfg.s_clip, cfg.domain_block,
         cfg.range_block, cfg.objective, stride, cfg.coarse_topc,
-        bool(use_pallas),
+        bool(use_pallas), False, "full", False,
     )
-    if _defer_d2h:
+    args = (
+        jnp.asarray(wtd_p),
+        jnp.asarray(raw_p),
+        jnp.int32(original_len),
+        jnp.int32(n_ranges),
+        jnp.int32(n_domains),
+        jnp.float32(cfg.energy_thresh / (scale * scale)),
+    )
+    if defer_d2h:
         # streaming pipeline mode (models.stream): the CALLER holds
         # DEVICE_LOCK, dispatches the next shard before collecting this one
         # (single-threaded async overlap) and materializes the record later
         # with collect_packed_matches.
-        packed = core(
-            jnp.asarray(wtd_p),
-            jnp.asarray(raw_p),
-            jnp.int32(original_len),
-            jnp.int32(n_ranges),
-            jnp.int32(n_domains),
-            jnp.float32(cfg.energy_thresh / (scale * scale)),
-        )
-        return packed, scale, n_ranges
+        return core(*args), scale, n_ranges
 
     with DEVICE_LOCK, phase("device"):
-        packed = core(
-            jnp.asarray(wtd_p),
-            jnp.asarray(raw_p),
-            jnp.int32(original_len),
-            jnp.int32(n_ranges),
-            jnp.int32(n_domains),
-            jnp.float32(cfg.energy_thresh / (scale * scale)),
-        )
-
-        # while the device runs: the serialized bank is rebuilt host-side
-        # (cumsum box means) — cheaper than pulling it over the
-        # device->host link and equal in float32 to well within decode
-        # tolerance. Streaming shards serialize the bank separately.
-        if _weighted_override is None:
-            with phase("host_bank"):
-                bank = build_domains_host(signal, cfg.tile_size, range_size, domain_step)
-            assert len(bank) == n_domains
-        else:
-            bank = None
-
+        packed = core(*args)
         with phase("d2h"):
             rec = collect_packed_matches(packed, scale, n_ranges)
 
     return (
         rec,
-        bank,
+        None,
         n_ranges,
         range_size,
         cfg.tile_size,
@@ -406,6 +581,38 @@ def collect_packed_matches(packed, scale: float, n_ranges: int) -> np.ndarray:
     rec["o"] = o[:n_ranges] * scale
     rec["sym"] = np.signbit(err_signed[:n_ranges]).astype(np.uint8)
     rec["err"] = np.abs(err_signed[:n_ranges]) * scale
+    return rec
+
+
+def collect_idx_matches(codes, n_ranges: int, ranges: np.ndarray,
+                        bank: np.ndarray, s_clip: float) -> np.ndarray:
+    """Device->host transfer + record materialization for the idx-only
+    encode output (pack="idx"): one int32 per range — sentinel -1, else the
+    selected domain index (bits 0..23) with the mirror flag in bit 24.
+    s/o/err are recomputed here with the exact f32 refit against the
+    SERIALIZED bank (ops.affine.refit_host), so the stored parameters are
+    self-consistent with the stored bank and only ~4 bytes/range cross the
+    slow device->host path (vs 16 for the full packed protocol)."""
+    from ..ops.affine import refit_host
+
+    c = np.asarray(jax.device_get(codes))[:n_ranges]
+    dead = c < 0
+    rec = np.empty(n_ranges, dtype=MATCH_DTYPE)
+    if ranges is None or bool(np.all(dead)):
+        rec["idx"] = -1
+        rec["s"] = 1.0
+        rec["o"] = 0.0
+        rec["sym"] = 0
+        rec["err"] = 0.0
+        return rec
+    idx = np.where(dead, 0, c & 0xFFFFFF).astype(np.int32)
+    sym = np.where(dead, False, (c >> 24) != 0)
+    s, o, err = refit_host(ranges, bank, idx, sym, s_clip)
+    rec["idx"] = np.where(dead, -1, idx)
+    rec["s"] = np.where(dead, np.float32(1.0), s)
+    rec["o"] = np.where(dead, np.float32(0.0), o)
+    rec["sym"] = sym.astype(np.uint8)
+    rec["err"] = np.where(dead, np.float32(0.0), err)
     return rec
 
 

@@ -159,3 +159,44 @@ def affine_solve_single(range_block: jnp.ndarray, tile: jnp.ndarray):
         range_block[None, :], jnp.zeros((1, 1), jnp.int32), tile[None, :]
     )
     return s[0], o[0], sym[0], err[0]
+
+
+def refit_host(ranges, bank, idx, sym, s_clip: float = 16.0):
+    """Exact float32 affine refit of already-selected (domain, orientation)
+    pairs, on the host, against the host-built (serialized) bank — the host
+    half of the idx-only device->host protocol (models.encode pack="idx").
+
+    Mirrors ops.search.exact_refit: s from centered sums with the +1e-12
+    denominator guard, o = mean(r) - s*mean(d), err from the UNclipped s,
+    s clipped to +/- s_clip afterwards (reference: fractal.py:802-825).
+
+    ranges (M, N) float32; idx (M,) int32 (valid rows only — callers mask
+    sentinels); sym (M,) bool. Returns (s, o, err) float32 arrays.
+
+    Mirroring is realized on the RANGE side (sum(r_c * reverse(t_c)) ==
+    sum(reverse(r_c) * t_c); tile mean/energy are mirror-invariant), and the
+    per-row reductions run as one BLAS matvec + einsum products — ~2.5x
+    faster than axis-1 ufunc reductions on a single-core host."""
+    import numpy as np
+
+    r = np.ascontiguousarray(ranges, dtype=np.float32)
+    n = r.shape[1]
+    q = np.full((n, 1), np.float32(1.0 / n))
+    t = np.asarray(bank, dtype=np.float32)[idx]
+    r_mean = (r @ q)[:, 0]
+    t_mean = (t @ q)[:, 0]
+    r_c = r - r_mean[:, None]
+    t_c = t - t_mean[:, None]
+    denom = np.einsum("ij,ij->i", t_c, t_c)
+    num = np.where(
+        sym,
+        np.einsum("ij,ij->i", r_c[:, ::-1], t_c),
+        np.einsum("ij,ij->i", r_c, t_c),
+    )
+    s = num / (denom + np.float32(_EPS))
+    o = r_mean - s * t_mean
+    r_c_eff = np.where(sym[:, None], r_c[:, ::-1], r_c)
+    resid = r_c_eff - s[:, None] * t_c
+    err = np.sqrt(np.einsum("ij,ij->i", resid, resid))
+    s = np.clip(s, -abs(s_clip), abs(s_clip))
+    return s, o, err
