@@ -62,6 +62,12 @@ def main(argv=None):
     pc.add_argument("--prune-bank", action="store_true",
                     help="store only referenced domain rows (much smaller "
                          ".fwav, decodes identically with any decoder)")
+    pc.add_argument("--devices", type=int, default=1,
+                    help="encode over an N-device mesh (ranges data-parallel"
+                         "; output bit-identical to one device)")
+    pc.add_argument("--tp", type=int, default=1,
+                    help="bank tensor-parallel shards within --devices "
+                         "(dp = devices // tp)")
 
     pi = sub.add_parser("info", help="print .fwav header + integrity info")
     pi.add_argument("input", help=".fwav file")
@@ -91,6 +97,7 @@ def main(argv=None):
             process_file_compress(
                 args.input, args.output, args.tile, args.energy_thresh, args.gpu,
                 search=args.search, prune_bank=args.prune_bank,
+                devices=args.devices, tp=args.tp,
             )
         else:
             if args.output is not None:
@@ -113,7 +120,11 @@ def main(argv=None):
             )
             if todo:
                 os.makedirs(out_dir, exist_ok=True)
-                results = _run_jobs(process_file_compress, todo, args.workers)
+                from functools import partial
+
+                fn = partial(process_file_compress, devices=args.devices,
+                             tp=args.tp)
+                results = _run_jobs(fn, todo, args.workers)
                 metrics_file = os.path.join(out_dir, "compression_metrics.json")
                 with open(metrics_file, "w") as mf:
                     json.dump(results, mf, indent=2)

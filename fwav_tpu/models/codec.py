@@ -52,11 +52,15 @@ def _resolve_out(path, outdir, default_suffix, expected_ext):
 
 def process_file_compress(path, outdir=None, tile=1024, energy_thresh=1e-4,
                           use_gpu=False, prune_bank=False, search="auto",
-                          **kwargs):
+                          devices=1, tp=1, **kwargs):
     """prune_bank=True drops unreferenced domain rows from the container
     (models.encode.prune_bank): the file stays format-valid for ANY decoder
     and decodes bit-identically, at a fraction of the size (the full bank is
-    the reference's ~10x inflation, SURVEY.md §2.4.5)."""
+    the reference's ~10x inflation, SURVEY.md §2.4.5).
+
+    devices>1 runs the encode over a (dp=devices//tp, tp) device mesh
+    (parallel.shard.compress_audio_sharded — ranges data-parallel, bank
+    tensor-sharded) producing bit-identical output to a single device."""
     try:
         start = time.time()
         signal, framerate, sampwidth = read_wav_mono(path)
@@ -99,14 +103,27 @@ def process_file_compress(path, outdir=None, tile=1024, energy_thresh=1e-4,
                     domain_step, energy_threshold, original_len,
                 )
         else:
-            (
-                rec, domains, n_ranges, range_size, tile_size, domain_step,
-                energy_threshold, original_len,
-            ) = compress_audio_arrays(
-                signal, framerate, sampwidth, tile_size=tile,
-                energy_thresh=energy_thresh, use_gpu=use_gpu, search=search,
-                **kwargs,
-            )
+            if devices and devices > 1:
+                from ..parallel.mesh import make_mesh
+                from ..parallel.shard import compress_audio_sharded
+
+                mesh = make_mesh(devices, dp=devices // tp, tp=tp)
+                (
+                    rec, domains, n_ranges, range_size, tile_size,
+                    domain_step, energy_threshold, original_len,
+                ) = compress_audio_sharded(
+                    signal, framerate, sampwidth, mesh=mesh, tile_size=tile,
+                    energy_thresh=energy_thresh, search=search, **kwargs,
+                )
+            else:
+                (
+                    rec, domains, n_ranges, range_size, tile_size,
+                    domain_step, energy_threshold, original_len,
+                ) = compress_audio_arrays(
+                    signal, framerate, sampwidth, tile_size=tile,
+                    energy_thresh=energy_thresh, use_gpu=use_gpu,
+                    search=search, **kwargs,
+                )
             logger.info(
                 "Processed %d ranges, domain matrix shape %s", n_ranges, domains.shape
             )

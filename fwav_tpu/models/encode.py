@@ -45,7 +45,7 @@ from ..ops.search import (
     topk_search_block,
 )
 from ..ops.vad import voiced_detection
-from ..utils.buckets import bucket
+from ..utils.buckets import bucket, pad_to
 from ..utils.logging import device_banner
 from ..utils.trace import phase
 
@@ -86,6 +86,11 @@ def build_encode_core(
     device_vad: bool = False,
     pack: str = "full",
     in_i16: bool = False,
+    energy_thresh: float = None,
+    dp: int = 1,
+    tp: int = 1,
+    dp_axis: str = "dp",
+    tp_axis: str = "tp",
 ):
     """Build the (unjitted) fused encode program for one shape bucket.
 
@@ -98,33 +103,45 @@ def build_encode_core(
       host->device (int16 when the input is 16-bit-exact — `in_i16`);
       scale normalization, the VAD mask (fractal.py:1074-1079 semantics),
       the reflect range padding (fractal.py:1095-1097) and the range reshape
-      all happen on device; fn(raw (nb,), n_samples, n_ranges, n_domains,
-      energy_thresh_RAW_scale).
+      all happen on device; fn(raw (nb,), meta int32[3] = [n_samples,
+      n_ranges, n_domains]) — counts ride ONE tiny array (tunnel transports
+      pay ~1 ms per argument) and the raw-scale `energy_thresh` is compiled
+      in (static: it is a config constant, not per-file data).
 
     Two output protocols (static `pack`):
 
     - pack="full": (4, mb) float32 [idx, s, o, err-with-sym-sign-bit] — the
       complete match table (collect_packed_matches).
-    - pack="idx": (mb,) int32 — -1 sentinel, else domain index (bits 0..23)
-      | mirror flag (bit 24). s/o/err are recomputed HOST-side with the
-      exact f32 refit against the serialized bank (ops.affine.refit_host +
-      collect_idx_matches): only the selection crosses the slow
-      device->host path, and the stored parameters are exactly consistent
-      with the stored bank.
+    - pack="idx": (mb, 3) uint8 — the selected domain index in 3
+      little-endian bytes (0xFFFFFF = sentinel; valid indices stay below
+      it by the 2^24 encoder guard). s/o/err AND the mirror orientation
+      are recomputed HOST-side with the exact f32 refit against the
+      serialized bank (ops.affine.refit_host + collect_idx_matches): only
+      the selection crosses the slow device->host path, and the stored
+      parameters are exactly consistent with the stored bank.
 
-    The domain bank is built on-device for searching but NOT returned —
-    the host rebuilds it independently (ops.domains.build_domains_host) for
-    serialization, because the device->host path is orders of magnitude
-    slower than host compute for bank-sized payloads."""
+    Multi-chip (SURVEY.md §2.5; the reference's np.array_split over CPU
+    workers, fractal.py:1180-1207, and the codec analog of TP): with dp>1
+    and/or tp>1 the returned core MUST run inside jax.shard_map over a mesh
+    with axes {dp_axis: dp, tp_axis: tp} (parallel.shard wires this up).
+    Each device slices its own contiguous range slab (dp — zero
+    communication) and/or builds + scans only its bank row-shard (tp — one
+    all_gather of per-shard winners, merged with the single-device
+    tie-break order). Because only the SELECTION leaves the device and the
+    stored s/o/err come from the host refit, sharded output is bit-equal to
+    single-device output by construction."""
     n = range_size
     mb = lb // n
     dblk = _pow2_divisor(db, domain_block)
-    rblk = _pow2_divisor(mb, range_block)
     assert pack in ("full", "idx")
+    assert mb % dp == 0 and db % tp == 0
     if device_vad:
         assert pack == "idx", "device_vad implies the idx output protocol"
+    if dp > 1 or tp > 1:
+        assert device_vad, "sharded cores use the device_vad/idx protocol"
 
     def run_search(ranges, bank, d_valid):
+        rblk = _pow2_divisor(ranges.shape[0], range_block)
         if search == "exact":
             d_mean, d_denom = affine_stats(bank)
             if use_pallas:
@@ -141,16 +158,22 @@ def build_encode_core(
                         r_c, bankT, d_weight, d_valid,
                         range_block=min(512, rblk) if rblk % 512 == 0 or rblk < 512 else 256,
                         domain_block=dblk,
+                        # idx protocol: orientation is host-derived, skip
+                        # the kernel's per-block winner bookkeeping
+                        with_sym=(pack != "idx"),
                     )
-                    return exact_refit(r_mean, r_c, bank, score, bidx, bsym, s_clip)
+                    return (*exact_refit(r_mean, r_c, bank, score, bidx,
+                                         bsym, s_clip), score)
             else:
                 def do_block(rb):
                     return exact_search_block(
                         rb, bank, d_mean, d_denom, d_valid, dblk, s_clip,
-                        objective=objective,
+                        objective=objective, return_score=True,
                     )
         elif search == "coarse":
-            d_mean, d_denom = affine_stats(bank)
+            # selection stats only for the SUBSAMPLED rows the coarse scan
+            # visits — 1/stride of the bank (weights are per-row, so this is
+            # bit-equal to subsampling full-bank weights)
             cdblk = _pow2_divisor(db // coarse_stride, domain_block)
             if use_pallas and coarse_topc == 1:
                 # fused Pallas scan for the coarse lobes: keeps score tiles
@@ -160,28 +183,30 @@ def build_encode_core(
                 from ..ops.search import domain_weights, refine_from_lobes
 
                 dc = db // coarse_stride
-                bank_subT = bank.reshape(dc, coarse_stride, n)[:, 0, :].T
-                w_sub = domain_weights(d_mean, d_denom, n, objective).reshape(
-                    dc, coarse_stride
-                )[:, 0]
+                bank_sub = bank.reshape(dc, coarse_stride, n)[:, 0, :]
+                sub_mean, sub_denom = affine_stats(bank_sub)
+                w_sub = domain_weights(sub_mean, sub_denom, n, objective)
+                bank_subT = bank_sub.T
                 v_sub = d_valid.reshape(dc, coarse_stride)[:, 0]
                 prb = 512 if rblk % 512 == 0 else _pow2_divisor(rblk, 512)
 
                 def do_block(rb):
                     r_c = rb - jnp.mean(rb, axis=1, keepdims=True)
                     score, cidx, _ = exact_search_scan_pallas(
-                        r_c, bank_subT, w_sub, v_sub, prb, cdblk
+                        r_c, bank_subT, w_sub, v_sub, prb, cdblk,
+                        with_sym=False,
                     )
                     lobes = jnp.where(jnp.isfinite(score), cidx, -1)[:, None]
                     return refine_from_lobes(
                         rb, bank, d_valid, lobes, coarse_stride, s_clip,
-                        objective,
+                        objective, return_score=True,
                     )
             else:
                 def do_block(rb):
                     return coarse_refine_search(
-                        rb, bank, d_mean, d_denom, d_valid, coarse_stride,
+                        rb, bank, None, None, d_valid, coarse_stride,
                         coarse_topc, cdblk, s_clip, objective=objective,
+                        return_score=True,
                     )
         else:
             bank_emb = multi_head_embedding_batch(
@@ -189,24 +214,45 @@ def build_encode_core(
             )
 
             def do_block(rb):
-                return topk_search_block(
+                out = topk_search_block(
                     rb, bank, bank_emb, d_valid, top_k, dblk, s_clip, emb_dim,
                     objective=objective,
                 )
+                # validity stand-in: finite err <=> a real candidate won
+                return (*out, jnp.where(jnp.isfinite(out[4]), 0.0, -jnp.inf))
 
-        outs = jax.lax.map(do_block, ranges.reshape(mb // rblk, rblk, n))
-        return tuple(x.reshape(mb) for x in outs)
+        m = ranges.shape[0]
+        outs = jax.lax.map(do_block, ranges.reshape(m // rblk, rblk, n))
+        return tuple(x.reshape(m) for x in outs)
 
-    def pack_out(ranges, idx, s, o, sym, err, n_ranges, energy_thresh_n):
+    def pack_out(ranges, idx, s, o, sym, err, n_ranges, energy_thresh_n,
+                 row0=0, score=None):
         # sentinels: energy-pruned (fast_mode, 0.75*thresh on mean power —
         # fractal.py:602) and bucket-pad rows
+        m = ranges.shape[0]
         r_pow = jnp.mean(ranges * ranges, axis=1)
-        r_valid = jnp.arange(mb, dtype=jnp.int32) < n_ranges
-        silent = (r_pow < energy_thresh_n * 0.75) if fast_mode else jnp.zeros(mb, bool)
-        dead = silent | ~r_valid | ~jnp.isfinite(err)
+        r_valid = row0 + jnp.arange(m, dtype=jnp.int32) < n_ranges
+        silent = (r_pow < energy_thresh_n * 0.75) if fast_mode else jnp.zeros(m, bool)
+        if pack == "idx" and score is not None:
+            # selection validity from the search score: lets XLA dead-code-
+            # eliminate the device-side refit chain (s/o/err are host-refit)
+            dead = silent | ~r_valid | ~jnp.isfinite(score)
+        else:
+            dead = silent | ~r_valid | ~jnp.isfinite(err)
         if pack == "idx":
-            code = idx + (sym.astype(jnp.int32) << 24)
-            return jnp.where(dead, -1, code).astype(jnp.int32)
+            # 3 bytes per range: the domain index (< 2^24-1 by the encoder
+            # guard; 0xFFFFFF = sentinel). Orientation is re-derived on the
+            # host (ops.affine.refit_host), so idx is ALL that crosses the
+            # slow device->host link.
+            code = jnp.where(dead, 0xFFFFFF, idx).astype(jnp.int32)
+            return jnp.stack(
+                [
+                    (code & 0xFF).astype(jnp.uint8),
+                    ((code >> 8) & 0xFF).astype(jnp.uint8),
+                    ((code >> 16) & 0xFF).astype(jnp.uint8),
+                ],
+                axis=1,
+            )
         idx = jnp.where(dead, -1, idx)
         s = jnp.where(dead, 1.0, s)
         o = jnp.where(dead, 0.0, o)
@@ -225,14 +271,139 @@ def build_encode_core(
             )
             d_valid = jnp.arange(db, dtype=jnp.int32) < n_domains
             ranges = weighted.reshape(mb, n)
-            idx, s, o, sym, err = run_search(ranges, bank, d_valid)
-            return pack_out(ranges, idx, s, o, sym, err, n_ranges, energy_thresh)
+            idx, s, o, sym, err, score = run_search(ranges, bank, d_valid)
+            return pack_out(ranges, idx, s, o, sym, err, n_ranges,
+                            energy_thresh, score=score)
 
         return core
 
     from ..ops.vad import voiced_mask_jax
 
-    def core(raw, n_samples, n_ranges, n_domains, energy_thresh):
+    assert energy_thresh is not None
+    thresh = float(energy_thresh)
+    if tp > 1:
+        assert search in ("exact", "coarse"), search
+        if search == "coarse":
+            assert db // tp >= 4 * coarse_stride, (
+                "tp bank shards must cover the refine halo; lower tp or "
+                "use search='exact'"
+            )
+
+    def run_search_tp(ranges, raw_norm, n_domains):
+        """Bank tensor-sharded search (runs inside shard_map over
+        `tp_axis`): each device builds + scans only its contiguous bank
+        row-shard (coarse shards carry a 2*stride halo so every owned
+        lobe's refine window is resident); per-shard winners merge with one
+        all_gather in the single-device tie-break order. Returns
+        (idx GLOBAL, sym, ok), replicated over tp."""
+        from ..ops.search import (
+            domain_weights,
+            exact_search_scan,
+            merge_shard_bests,
+        )
+
+        j = jax.lax.axis_index(tp_axis)
+        dloc = db // tp
+        rblk = _pow2_divisor(ranges.shape[0], range_block)
+        prb = _pow2_divisor(rblk, 512)
+
+        if search == "exact":
+            off = j * dloc
+            bank_loc = build_bank_jax(
+                raw_norm, tile_size, range_size, domain_step, db, n_domains,
+                row_offset=off, d_rows=dloc,
+            )
+            v_loc = off + jnp.arange(dloc, dtype=jnp.int32) < n_domains
+            d_mean, d_denom = affine_stats(bank_loc)
+            ldblk = _pow2_divisor(dloc, domain_block)
+
+            def do_chunk(rb):
+                r_c = rb - jnp.mean(rb, axis=1, keepdims=True)
+                if use_pallas:
+                    from ..ops.pallas_search import exact_search_scan_pallas
+
+                    w = domain_weights(d_mean, d_denom, n, objective)
+                    # orientation is host-derived under the idx protocol,
+                    # and the cross-shard sym tie-break can never fire
+                    # (shard winners live in disjoint index spaces)
+                    score, lidx, sym = exact_search_scan_pallas(
+                        r_c, bank_loc.T, w, v_loc, prb, ldblk, with_sym=False
+                    )
+                    idx = off + lidx
+                else:
+                    score, idx, sym = exact_search_scan(
+                        r_c, bank_loc, d_mean, d_denom, v_loc, ldblk,
+                        objective, idx_offset=off,
+                    )
+                score, idx, sym = merge_shard_bests(score, idx, sym, tp_axis)
+                return idx, sym, jnp.isfinite(score)
+
+        else:
+            # coarse: scan own subsampled rows, merge lobes, refine on the
+            # OWNING shard only (its halo makes the whole window resident,
+            # so its staged descent is identical to single-device; a
+            # neighbor's partially-masked view could greedily descend into
+            # a different basin), merge the refinements
+            from ..ops.search import refine_from_lobes
+
+            halo = 2 * coarse_stride
+            dl = dloc + 2 * halo
+            off = jnp.clip(j * dloc - halo, 0, db - dl)
+            bank_loc = build_bank_jax(
+                raw_norm, tile_size, range_size, domain_step, db, n_domains,
+                row_offset=off, d_rows=dl,
+            )
+            own0 = j * dloc - off
+            dcl = dloc // coarse_stride
+            bank_own = jax.lax.dynamic_slice(
+                bank_loc, (own0, jnp.int32(0)), (dloc, n)
+            )
+            bank_sub = bank_own.reshape(dcl, coarse_stride, n)[:, 0, :]
+            v_sub = (
+                j * dcl + jnp.arange(dcl, dtype=jnp.int32)
+            ) * coarse_stride < n_domains
+            sub_mean, sub_denom = affine_stats(bank_sub)
+            w_sub = domain_weights(sub_mean, sub_denom, n, objective)
+            cdblk = _pow2_divisor(dcl, domain_block)
+            n_valid = jnp.minimum(jnp.asarray(n_domains, jnp.int32), db)
+
+            def do_chunk(rb):
+                r_c = rb - jnp.mean(rb, axis=1, keepdims=True)
+                if use_pallas:
+                    from ..ops.pallas_search import exact_search_scan_pallas
+
+                    score, lob, _ = exact_search_scan_pallas(
+                        r_c, bank_sub.T, w_sub, v_sub, prb, cdblk,
+                        with_sym=False,
+                    )
+                else:
+                    score, lob, _ = exact_search_scan(
+                        r_c, bank_sub, None, None, v_sub, cdblk, objective,
+                        d_weight=w_sub, precision=jax.lax.Precision.DEFAULT,
+                    )
+                score, glob, _ = merge_shard_bests(
+                    score, j * dcl + lob, jnp.zeros_like(lob, bool), tp_axis
+                )
+                own = (glob >= j * dcl) & (glob < (j + 1) * dcl)
+                lobes = jnp.where(jnp.isfinite(score) & own, glob, -1)[:, None]
+                idx, _s, _o, sym_u8, _err, r_score = refine_from_lobes(
+                    rb, bank_loc, None, lobes, coarse_stride, s_clip,
+                    objective, bank_offset=off, n_valid=n_valid,
+                    return_score=True,
+                )
+                r_score, idx, sym = merge_shard_bests(
+                    r_score, idx, sym_u8.astype(bool), tp_axis
+                )
+                return idx, sym, jnp.isfinite(r_score)
+
+        # same lax.map range chunking as the unsharded run_search, so the
+        # compiled score/refine programs see identically-shaped tensors
+        m = ranges.shape[0]
+        outs = jax.lax.map(do_chunk, ranges.reshape(m // rblk, rblk, n))
+        return tuple(x.reshape(m) for x in outs)
+
+    def core(raw, meta):
+        n_samples, n_ranges, n_domains = meta[0], meta[1], meta[2]
         rawf = raw.astype(jnp.float32) if in_i16 else raw
         # scale normalization on device (see compress_audio_arrays notes):
         # float32 search arithmetic near unit range keeps squared terms
@@ -241,7 +412,7 @@ def build_encode_core(
         scale = jnp.max(jnp.abs(rawf))
         inv = jnp.where(scale > 0, 1.0 / scale, 1.0)
         ns = jnp.asarray(n_samples, jnp.int32)
-        mask = voiced_mask_jax(rawf, ns, 2 * n, energy_thresh)
+        mask = voiced_mask_jax(rawf, ns, 2 * n, thresh)
         weighted = rawf * (mask.astype(jnp.float32) * inv)
         if lb <= nb:
             base = weighted[:lb]
@@ -260,13 +431,33 @@ def build_encode_core(
             tail[None, :],
             ranges,
         )
-        bank = build_bank_jax(
-            rawf * inv, tile_size, range_size, domain_step, db, n_domains
-        )
-        d_valid = jnp.arange(db, dtype=jnp.int32) < n_domains
-        idx, s, o, sym, err = run_search(ranges, bank, d_valid)
+        if dp > 1:
+            # contiguous range slab for this dp shard — embarrassingly
+            # parallel, zero communication (fractal.py:1180-1182 analog)
+            i = jax.lax.axis_index(dp_axis)
+            mloc = mb // dp
+            row0 = i * mloc
+            ranges = jax.lax.dynamic_slice(
+                ranges, (row0, jnp.int32(0)), (mloc, n)
+            )
+        else:
+            row0 = 0
+
+        raw_norm = rawf * inv
+        if tp > 1:
+            idx, sym, ok = run_search_tp(ranges, raw_norm, n_domains)
+            zero = jnp.zeros(ranges.shape[0], jnp.float32)
+            s, o = zero, zero
+            err = score = jnp.where(ok, 0.0, -jnp.inf)
+        else:
+            bank = build_bank_jax(
+                raw_norm, tile_size, range_size, domain_step, db, n_domains
+            )
+            d_valid = jnp.arange(db, dtype=jnp.int32) < n_domains
+            idx, s, o, sym, err, score = run_search(ranges, bank, d_valid)
         return pack_out(
-            ranges, idx, s, o, sym, err, n_ranges, energy_thresh * inv * inv
+            ranges, idx, s, o, sym, err, n_ranges, thresh * inv * inv, row0,
+            score,
         )
 
     return core
@@ -345,8 +536,42 @@ def compress_audio_arrays(
         return _compress_shard(
             signal, cfg, _weighted_override, _defer_d2h, original_len
         )
+    return _compress_fast(signal, cfg)
 
-    # ---- default single-shot path: device-side VAD, idx-only D2H --------
+
+@lru_cache(maxsize=32)
+def _sharded_encode_core(mesh, dp_axis, *key):
+    """jit(shard_map(core)) over a (dp, tp) mesh — one entry per
+    (mesh, shape-bucket). Inputs replicated; the (mb,) idx-code output is
+    stitched from per-device dp slabs."""
+    from jax.sharding import PartitionSpec as P
+
+    core = build_encode_core(*key)
+    return jax.jit(
+        jax.shard_map(
+            core, mesh=mesh, in_specs=(P(), P()), out_specs=P(dp_axis),
+            check_vma=False,
+        )
+    )
+
+
+def _compress_fast(signal: np.ndarray, cfg: EncoderConfig, mesh=None):
+    """The default single-shot encode: device-side VAD, idx-only D2H, host
+    refit. With a multi-device `mesh`, the same core runs under shard_map —
+    ranges data-parallel over the mesh's dp axis, the bank tensor-sharded
+    over tp (parallel.shard.compress_audio_sharded) — and produces
+    BIT-EQUAL records to the single-device path."""
+    range_size = cfg.range_size
+    domain_step = cfg.domain_step
+    original_len = len(signal)
+
+    if mesh is not None and mesh.devices.size > 1:
+        from ..parallel.mesh import DP_AXIS, TP_AXIS
+
+        dp, tp = mesh.shape[DP_AXIS], mesh.shape[TP_AXIS]
+    else:
+        mesh, dp, tp = None, 1, 1
+
     n_ranges = -(-original_len // range_size) if original_len else 0
     n_domains = n_domains_for(original_len, cfg.tile_size, domain_step)
     if n_ranges == 0 or n_domains == 0:
@@ -365,8 +590,8 @@ def compress_audio_arrays(
     # bucket the RANGE COUNT, not the sample count: lb must be an exact
     # multiple of range_size for the (mb, N) reshape (range_size can have
     # odd factors, e.g. tile_size=1536 -> range_size=6)
-    lb = bucket(n_ranges, 256) * range_size
-    db = bucket(n_domains, 256)
+    lb = pad_to(bucket(n_ranges, 256), dp * 256) * range_size
+    db = pad_to(bucket(n_domains, 256), tp * 256)
 
     # 16-bit PCM content (every real 8/16-bit WAV) crosses host->device as
     # int16 — half the bytes of float32 on the link that costs ~50 MB/s
@@ -383,36 +608,62 @@ def compress_audio_arrays(
     use_pallas = cfg.use_pallas
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    core = _encode_core(
+    if tp > 1:
+        if search_mode == "topk":
+            raise ValueError("search='topk' does not compose with tp bank "
+                             "sharding; use 'exact' or 'coarse'")
+        if search_mode == "coarse" and db // tp < 4 * stride:
+            raise ValueError(
+                f"tp={tp} bank shards of {db // tp} rows cannot cover the "
+                f"coarse refine halo (needs >= {4 * stride}); lower tp or "
+                "use search='exact'"
+            )
+    key = (
         nb, lb, db, cfg.tile_size, range_size, domain_step, search_mode,
         cfg.top_k, cfg.emb_dim, cfg.fast_mode, cfg.s_clip, cfg.domain_block,
         cfg.range_block, cfg.objective, stride, cfg.coarse_topc,
-        bool(use_pallas), True, "idx", in_i16,
+        bool(use_pallas), True, "idx", in_i16, float(cfg.energy_thresh),
     )
+    if mesh is not None:
+        from ..parallel.mesh import DP_AXIS, TP_AXIS
+
+        core = _sharded_encode_core(
+            mesh, DP_AXIS, *key, dp, tp, DP_AXIS, TP_AXIS
+        )
+    else:
+        core = _encode_core(*key)
+    meta = np.array([original_len, n_ranges, n_domains], np.int32)
 
     # single-core hosts (tunnel rigs): the tunnel client shares the CPU with
-    # numpy, so NOTHING runs between dispatch and fetch — the fetch thread
-    # blocks in C with the GIL released and the transport pumps at full
-    # speed; all host work happens after.
+    # numpy. The fetch runs in its own thread (blocked in C, GIL released,
+    # transport pumping at full speed) while the main thread rebuilds the
+    # serialized bank host-side (cumsum box means — cheaper than pulling the
+    # bank over the device->host link); the bank build hides completely.
     with DEVICE_LOCK, phase("device"):
-        codes = core(
-            jnp.asarray(raw_p),
-            jnp.int32(original_len),
-            jnp.int32(n_ranges),
-            jnp.int32(n_domains),
-            jnp.float32(cfg.energy_thresh),
-        )
-        with phase("d2h"):
-            c = np.asarray(jax.device_get(codes))[:n_ranges]
+        codes = core(jnp.asarray(raw_p), jnp.asarray(meta))
+        box = {}
 
-    # serialized bank rebuilt host-side (cumsum box means) — cheaper than
-    # pulling it over the device->host link
-    with phase("host_bank"):
-        bank = build_domains_host(signal, cfg.tile_size, range_size, domain_step)
+        def _fetch():
+            try:
+                box["codes"] = np.asarray(jax.device_get(codes))
+            except BaseException as e:  # surfaced after join
+                box["exc"] = e
+
+        fetcher = threading.Thread(target=_fetch, daemon=True)
+        with phase("d2h"):
+            fetcher.start()
+            with phase("host_bank"):
+                bank = build_domains_host(
+                    signal, cfg.tile_size, range_size, domain_step
+                )
+            fetcher.join()
+    if "exc" in box:
+        raise box["exc"]
+    c = box["codes"][:n_ranges]
     assert len(bank) == n_domains
 
     pad_len = (range_size - (original_len % range_size)) % range_size
-    if cfg.fast_mode and bool(np.all(c < 0)):
+    if cfg.fast_mode and bool(np.all(c == 0xFF)):  # every 3-byte code 0xFFFFFF
         # every range pruned: distinguish the reference's all-silent empty
         # container (fractal.py:1083-1093) from an all-sentinel file — only
         # here is the host VAD pass actually needed
@@ -476,7 +727,7 @@ def _resolve_search(cfg: EncoderConfig, range_size: int, db: int):
     pays off once the bank dwarfs the refine windows; the stride must stay
     well under the box-mean width."""
     block_len = cfg.tile_size // range_size
-    stride = min(cfg.coarse_stride, max(1, block_len // 4))
+    stride = min(cfg.coarse_stride, max(1, block_len // 2))
     stride = 1 << (stride.bit_length() - 1)  # largest pow2 <= stride
     search_mode = cfg.search
     if search_mode == "auto":
@@ -595,8 +846,9 @@ def collect_idx_matches(codes, n_ranges: int, ranges: np.ndarray,
     slow device->host path (vs 16 for the full packed protocol)."""
     from ..ops.affine import refit_host
 
-    c = np.asarray(jax.device_get(codes))[:n_ranges]
-    dead = c < 0
+    b = np.asarray(jax.device_get(codes))[:n_ranges].astype(np.int32)
+    c = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+    dead = c == 0xFFFFFF
     rec = np.empty(n_ranges, dtype=MATCH_DTYPE)
     if ranges is None or bool(np.all(dead)):
         rec["idx"] = -1
@@ -605,13 +857,14 @@ def collect_idx_matches(codes, n_ranges: int, ranges: np.ndarray,
         rec["sym"] = 0
         rec["err"] = 0.0
         return rec
-    idx = np.where(dead, 0, c & 0xFFFFFF).astype(np.int32)
-    sym = np.where(dead, False, (c >> 24) != 0)
-    s, o, err = refit_host(ranges, bank, idx, sym, s_clip)
+    idx = np.where(dead, 0, c).astype(np.int32)
+    # orientation is re-derived inside refit_host (shape-stable, identical
+    # across device shardings — no trust in device fp near-ties)
+    s, o, err, sym = refit_host(ranges, bank, idx, s_clip)
     rec["idx"] = np.where(dead, -1, idx)
     rec["s"] = np.where(dead, np.float32(1.0), s)
     rec["o"] = np.where(dead, np.float32(0.0), o)
-    rec["sym"] = sym.astype(np.uint8)
+    rec["sym"] = np.where(dead, False, sym).astype(np.uint8)
     rec["err"] = np.where(dead, np.float32(0.0), err)
     return rec
 

@@ -161,42 +161,80 @@ def affine_solve_single(range_block: jnp.ndarray, tile: jnp.ndarray):
     return s[0], o[0], sym[0], err[0]
 
 
-def refit_host(ranges, bank, idx, sym, s_clip: float = 16.0):
-    """Exact float32 affine refit of already-selected (domain, orientation)
-    pairs, on the host, against the host-built (serialized) bank — the host
-    half of the idx-only device->host protocol (models.encode pack="idx").
+def refit_host(ranges, bank, idx, s_clip: float = 16.0):
+    """Exact float32 affine refit of already-selected domain positions, on
+    the host, against the host-built (serialized) bank — the host half of
+    the idx-only device->host protocol (models.encode pack="idx").
+
+    The ORIENTATION is re-derived here rather than trusted from the device:
+    for a fixed position, the better orientation maximizes num^2 (the
+    per-domain selection weight is orientation-invariant, so this is the
+    exact device rule for every objective; original wins ties,
+    fractal.py:779-787 ordering). Deciding it in shape-stable host numpy
+    makes the stored records bit-reproducible across device shardings —
+    XLA recompiles per (dp, tp) slab shape and may flip fp near-ties.
 
     Mirrors ops.search.exact_refit: s from centered sums with the +1e-12
     denominator guard, o = mean(r) - s*mean(d), err from the UNclipped s,
     s clipped to +/- s_clip afterwards (reference: fractal.py:802-825).
-
-    ranges (M, N) float32; idx (M,) int32 (valid rows only — callers mask
-    sentinels); sym (M,) bool. Returns (s, o, err) float32 arrays.
-
     Mirroring is realized on the RANGE side (sum(r_c * reverse(t_c)) ==
     sum(reverse(r_c) * t_c); tile mean/energy are mirror-invariant), and the
     per-row reductions run as one BLAS matvec + einsum products — ~2.5x
-    faster than axis-1 ufunc reductions on a single-core host."""
+    faster than axis-1 ufunc reductions on a single-core host.
+
+    ranges (M, N) float32; idx (M,) int32 (valid rows only — callers mask
+    sentinels). Returns (s, o, err, sym) — float32 x3 + bool.
+
+    Large temporaries come from a per-shape workspace pool: freed MB-scale
+    numpy blocks go back to the OS, so without pooling every call pays
+    page-fault cost on ~25 MB of fresh allocations (measured ~2x the whole
+    refit's arithmetic on a single-core host)."""
     import numpy as np
 
     r = np.ascontiguousarray(ranges, dtype=np.float32)
-    n = r.shape[1]
+    m, n = r.shape
+    ws = _refit_workspace(m, n)
     q = np.full((n, 1), np.float32(1.0 / n))
-    t = np.asarray(bank, dtype=np.float32)[idx]
-    r_mean = (r @ q)[:, 0]
-    t_mean = (t @ q)[:, 0]
-    r_c = r - r_mean[:, None]
-    t_c = t - t_mean[:, None]
-    denom = np.einsum("ij,ij->i", t_c, t_c)
-    num = np.where(
-        sym,
-        np.einsum("ij,ij->i", r_c[:, ::-1], t_c),
-        np.einsum("ij,ij->i", r_c, t_c),
-    )
+    t = np.take(np.asarray(bank, dtype=np.float32), idx, axis=0, out=ws["t"])
+    r_mean = np.matmul(r, q, out=ws["m1"])[:, 0]
+    t_mean = np.matmul(t, q, out=ws["m2"])[:, 0]
+    r_c = np.subtract(r, r_mean[:, None], out=ws["rc"])
+    t_c = np.subtract(t, t_mean[:, None], out=ws["tc"])
+    num_o = np.einsum("ij,ij->i", r_c, t_c, out=ws["v1"])
+    num_m = np.einsum("ij,ij->i", r_c[:, ::-1], t_c, out=ws["v2"])
+    sym = np.abs(num_m) > np.abs(num_o)  # strict: original wins ties
+    num = np.where(sym, num_m, num_o)
+    denom = np.einsum("ij,ij->i", t_c, t_c, out=ws["v3"])
     s = num / (denom + np.float32(_EPS))
     o = r_mean - s * t_mean
     r_c_eff = np.where(sym[:, None], r_c[:, ::-1], r_c)
-    resid = r_c_eff - s[:, None] * t_c
+    resid = np.subtract(r_c_eff, s[:, None] * t_c, out=r_c_eff)
     err = np.sqrt(np.einsum("ij,ij->i", resid, resid))
     s = np.clip(s, -abs(s_clip), abs(s_clip))
-    return s, o, err
+    return s, o, err, sym
+
+
+_REFIT_TLS = __import__("threading").local()
+
+
+def _refit_workspace(m: int, n: int):
+    """Reusable large buffers for refit_host, keyed by problem shape (one
+    live entry per THREAD — batch workers refit concurrently outside the
+    device lock; encode shapes repeat within a batch)."""
+    import numpy as np
+
+    ws = getattr(_REFIT_TLS, "ws", None)
+    if ws is None or ws["key"] != (m, n):
+        ws = dict(
+            key=(m, n),
+            t=np.empty((m, n), np.float32),
+            rc=np.empty((m, n), np.float32),
+            tc=np.empty((m, n), np.float32),
+            m1=np.empty((m, 1), np.float32),
+            m2=np.empty((m, 1), np.float32),
+            v1=np.empty(m, np.float32),
+            v2=np.empty(m, np.float32),
+            v3=np.empty(m, np.float32),
+        )
+        _REFIT_TLS.ws = ws
+    return ws

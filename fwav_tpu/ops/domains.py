@@ -58,32 +58,45 @@ def build_bank_jax(
     domain_step: int,
     d_bucket: int,
     n_domains,
+    row_offset=0,
+    d_rows: int = None,
 ) -> jnp.ndarray:
-    """(d_bucket, range_size) domain bank from a bucket-padded raw signal.
-    Rows >= n_domains (traced scalar) are zeroed.
+    """(d_rows or d_bucket, range_size) domain bank rows
+    [row_offset, row_offset + d_rows) from a bucket-padded raw signal.
+    Rows with global index >= n_domains (traced scalar) are zeroed.
 
     Column j of the bank is the strided slice means[j*block_len ::
     domain_step] — pure slices + one stack, no (D, range_size) gather
-    (measured 18 -> 1.1 ms for a 10 s bench bank; bit-equal)."""
+    (measured 18 -> 1.1 ms for a 10 s bench bank; bit-equal).
+
+    `row_offset` may be a traced scalar (bank tensor-sharding: each chip
+    builds only its own row shard, models.encode tp path) — the strided
+    column slice stays static and only the row window is dynamic."""
     import jax
 
     block_len = tile_size // range_size
     nb = signal_padded.shape[0]
+    if d_rows is None:
+        d_rows = d_bucket
     means = box_sums(signal_padded, block_len) * (1.0 / block_len)
     need = (range_size - 1) * block_len + (d_bucket - 1) * domain_step + 1
     if need > nb:
         means = jnp.concatenate([means, jnp.zeros(need - nb, means.dtype)])
     span = (d_bucket - 1) * domain_step + 1
-    bank = jnp.stack(
-        [
-            jax.lax.slice(
-                means, (j * block_len,), (j * block_len + span,), (domain_step,)
-            )
-            for j in range(range_size)
-        ],
-        axis=1,
-    )
-    valid = jnp.arange(d_bucket, dtype=jnp.int32) < jnp.asarray(n_domains, jnp.int32)
+    cols = [
+        jax.lax.slice(
+            means, (j * block_len,), (j * block_len + span,), (domain_step,)
+        )
+        for j in range(range_size)
+    ]
+    if d_rows != d_bucket or not isinstance(row_offset, int) or row_offset != 0:
+        off = jnp.clip(jnp.asarray(row_offset, jnp.int32), 0, d_bucket - d_rows)
+        cols = [jax.lax.dynamic_slice(c, (off,), (d_rows,)) for c in cols]
+        rows = off + jnp.arange(d_rows, dtype=jnp.int32)
+    else:
+        rows = jnp.arange(d_rows, dtype=jnp.int32)
+    bank = jnp.stack(cols, axis=1)
+    valid = rows < jnp.asarray(n_domains, jnp.int32)
     return jnp.where(valid[:, None], bank, 0.0)
 
 

@@ -43,7 +43,7 @@ def _search_kernel(
     r_blk, rrev_blk, bankT_blk, w_blk, valid_blk,
     score_out, idx_out, sym_out,
     best_score, best_idx, best_sym,
-    *, domain_block: int,
+    *, domain_block: int, with_sym: bool = True,
 ):
     j = pl.program_id(1)
     nj = pl.num_programs(1)
@@ -52,24 +52,25 @@ def _search_kernel(
     def _():
         best_score[:] = jnp.full_like(best_score, _NEG)
         best_idx[:] = jnp.zeros_like(best_idx)
-        best_sym[:] = jnp.zeros_like(best_sym)
+        if with_sym:
+            best_sym[:] = jnp.zeros_like(best_sym)
 
     num_o = jnp.dot(r_blk[:], bankT_blk[:], preferred_element_type=jnp.float32)
     num_m = jnp.dot(rrev_blk[:], bankT_blk[:], preferred_element_type=jnp.float32)
     w = w_blk[:]
     s_o = num_o * num_o * w
     s_m = num_m * num_m * w
-    use_m = s_m > s_o  # strict: original orientation wins ties
-    score = jnp.where(use_m, s_m, s_o)
+    if with_sym:
+        use_m = s_m > s_o  # strict: original orientation wins ties
+        score = jnp.where(use_m, s_m, s_o)
+    else:
+        # orientation folded with max — callers (the coarse lobe scan)
+        # re-evaluate both orientations in the refine stage
+        score = jnp.maximum(s_o, s_m)
     score = jnp.where(valid_blk[:] != 0, score, _NEG)
 
     arg = jnp.argmax(score, axis=1)                      # (RB,) first max
     g = jnp.max(score, axis=1)
-    # sym at the winning lane, gather-free (Mosaic has no row gather):
-    # one-hot on the argmax lane, then an any-reduction over lanes
-    lane = jax.lax.broadcasted_iota(jnp.int32, score.shape, dimension=1)
-    onehot = lane == arg[:, None]
-    sym = jnp.sum(jnp.where(onehot & use_m, 1, 0), axis=1) > 0
 
     prev = best_score[:, 0]
     upd = g > prev                                       # earlier block wins ties
@@ -77,13 +78,22 @@ def _search_kernel(
     best_idx[:, 0] = jnp.where(
         upd, j * domain_block + arg.astype(jnp.int32), best_idx[:, 0]
     )
-    best_sym[:, 0] = jnp.where(upd, sym.astype(jnp.int32), best_sym[:, 0])
+    if with_sym:
+        # sym at the winning lane, gather-free (Mosaic has no row gather):
+        # one-hot on the argmax lane, then an any-reduction over lanes
+        lane = jax.lax.broadcasted_iota(jnp.int32, score.shape, dimension=1)
+        onehot = lane == arg[:, None]
+        sym = jnp.sum(jnp.where(onehot & use_m, 1, 0), axis=1) > 0
+        best_sym[:, 0] = jnp.where(upd, sym.astype(jnp.int32), best_sym[:, 0])
 
     @pl.when(j == nj - 1)
     def _():
         score_out[:] = best_score[:]
         idx_out[:] = best_idx[:]
-        sym_out[:] = best_sym[:]
+        if with_sym:
+            sym_out[:] = best_sym[:]
+        else:
+            sym_out[:] = jnp.zeros_like(sym_out)
 
 
 def exact_search_scan_pallas(
@@ -94,9 +104,14 @@ def exact_search_scan_pallas(
     range_block: int = 1024,
     domain_block: int = 2048,
     interpret: bool = False,
+    with_sym: bool = True,
 ):
     """(best_score, best_idx, best_sym) per range — same contract as
-    ops.search.exact_search_scan, as one fused kernel."""
+    ops.search.exact_search_scan, as one fused kernel.
+
+    with_sym=False drops the per-block winning-orientation bookkeeping
+    (orientations folded with max; sym returned all-False) — for callers
+    that re-evaluate orientation downstream, e.g. the coarse lobe scan."""
     M, N = r_c.shape
     D = bankT.shape[1]
     assert M % range_block == 0 and D % domain_block == 0
@@ -107,7 +122,7 @@ def exact_search_scan_pallas(
     v2 = d_valid.astype(jnp.int8).reshape(1, D)
 
     grid = (ni, nj)
-    kernel = partial(_search_kernel, domain_block=domain_block)
+    kernel = partial(_search_kernel, domain_block=domain_block, with_sym=with_sym)
     score, idx, sym = pl.pallas_call(
         kernel,
         grid=grid,

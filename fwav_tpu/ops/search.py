@@ -51,6 +51,7 @@ def exact_search_block(
     domain_block: int,
     s_clip: float,
     objective: str = "balanced",
+    return_score: bool = False,
 ):
     """Optimal (idx, s, o, sym, err) for every range in the block against the
     ENTIRE bank, via a lax.scan over domain blocks carrying the running best
@@ -79,9 +80,12 @@ def exact_search_block(
     best_score, best_idx, best_sym = exact_search_scan(
         r_c, bank, d_mean, d_denom, d_valid, domain_block, objective
     )
-    return exact_refit(
+    out = exact_refit(
         r_mean, r_c, bank, best_score, best_idx, best_sym, s_clip
     )
+    if return_score:
+        return (*out, best_score)
+    return out
 
 
 def domain_weights(d_mean, d_denom, n: int, objective: str):
@@ -268,6 +272,7 @@ def coarse_refine_search(
     domain_block: int,
     s_clip: float,
     objective: str = "balanced",
+    return_score: bool = False,
 ):
     """Coarse-to-fine exact-family search: scan the bank at `stride`, keep
     the top-C coarse candidates per range, then solve the affine match over
@@ -290,15 +295,24 @@ def coarse_refine_search(
 
     r_mean = jnp.mean(ranges, axis=1)
     r_c = ranges - r_mean[:, None]
-    d_weight = domain_weights(d_mean, d_denom, N, objective)
 
     bank_sub = bank.reshape(D // stride, stride, N)[:, 0, :]
-    weight_sub = d_weight.reshape(D // stride, stride)[:, 0]
+    if d_mean is None:
+        # selection stats on the subsampled rows only (weights are per-row,
+        # so this equals subsampling full-bank weights — 1/stride the work)
+        from .affine import affine_stats
+
+        sub_mean, sub_denom = affine_stats(bank_sub)
+        weight_sub = domain_weights(sub_mean, sub_denom, N, objective)
+    else:
+        d_weight = domain_weights(d_mean, d_denom, N, objective)
+        weight_sub = d_weight.reshape(D // stride, stride)[:, 0]
     valid_sub = d_valid.reshape(D // stride, stride)[:, 0]
 
     coarse = gain_topk_scan(r_c, bank_sub, weight_sub, valid_sub, top_c, domain_block)
     return refine_from_lobes(
-        ranges, bank, d_valid, coarse, stride, s_clip, objective
+        ranges, bank, d_valid, coarse, stride, s_clip, objective,
+        return_score=return_score,
     )
 
 
@@ -327,27 +341,47 @@ def _window_gains(r_c, bank_t, cand_t, valid_t, objective):
 
 def refine_from_lobes(
     ranges: jnp.ndarray,    # (M, N)
-    bank: jnp.ndarray,      # (D, N)
+    bank: jnp.ndarray,      # (D, N) full bank, or a LOCAL row shard (+halo)
     d_valid: jnp.ndarray,   # (D,)
     coarse: jnp.ndarray,    # (M, C) coarse lobe indices (subsampled space)
     stride: int,
     s_clip: float,
     objective: str = "balanced",
     two_stage: bool = None,
+    bank_offset=0,
+    n_valid=None,
+    return_score: bool = False,
 ):
     """The window-refinement stage of coarse_refine_search, callable with
     lobes from any coarse scanner (lax.scan or the Pallas kernel).
 
     With two_stage (default on for stride >= 32), the +/-stride window is
-    sampled at stride 8 first and only +/-4 around the best mid position is
-    evaluated densely — ~3x less gather volume; safe because the gain
-    surface is smooth at the block_len (~256) scale, far coarser than 8.
+    sampled at coarse steps first and only a small dense window around the
+    best position is evaluated — far less gather volume; safe because the
+    gain surface is smooth at the block_len (~256) scale.
+
+    Bank tensor-sharding (models.encode tp path): `bank` may be this
+    shard's rows [bank_offset, bank_offset + D_local) of the global bank
+    (built with a >= 1.25*stride halo each side so every owned lobe's
+    window is resident); `n_valid` is then the GLOBAL valid-domain count
+    (defaults to sum(d_valid)). All emitted indices are global; positions
+    outside the local shard are masked invalid.
     """
     M, N = ranges.shape
     D = bank.shape[0]
     top_c = coarse.shape[1]
     if two_stage is None:
         two_stage = stride >= 32 and top_c == 1
+    local = not (isinstance(bank_offset, int) and bank_offset == 0)
+    if local:
+        bank_offset = jnp.asarray(bank_offset, jnp.int32)
+
+    def to_loc(pos):
+        """Global position -> in-shard row (clamped) + residency mask."""
+        if not local:
+            return jnp.minimum(pos, D - 1), None
+        rel = pos - bank_offset
+        return jnp.clip(rel, 0, D - 1), (rel >= 0) & (rel < D)
 
     # Refine windows of W = 1.25*stride positions around each lobe (the true
     # peak lies within ~stride/2 of the best coarse sample, so W only needs
@@ -362,7 +396,8 @@ def refine_from_lobes(
     # axis pad only the tiny N sublane axis 2x.
     W = max(2, stride + stride // 4)
     K = top_c * W
-    n_valid = jnp.sum(d_valid.astype(jnp.int32))
+    if n_valid is None:
+        n_valid = jnp.sum(d_valid.astype(jnp.int32))
     lobe_ok = coarse >= 0                                   # (M, C)
     starts = jnp.clip(coarse * stride - W // 2, 0, jnp.maximum(n_valid - W, 0))
     # (K, M) candidate matrix, K = C*W
@@ -378,25 +413,45 @@ def refine_from_lobes(
     cols = jnp.arange(M)
 
     if two_stage:
-        # stage 1: sample the window at stride 8
-        mid_step = 8
-        k1 = W // mid_step + 1
+        # staged descent: sample the window at step s, halving the peak
+        # uncertainty to s/2 per stage, finish with a small dense window.
+        # (16, 4) for W >= 64 costs 6+5+6 = 17 gathered positions vs 11+10
+        # for the single (8,) stage — same smoothness assumption (the gain
+        # surface varies at the block_len ~ 256 scale, far coarser than 16).
+        steps = (16, 4) if W >= 64 else (8,)
+        st = steps[0]
+        k1 = W // st + 1
         mid = (starts.T[:, None, :]
-               + (mid_step * jnp.arange(k1, dtype=jnp.int32))[None, :, None]
+               + (st * jnp.arange(k1, dtype=jnp.int32))[None, :, None]
                ).reshape(top_c * k1, M)
         mid = jnp.minimum(mid, jnp.maximum(n_valid - 1, 0))
         v1 = jnp.broadcast_to(lobe_ok.T[:, None, :], (top_c, k1, M)
                               ).reshape(top_c * k1, M)
-        s1, _ = _window_gains(r_c, bank_t, mid, v1 & (mid < n_valid), objective)
-        p1 = jnp.argmax(s1, axis=0)
-        center = mid[p1, cols]
-        # stage 2: dense +/- mid_step/2 around the best mid sample
-        w2 = mid_step + 2
+        mloc, res = to_loc(mid)
+        v1 = v1 & (mid < n_valid)
+        if res is not None:
+            v1 = v1 & res
+        s1, _ = _window_gains(r_c, bank_t, mloc, v1, objective)
+        center = mid[jnp.argmax(s1, axis=0), cols]
+        ok_any = jnp.any(lobe_ok, axis=1)
+        for st2 in steps[1:]:
+            # cover center +/- st/2 at the finer step st2
+            u = st // 2
+            k = 2 * u // st2 + 1
+            mid = (center[None, :] - u) + st2 * jnp.arange(k, dtype=jnp.int32)[:, None]
+            mid = jnp.clip(mid, 0, jnp.maximum(n_valid - 1, 0))
+            vk = jnp.broadcast_to(ok_any[None, :], (k, M)) & (mid < n_valid)
+            mloc, res = to_loc(mid)
+            if res is not None:
+                vk = vk & res
+            sk, _ = _window_gains(r_c, bank_t, mloc, vk, objective)
+            center = mid[jnp.argmax(sk, axis=0), cols]
+            st = st2
+        # final stage: dense +/- st/2 (+1 margin) around the best sample
+        w2 = st + 2
         starts2 = jnp.clip(center - w2 // 2, 0, jnp.maximum(n_valid - w2, 0))
         cand_t = starts2[None, :] + jnp.arange(w2, dtype=jnp.int32)[:, None]
-        valid_t = jnp.broadcast_to(
-            jnp.any(lobe_ok, axis=1)[None, :], (w2, M)
-        )
+        valid_t = jnp.broadcast_to(ok_any[None, :], (w2, M))
     # else: cand_t / valid_t from the dense single-stage window above
 
     # bank rows past n_valid are zero padding: they score exactly 0, which
@@ -405,15 +460,19 @@ def refine_from_lobes(
     # n_valid - W, but that is not enough when n_valid < W)
     valid_t = valid_t & (cand_t < n_valid)
 
-    cand_t = jnp.minimum(cand_t, D - 1)
-    score, use_m = _window_gains(r_c, bank_t, cand_t, valid_t, objective)
+    cand_loc, res = to_loc(cand_t)
+    if res is not None:
+        valid_t = valid_t & res
+    score, use_m = _window_gains(r_c, bank_t, cand_loc, valid_t, objective)
     pick = jnp.argmax(score, axis=0)                         # (M,) first max
-    best_idx = cand_t[pick, cols]
+    # emitted indices are GLOBAL; in the non-sharded case clamp exactly as
+    # the gather did (only reachable when every candidate is invalid)
+    best_idx = (cand_t if local else jnp.minimum(cand_t, D - 1))[pick, cols]
     best_sym = use_m[pick, cols]
     best_score = score[pick, cols]
 
     # exact refit on the winning tile, still transposed
-    tile = jnp.take(bank_t, best_idx, axis=1)                # (N, M)
+    tile = jnp.take(bank_t, cand_loc[pick, cols], axis=1)    # (N, M)
     tile = jnp.where(best_sym[None, :], tile[::-1, :], tile)
     t_mean = jnp.mean(tile, axis=0)
     t_c = tile - t_mean[None, :]
@@ -425,7 +484,37 @@ def refine_from_lobes(
     err = jnp.sqrt(jnp.sum(resid * resid, axis=0))
     err = jnp.where(jnp.isfinite(best_score), err, jnp.inf)
     s = jnp.clip(s, -abs(s_clip), abs(s_clip))
+    if return_score:
+        # selection score of the winner — the tp path merges per-shard
+        # refinements with it (a shard seeing only part of a window yields
+        # a subset-max that can never beat the owning shard's full max)
+        return best_idx, s, o, best_sym.astype(jnp.uint8), err, best_score
     return best_idx, s, o, best_sym.astype(jnp.uint8), err
+
+
+def merge_shard_bests(score, idx, sym, axis_name):
+    """all_gather the per-shard (score, idx, sym) winners and reduce with
+    the single-device tie-break order: max score, then min global domain
+    idx, then original orientation (sym=0) first. Inputs (M,) per shard;
+    returns merged (M,) triples, replicated over `axis_name`. Used by the
+    bank-tensor-sharded (tp) search paths (models.encode, parallel.shard)."""
+    scores = jax.lax.all_gather(score, axis_name)   # (S, M)
+    idxs = jax.lax.all_gather(idx, axis_name)
+    syms = jax.lax.all_gather(sym, axis_name)
+
+    n_shards = scores.shape[0]
+    best_s, best_i, best_y = scores[0], idxs[0], syms[0]
+    for k in range(1, n_shards):
+        s_k, i_k, y_k = scores[k], idxs[k], syms[k]
+        better = s_k > best_s
+        tie = s_k == best_s
+        take = better | (tie & (i_k < best_i)) | (
+            tie & (i_k == best_i) & (~y_k & best_y)
+        )
+        best_s = jnp.where(take, s_k, best_s)
+        best_i = jnp.where(take, i_k, best_i)
+        best_y = jnp.where(take, y_k, best_y)
+    return best_s, best_i, best_y
 
 
 def topk_scores_block(

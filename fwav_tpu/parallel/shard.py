@@ -29,31 +29,12 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..ops.affine import affine_stats
-from ..ops.search import exact_refit, exact_search_scan
+from ..ops.search import exact_refit, exact_search_scan, merge_shard_bests
 from .mesh import DP_AXIS, TP_AXIS
 
-
-def _merge_shard_bests(score, idx, sym, axis_name):
-    """all_gather the per-shard (score, idx, sym) and reduce with the
-    single-device tie-break order: max score, then min global idx, then
-    sym=0 first. Inputs are (M,) per shard; returns merged (M,) triples."""
-    scores = jax.lax.all_gather(score, axis_name)   # (S, M)
-    idxs = jax.lax.all_gather(idx, axis_name)
-    syms = jax.lax.all_gather(sym, axis_name)
-
-    n_shards = scores.shape[0]
-    best_s, best_i, best_y = scores[0], idxs[0], syms[0]
-    for k in range(1, n_shards):
-        s_k, i_k, y_k = scores[k], idxs[k], syms[k]
-        better = s_k > best_s
-        tie = s_k == best_s
-        take = better | (tie & (i_k < best_i)) | (
-            tie & (i_k == best_i) & (~y_k & best_y)
-        )
-        best_s = jnp.where(take, s_k, best_s)
-        best_i = jnp.where(take, i_k, best_i)
-        best_y = jnp.where(take, y_k, best_y)
-    return best_s, best_i, best_y
+#: Back-compat alias; the merge lives in ops.search so models.encode's
+#: sharded cores can use it without a parallel<->models import cycle.
+_merge_shard_bests = merge_shard_bests
 
 
 def exact_search_tp(
@@ -137,123 +118,30 @@ def exact_search_sharded(
     return fn(ranges, bank, d_valid)
 
 
-@lru_cache(maxsize=32)
-def _dp_encode_core(
-    mesh, nb: int, mb: int, db: int, tile_size: int, range_size: int,
-    domain_step: int, s_clip: float, domain_block: int, objective: str,
-    fast_mode: bool,
-):
-    """Jitted whole-mesh encode step: ranges (mb, N) sharded over dp, raw
-    signal replicated, bank built redundantly per device (cheap), exact
-    search GSPMD-partitioned over the range axis with zero communication."""
-    import jax.numpy as jnp
-
-    from ..ops.domains import build_bank_jax
-    from ..ops.search import exact_search_block
-
-    n = range_size
-    dblk = domain_block
-    while db % dblk:
-        dblk //= 2
-
-    def core(ranges, raw, n_ranges, n_domains, energy_thresh):
-        bank = build_bank_jax(raw, tile_size, range_size, domain_step, db, n_domains)
-        d_valid = jnp.arange(db, dtype=jnp.int32) < n_domains
-        d_mean, d_denom = affine_stats(bank)
-        idx, s, o, sym, err = exact_search_block(
-            ranges, bank, d_mean, d_denom, d_valid, dblk, s_clip,
-            objective=objective,
-        )
-        r_pow = jnp.mean(ranges * ranges, axis=1)
-        r_valid = jnp.arange(mb, dtype=jnp.int32) < n_ranges
-        silent = (r_pow < energy_thresh * 0.75) if fast_mode else jnp.zeros(mb, bool)
-        dead = silent | ~r_valid | ~jnp.isfinite(err)
-        return (
-            jnp.where(dead, -1, idx),
-            jnp.where(dead, 1.0, s),
-            jnp.where(dead, 0.0, o),
-            jnp.where(dead, 0, sym).astype(jnp.uint8),
-            jnp.where(dead, 0.0, err),
-        )
-
-    return jax.jit(core)
-
-
 def compress_audio_sharded(signal, framerate, sampwidth, mesh=None,
-                           tile_size: int = 1024, energy_thresh: float = 1e-4,
-                           objective: str = "balanced", s_clip: float = 16.0,
-                           domain_block: int = 2048, fast_mode: bool = True):
-    """Multi-chip encode: the full pipeline with ranges data-parallel over
-    the mesh's dp axis (SURVEY.md §2.5 — the TPU analog of the reference's
-    np.array_split over CPU worker processes, fractal.py:1180-1182).
-    Same return contract as models.encode.compress_audio_arrays."""
+                           config=None, **kwargs):
+    """Multi-chip encode over a (dp, tp) mesh (SURVEY.md §2.5, §7 M5):
+    ranges data-parallel over dp (the TPU analog of the reference's
+    np.array_split over CPU worker processes, fractal.py:1180-1182), the
+    domain bank tensor-sharded over tp when it outgrows one chip's HBM.
+
+    Delegates to the SAME fused core as single-device encode
+    (models.encode.build_encode_core run under shard_map — no forked
+    pipeline): coarse/exact/Pallas modes, device-side VAD, idx-only
+    device->host protocol and host refit all apply, and the output records
+    are BIT-EQUAL to compress_audio_arrays on one device
+    (tests/test_sharding.py). Same return contract as
+    compress_audio_arrays; encoder knobs via EncoderConfig/kwargs."""
     import numpy as np
 
-    from ..config import derive_domain_step, derive_range_size
-    from ..io.container import MATCH_DTYPE
-    from ..ops.domains import build_domains_host, n_domains_for
-    from ..ops.vad import voiced_detection
-    from ..utils.buckets import bucket
+    from ..config import EncoderConfig
+    from ..models.encode import _compress_fast
     from .mesh import make_mesh
 
     if mesh is None:
         mesh = make_mesh()
-    n_dev = mesh.devices.size
-
-    range_size = derive_range_size(tile_size)
-    step = derive_domain_step(range_size)
+    cfg = config or EncoderConfig(**kwargs)
     signal = np.ascontiguousarray(np.asarray(signal, dtype=np.float32))
-    original_len = len(signal)
-
-    voiced = voiced_detection(signal, frame_size=2 * range_size,
-                              energy_threshold=energy_thresh)
-    weighted = signal * voiced
-    n_domains = n_domains_for(original_len, tile_size, step)
-    if float(np.sum(weighted.astype(np.float64) ** 2)) < 1e-8 or n_domains == 0:
-        return (np.empty(0, dtype=MATCH_DTYPE),
-                np.zeros((0, range_size), np.float32), 0, range_size,
-                tile_size, step, energy_thresh, original_len)
-
-    pad = (range_size - (original_len % range_size)) % range_size
-    if pad:
-        weighted = np.pad(weighted, (0, pad), mode="reflect")
-    L = len(weighted)
-    n_ranges = L // range_size
-
-    scale = float(np.max(np.abs(signal))) or 1.0
-    nb = bucket(original_len, 4096)
-    db = bucket(n_domains, 256)
-    # mb divisible by the dp extent so the shard is even (round the bucket
-    # up to the next multiple of n_dev — doubling never reaches divisibility
-    # for device counts with odd factors)
-    mb = bucket(n_ranges, 256)
-    mb = ((mb + n_dev - 1) // n_dev) * n_dev
-
-    ranges_p = np.zeros((mb, range_size), np.float32)
-    ranges_p[:n_ranges] = weighted.reshape(n_ranges, range_size) / scale
-    raw_p = np.zeros(nb, np.float32)
-    raw_p[:original_len] = signal / scale
-
-    ranges_dev = jax.device_put(ranges_p, NamedSharding(mesh, P(DP_AXIS, None)))
-    raw_dev = jax.device_put(raw_p, NamedSharding(mesh, P()))
-
-    core = _dp_encode_core(mesh, nb, mb, db, tile_size, range_size, step,
-                           s_clip, domain_block, objective, fast_mode)
-    import jax.numpy as jnp
-
-    idx, s, o, sym, err = jax.device_get(core(
-        ranges_dev, raw_dev, jnp.int32(n_ranges), jnp.int32(n_domains),
-        jnp.float32(energy_thresh / (scale * scale)),
-    ))
-
-    rec = np.empty(n_ranges, dtype=MATCH_DTYPE)
-    rec["idx"] = idx[:n_ranges]
-    rec["s"] = s[:n_ranges]
-    rec["o"] = o[:n_ranges] * scale
-    rec["sym"] = sym[:n_ranges]
-    rec["err"] = err[:n_ranges] * scale
-    bank = build_domains_host(signal, tile_size, range_size, step)
-    return (rec, bank, n_ranges, range_size, tile_size, step, energy_thresh,
-            original_len)
+    return _compress_fast(signal, cfg, mesh=mesh)
 
 

@@ -91,35 +91,77 @@ def test_sharded_all_invalid_bank():
     assert np.all(np.isinf(np.asarray(err)))
 
 
-def test_compress_audio_sharded_matches_single_device(tone):
-    """Full multi-chip encode (range-DP over the 8-device mesh) must produce
-    the same matches as the single-device exact encoder."""
+def _noise_fixture():
+    """Noise-bearing signal (no mirror ties, unlike a pure tone) with a
+    silence gap so sentinel rows are exercised too."""
+    rng = np.random.default_rng(3)
+    sr = 44100
+    t = np.arange(int(sr * 1.2)) / sr
+    sig = (
+        0.4 * np.sin(2 * np.pi * (200 + 60 * np.sin(2 * np.pi * t)) * t * 3)
+        + 0.1 * np.sin(2 * np.pi * 950 * t)
+        + 0.02 * rng.standard_normal(len(t))
+    )
+    sig[10000:12000] = 0.0
+    return np.round(sig * 15000).astype(np.float32), sr
+
+
+@pytest.fixture(scope="module")
+def _single_device_records():
     from fwav_tpu.models.encode import compress_audio_arrays
+
+    sig, sr = _noise_fixture()
+    out = {}
+    for mode in ("coarse", "exact"):
+        out[mode] = compress_audio_arrays(sig, sr, 2, search=mode)
+    return sig, sr, out
+
+
+@pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2), (2, 4), (1, 8)])
+def test_compress_audio_sharded_bit_equal_coarse(dp, tp, _single_device_records):
+    """Full multi-chip encode — the SAME fused core under shard_map, ranges
+    dp-sharded, bank tp-sharded (halo'd coarse refine) — must produce
+    BIT-EQUAL records to the single-device encoder on a tie-free fixture:
+    only the selection leaves the device and s/o/err come from the shared
+    host refit (VERDICT r1 item 4)."""
     from fwav_tpu.parallel.shard import compress_audio_sharded
 
-    sig, sr, sw = tone
-    rec_1, dom_1, n1, rs1, *_ = compress_audio_arrays(
-        sig, sr, sw, tile_size=128, search="exact"
-    )
-    mesh = make_mesh(8, dp=8, tp=1)
+    sig, sr, single = _single_device_records
+    rec_1, dom_1, n1, rs1, *_ = single["coarse"]
     rec_8, dom_8, n8, rs8, *_ = compress_audio_sharded(
-        sig, sr, sw, mesh=mesh, tile_size=128
+        sig, sr, 2, mesh=make_mesh(8, dp=dp, tp=tp), search="coarse"
     )
     assert (n8, rs8) == (n1, rs1)
-    np.testing.assert_allclose(dom_8, dom_1, atol=1e-5)
-    # a pure tone has exactly-tied mirror pairs (domain j reversed == domain
-    # k), and ulp-level fusion differences may resolve those ties either way
-    # across program partitionings — so compare the MATCH QUALITY, not the
-    # tie resolution: fit magnitude, offset and error must agree, and the
-    # sentinel sets must be identical.
-    np.testing.assert_array_equal(rec_8["idx"] < 0, rec_1["idx"] < 0)
-    np.testing.assert_allclose(np.abs(rec_8["s"]), np.abs(rec_1["s"]),
-                               rtol=1e-4, atol=1e-6)
-    np.testing.assert_allclose(rec_8["o"], rec_1["o"], rtol=1e-4, atol=1e-2)
-    np.testing.assert_allclose(rec_8["err"], rec_1["err"], rtol=1e-3, atol=1e-2)
-    # end to end, the decodes must match
-    from fwav_tpu import decompress_audio
+    np.testing.assert_array_equal(dom_8, dom_1)
+    for f in ("idx", "s", "o", "sym", "err"):
+        np.testing.assert_array_equal(rec_8[f], rec_1[f], err_msg=f)
+    assert (rec_1["idx"] == -1).sum() > 0  # sentinel rows exercised
 
+
+def test_compress_audio_sharded_bit_equal_exact(_single_device_records):
+    from fwav_tpu.parallel.shard import compress_audio_sharded
+
+    sig, sr, single = _single_device_records
+    rec_1, dom_1, n1, rs1, *_ = single["exact"]
+    rec_8, _, n8, rs8, *_ = compress_audio_sharded(
+        sig, sr, 2, mesh=make_mesh(8, dp=2, tp=4), search="exact"
+    )
+    assert (n8, rs8) == (n1, rs1)
+    for f in ("idx", "s", "o", "sym", "err"):
+        np.testing.assert_array_equal(rec_8[f], rec_1[f], err_msg=f)
+
+
+def test_compress_audio_sharded_decodes(_single_device_records):
+    """End to end: the sharded encode's records decode identically."""
+    from fwav_tpu import compute_snr, decompress_audio
+    from fwav_tpu.parallel.shard import compress_audio_sharded
+
+    sig, sr, single = _single_device_records
+    rec_1, dom_1, n1, rs1, *_ = single["coarse"]
+    rec_8, dom_8, n8, rs8, *_ = compress_audio_sharded(
+        sig, sr, 2, mesh=make_mesh(8, dp=4, tp=2), search="coarse"
+    )
     d1 = decompress_audio(rec_1, dom_1, n1, rs1, original_len=len(sig))
     d8 = decompress_audio(rec_8, dom_8, n8, rs8, original_len=len(sig))
-    np.testing.assert_allclose(d1, d8, atol=0.1)
+    np.testing.assert_array_equal(d1, d8)
+    assert compute_snr(sig, d8) > 4.0
