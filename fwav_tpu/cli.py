@@ -59,9 +59,17 @@ def main(argv=None):
                     help="auto (default: coarse-to-fine for large banks, brute "
                          "exact otherwise), exact, coarse, or reference-shaped "
                          "embedding top-k shortlist")
-    pc.add_argument("--prune-bank", action="store_true",
-                    help="store only referenced domain rows (much smaller "
-                         ".fwav, decodes identically with any decoder)")
+    pc.add_argument("--prune-bank", dest="prune_bank", action="store_true",
+                    default=True,
+                    help="store only referenced domain rows — the default: "
+                         "~4x smaller .fwav, still an ordinary .fwav that "
+                         "decodes bit-identically with any decoder "
+                         "(including the reference's)")
+    pc.add_argument("--full-bank", dest="prune_bank", action="store_false",
+                    help="store the entire sliding-window domain bank like "
+                         "the reference (inflates the container ~10x over "
+                         "the input; only useful for byte-level comparisons "
+                         "against reference-encoded files)")
     pc.add_argument("--devices", type=int, default=1,
                     help="encode over an N-device mesh (ranges data-parallel"
                          "; output bit-identical to one device)")

@@ -35,8 +35,7 @@ from ..utils.buckets import bucket
 _DENOM_EPS = 1e-12  # fractal.py:1409
 
 
-@lru_cache(maxsize=64)
-def _decode_core(
+def build_decode_core(
     mb: int,
     db: int,
     range_size: int,
@@ -44,11 +43,12 @@ def _decode_core(
     s_clip: float,
     s_damping: float,
 ):
-    """All per-range tensors live in TRANSPOSED (N, M) layout: with
-    range_size ~ 4 a (M, N) float32 tensor tiles as T(8, 128) with a 32x
-    lane-padding blowup (a 30-min file's decode state would be 12 GB per
-    copy); (N, M) pads only the sublane axis 2x. The caller transposes the
-    (N, M) reconstruction back on the host."""
+    """The (unjitted) fused decode loop for one shape bucket. All per-range
+    tensors live in TRANSPOSED (N, M) layout: with range_size ~ 4 a (M, N)
+    float32 tensor tiles as T(8, 128) with a 32x lane-padding blowup (a
+    30-min file's decode state would be 12 GB per copy); (N, M) pads only
+    the sublane axis 2x. The caller transposes the (N, M) reconstruction
+    back on the host."""
     n = range_size
 
     def core(idx, s_stored, o_stored, sym, bank_t, convergence_eps):
@@ -91,7 +91,50 @@ def _decode_core(
         it, recon_t, delta = jax.lax.while_loop(cond, body, init)
         return recon_t, it, delta
 
-    return jax.jit(core)
+    return core
+
+
+@lru_cache(maxsize=64)
+def _decode_core(mb, db, range_size, iterations, s_clip, s_damping):
+    return jax.jit(
+        build_decode_core(mb, db, range_size, iterations, s_clip, s_damping)
+    )
+
+
+@lru_cache(maxsize=16)
+def _decode_core_sharded(mesh, mb, db, range_size, iterations, s_clip,
+                         s_damping):
+    """Range-sharded damped decode (SURVEY.md §2.5; VERDICT r1 item 7): the
+    while_loop reconstruction is per-range independent, so shard_map splits
+    the match columns over the mesh's dp axis — zero communication; each
+    device iterates its own slab (the convergence delta becomes per-shard,
+    same caveat as the DECODE_SHARD_RANGES chunking)."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import DP_AXIS
+
+    dp = mesh.shape[DP_AXIS]
+    assert mb % dp == 0
+    inner = build_decode_core(
+        mb // dp, db, range_size, iterations, s_clip, s_damping
+    )
+
+    def core(idx, s, o, sym, bank_t, eps):
+        recon_t, _it, _delta = inner(idx, s, o, sym, bank_t, eps)
+        return recon_t
+
+    return jax.jit(
+        jax.shard_map(
+            core,
+            mesh=mesh,
+            in_specs=(
+                P(DP_AXIS), P(DP_AXIS), P(DP_AXIS), P(DP_AXIS),
+                P(None, None), P(),
+            ),
+            out_specs=P(None, DP_AXIS),
+            check_vma=False,
+        )
+    )
 
 
 #: Ranges per decode shard: bounds device memory for arbitrarily long files.
@@ -147,11 +190,17 @@ def decompress_audio(
     s_clip: float = 16.0,
     s_damping: float = 0.0,
     config=None,
+    mesh=None,
 ):
     """Reference-shaped decode (fractal.py:1378 signature). `matches` may be
     a tuple list, a dict of arrays, or a packed record array; `use_gpu` is
     accepted for API parity (the device is whatever JAX selected). A
-    DecoderConfig may be passed instead of the individual knobs."""
+    DecoderConfig may be passed instead of the individual knobs.
+
+    `mesh`: run the damped (device-loop) decode range-sharded over the
+    mesh's dp axis — per-range independent, zero communication
+    (_decode_core_sharded). The default s_damping=0 decode is a host-side
+    closed form and ignores the mesh."""
     del use_gpu
     if config is not None:
         iterations = config.iterations
@@ -190,6 +239,12 @@ def decompress_audio(
 
     from .encode import DEVICE_LOCK
 
+    dp = 1
+    if mesh is not None and mesh.devices.size > 1:
+        from ..parallel.mesh import DP_AXIS
+
+        dp = mesh.shape[DP_AXIS]
+
     pieces = []
     with DEVICE_LOCK:
         bank_dev = jnp.asarray(bank_t)
@@ -197,6 +252,10 @@ def decompress_audio(
             b = min(n_ranges, a + DECODE_SHARD_RANGES)
             m = b - a
             mb = bucket(m, 256)
+            if dp > 1:
+                from ..utils.buckets import pad_to
+
+                mb = pad_to(mb, dp * 256)
             idx = np.full(mb, -1, dtype=np.int32)
             # clamp any out-of-range stored index (a corrupt file would make
             # the reference's gather fail); -1 handling happens on device
@@ -208,13 +267,24 @@ def decompress_audio(
             sym = np.zeros(mb, np.uint8)
             sym[:m] = rec["sym"][a:b]
 
-            core = _decode_core(
-                mb, db, range_size, int(iterations), float(s_clip), float(s_damping)
-            )
-            recon_t, _, _ = core(
-                jnp.asarray(idx), jnp.asarray(s), jnp.asarray(o),
-                jnp.asarray(sym), bank_dev, jnp.float32(convergence_eps),
-            )
+            if dp > 1:
+                core = _decode_core_sharded(
+                    mesh, mb, db, range_size, int(iterations),
+                    float(s_clip), float(s_damping),
+                )
+                recon_t = core(
+                    jnp.asarray(idx), jnp.asarray(s), jnp.asarray(o),
+                    jnp.asarray(sym), bank_dev, jnp.float32(convergence_eps),
+                )
+            else:
+                core = _decode_core(
+                    mb, db, range_size, int(iterations), float(s_clip),
+                    float(s_damping),
+                )
+                recon_t, _, _ = core(
+                    jnp.asarray(idx), jnp.asarray(s), jnp.asarray(o),
+                    jnp.asarray(sym), bank_dev, jnp.float32(convergence_eps),
+                )
             # (n, mb) -> host -> interleave back to sample order
             piece = np.asarray(jax.device_get(recon_t)).T[:m].reshape(-1)
             pieces.append(piece)

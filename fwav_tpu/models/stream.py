@@ -132,7 +132,10 @@ def compress_audio_streaming(
 
     def _collect(pending):
         k, packed, scale, g0 = pending
-        rec = collect_packed_matches(packed, scale, (bounds[k][1] - bounds[k][0]) // range_size)
+        with DEVICE_LOCK:
+            rec = collect_packed_matches(
+                packed, scale, (bounds[k][1] - bounds[k][0]) // range_size
+            )
         live = rec["idx"] >= 0
         rec["idx"][live] += g0 // step
         slots[k] = rec
@@ -141,8 +144,9 @@ def compress_audio_streaming(
 
     # one-deep pipeline: dispatch shard k+1 before pulling shard k's results,
     # so the device computes while the host waits on the (slow) D2H path.
-    # All calls are issued from this thread under one lock — no concurrent
-    # dispatch (see models.encode.DEVICE_LOCK).
+    # DEVICE_LOCK is held PER dispatch / collect, not for the whole file, so
+    # batch worker threads encoding short files interleave with a multi-hour
+    # streaming encode instead of starving behind it.
     import os
 
     def _ckpt(k):
@@ -152,26 +156,26 @@ def compress_audio_streaming(
         os.makedirs(resume_dir, exist_ok=True)
 
     pending = None
-    with DEVICE_LOCK:
-        for k, (a, b) in enumerate(bounds):
-            if resume_dir and os.path.exists(_ckpt(k)):
-                rec = np.load(_ckpt(k))
-                if rec.dtype == MATCH_DTYPE and len(rec) == (b - a) // range_size:
-                    slots[k] = rec
-                    continue  # resume: shard already encoded
-            # domain neighborhood: windows starting in [g0, g1), g0 step-aligned
-            g0 = (max(0, a - halo) // step) * step
-            g1 = min(original_len, b + halo)
-            raw_window = signal[g0:g1]
-            if n_domains_for(len(raw_window), cfg.tile_size, step) == 0:
-                # shard past the end of usable signal: emit sentinels
-                m = (b - a) // range_size
-                rec = np.zeros(m, dtype=MATCH_DTYPE)
-                rec["idx"] = -1
-                rec["s"] = 1.0
+    for k, (a, b) in enumerate(bounds):
+        if resume_dir and os.path.exists(_ckpt(k)):
+            rec = np.load(_ckpt(k))
+            if rec.dtype == MATCH_DTYPE and len(rec) == (b - a) // range_size:
                 slots[k] = rec
-                continue
+                continue  # resume: shard already encoded
+        # domain neighborhood: windows starting in [g0, g1), g0 step-aligned
+        g0 = (max(0, a - halo) // step) * step
+        g1 = min(original_len, b + halo)
+        raw_window = signal[g0:g1]
+        if n_domains_for(len(raw_window), cfg.tile_size, step) == 0:
+            # shard past the end of usable signal: emit sentinels
+            m = (b - a) // range_size
+            rec = np.zeros(m, dtype=MATCH_DTYPE)
+            rec["idx"] = -1
+            rec["s"] = 1.0
+            slots[k] = rec
+            continue
 
+        with DEVICE_LOCK:
             packed, scale, m = compress_audio_arrays(
                 raw_window,
                 framerate,
@@ -180,12 +184,12 @@ def compress_audio_streaming(
                 _weighted_override=weighted[a:b],
                 _defer_d2h=True,
             )
-            assert m == (b - a) // range_size
-            if pending is not None:
-                _collect(pending)
-            pending = (k, packed, scale, g0)
+        assert m == (b - a) // range_size
         if pending is not None:
             _collect(pending)
+        pending = (k, packed, scale, g0)
+    if pending is not None:
+        _collect(pending)
 
     rec = np.concatenate(slots) if slots else np.empty(0, dtype=MATCH_DTYPE)
     assert len(rec) == n_ranges, (len(rec), n_ranges)

@@ -115,3 +115,29 @@ def test_cli_batch_forwards_search_and_info_is_header_only(tmp_path, wav_dir, ca
 
     hdr = read_header(trunc)
     assert hdr[6] == info["n_ranges"]
+
+
+def test_cli_default_prunes_bank(tmp_path, wav_dir):
+    """The default CLI round trip produces the PRUNED container (VERDICT r1
+    item 5): far fewer stored domains than the full sliding-window bank,
+    identical reconstruction, and --full-bank restores reference behavior."""
+    from fwav_tpu.io.container import read_header
+
+    d, sig, sr = wav_dir
+    pruned = tmp_path / "p.fwav"
+    full = tmp_path / "f.fwav"
+    main(["compress", str(d / "a.wav"), str(pruned), "--tile", "128"])
+    main(["compress", str(d / "a.wav"), str(full), "--tile", "128",
+          "--full-bank"])
+    nd_pruned = read_header(pruned)[7]
+    nd_full = read_header(full)[7]
+    assert nd_pruned < nd_full / 1.5, (nd_pruned, nd_full)
+    assert os.path.getsize(pruned) < os.path.getsize(full) / 1.5
+
+    rp = tmp_path / "p_recon.wav"
+    rf = tmp_path / "f_recon.wav"
+    main(["decompress", str(pruned), "--out", str(rp)])
+    main(["decompress", str(full), "--out", str(rf)])
+    a, _, _ = read_wav_mono(str(rp))
+    b, _, _ = read_wav_mono(str(rf))
+    np.testing.assert_array_equal(a, b)

@@ -165,3 +165,56 @@ def test_compress_audio_sharded_decodes(_single_device_records):
     d8 = decompress_audio(rec_8, dom_8, n8, rs8, original_len=len(sig))
     np.testing.assert_array_equal(d1, d8)
     assert compute_snr(sig, d8) > 4.0
+
+
+def test_sharded_damped_decode_matches_single_device(_single_device_records):
+    """The damped (device while_loop) decode range-sharded over the dp axis
+    must reproduce the single-device decode (VERDICT r1 item 7)."""
+    from fwav_tpu import decompress_audio
+
+    from fwav_tpu import compute_snr
+
+    sig, sr, single = _single_device_records
+    rec, dom, n, rs, *_ = single["coarse"]
+    # with the early break disabled both loops run the same iterations and
+    # the per-range math is identical
+    d1f = decompress_audio(rec, dom, n, rs, original_len=len(sig),
+                           s_damping=0.5, convergence_eps=0.0)
+    d8f = decompress_audio(rec, dom, n, rs, original_len=len(sig),
+                           s_damping=0.5, convergence_eps=0.0,
+                           mesh=make_mesh(8, dp=8, tp=1))
+    np.testing.assert_allclose(d8f, d1f, rtol=0, atol=1e-4)
+    # with the default eps, the relative-delta early break becomes PER-SHARD
+    # (the same documented semantics as the DECODE_SHARD_RANGES chunking):
+    # shards may stop at different iteration counts, so only the converged
+    # quality is asserted
+    d1 = decompress_audio(rec, dom, n, rs, original_len=len(sig),
+                          s_damping=0.5)
+    d8 = decompress_audio(rec, dom, n, rs, original_len=len(sig),
+                          s_damping=0.5, mesh=make_mesh(8, dp=8, tp=1))
+    assert abs(compute_snr(sig, d8) - compute_snr(sig, d1)) < 0.05
+
+
+def test_init_distributed_single_process():
+    """Multi-host wrapper smoke (VERDICT r1 item 8): a num_processes=1
+    jax.distributed cluster initializes and yields a working mesh. Runs in a
+    subprocess because distributed init must precede backend init."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax;"
+        "jax.config.update('jax_platforms', 'cpu');"
+        "from fwav_tpu.parallel.mesh import init_distributed;"
+        "mesh = init_distributed('localhost:12321', 1, 0);"
+        "assert mesh.devices.size >= 1, mesh;"
+        "import jax.numpy as jnp;"
+        "assert float(jnp.arange(4.0).sum()) == 6.0;"
+        "print('distributed-ok', mesh.shape)"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=180, cwd="/root/repo",
+        env={**__import__('os').environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert "distributed-ok" in out.stdout, (out.stdout, out.stderr)

@@ -130,3 +130,43 @@ def test_streaming_shard_resume(tmp_path):
         S.compress_audio_arrays = orig
     assert n_calls == 1  # only the missing shard ran
     np.testing.assert_array_equal(rec1, rec2)
+
+
+def test_short_encodes_interleave_with_streaming(monkeypatch):
+    """DEVICE_LOCK is held per dispatch/collect pair, not per file: short
+    encodes submitted while a long streaming encode is in flight complete
+    before it finishes instead of starving behind it (VERDICT r1 item 6)."""
+    import threading
+    import time
+
+    sr = 8000
+    long_sig, _ = _sig(60.0, sr, seed=1)
+    short_sig, _ = _sig(0.3, sr, seed=2)
+
+    # warm the compile caches so the interleaving test measures lock
+    # behavior, not compilation
+    compress_audio_streaming(long_sig[: 1 << 17], sr, 2, shard_samples=1 << 15,
+                             halo=1 << 13)
+    compress_audio_arrays(short_sig, sr, 2)
+
+    order = []
+    def long_job():
+        compress_audio_streaming(long_sig, sr, 2, shard_samples=1 << 15,
+                                 halo=1 << 13)
+        order.append("long")
+
+    t = threading.Thread(target=long_job)
+    t.start()
+    time.sleep(0.2)  # let the long encode get shards in flight
+    long_was_running = t.is_alive()
+    for i in range(3):
+        compress_audio_arrays(short_sig, sr, 2)
+        order.append(f"short{i}")
+    shorts_done_while_long_running = t.is_alive()
+    t.join()
+
+    assert long_was_running, "fixture too small to exercise interleaving"
+    assert shorts_done_while_long_running, (
+        "short encodes should finish while the long streaming encode is "
+        f"still in flight; completion order: {order}"
+    )
