@@ -80,11 +80,10 @@ def build_encode_core(
     domain_block: int,
     range_block: int,
     objective: str,
-    coarse_stride: int = 64,
-    coarse_topc: int = 2,
+    coarse_stride: int = 128,
+    coarse_topc: int = 1,
     use_pallas: bool = False,
-    device_vad: bool = False,
-    pack: str = "full",
+    mode: str = "raw",
     in_i16: bool = False,
     energy_thresh: float = None,
     dp: int = 1,
@@ -94,31 +93,30 @@ def build_encode_core(
 ):
     """Build the (unjitted) fused encode program for one shape bucket.
 
-    Two input protocols (static `device_vad`):
+    Two input protocols (static `mode`), both shipping ONE signal array
+    (int16 when the content is 16-bit-exact — `in_i16`) and doing scale
+    normalization + range construction on device:
 
-    - device_vad=False (legacy / streaming-shard): the host ran VAD, padding
-      and scale normalization; fn(weighted (lb,), raw (nb,), n_samples,
-      n_ranges, n_domains, energy_thresh_normalized).
-    - device_vad=True (default single-shot path): ONE raw array crosses
-      host->device (int16 when the input is 16-bit-exact — `in_i16`);
-      scale normalization, the VAD mask (fractal.py:1074-1079 semantics),
-      the reflect range padding (fractal.py:1095-1097) and the range reshape
-      all happen on device; fn(raw (nb,), meta int32[3] = [n_samples,
-      n_ranges, n_domains]) — counts ride ONE tiny array (tunnel transports
+    - mode="raw" (single-shot files): the VAD mask (fractal.py:1074-1079
+      semantics) and the reflect range padding (fractal.py:1095-1097) are
+      computed on device; fn(raw (nb,), meta int32[3] = [n_samples,
+      n_ranges, n_domains]). Counts ride ONE tiny array (tunnel transports
       pay ~1 ms per argument) and the raw-scale `energy_thresh` is compiled
       in (static: it is a config constant, not per-file data).
+    - mode="masked" (streaming shards, models.stream): VAD decisions must be
+      GLOBAL across shards (hysteresis state carries from t=0), so the host
+      ships its per-sample voiced mask as PACKED BITS (1 bit/sample —
+      nb/8 bytes) alongside the raw window; fn(raw (nb,), mask_bytes
+      (nb/8,), meta int32[4] = [n_window_samples, range_offset,
+      n_ranges_shard, n_domains_window]). Emitted indices are window-local.
 
-    Two output protocols (static `pack`):
-
-    - pack="full": (4, mb) float32 [idx, s, o, err-with-sym-sign-bit] — the
-      complete match table (collect_packed_matches).
-    - pack="idx": (mb, 3) uint8 — the selected domain index in 3
-      little-endian bytes (0xFFFFFF = sentinel; valid indices stay below
-      it by the 2^24 encoder guard). s/o/err AND the mirror orientation
-      are recomputed HOST-side with the exact f32 refit against the
-      serialized bank (ops.affine.refit_host + collect_idx_matches): only
-      the selection crosses the slow device->host path, and the stored
-      parameters are exactly consistent with the stored bank.
+    One output protocol: (mb, 3) uint8 — the selected domain index in 3
+    little-endian bytes (0xFFFFFF = sentinel; valid indices stay below it
+    by the 2^24 guard). s/o/err AND the mirror orientation are recomputed
+    HOST-side with the exact f32 refit against the serialized bank
+    (ops.affine.refit_host + collect_idx_matches): only the selection
+    crosses the slow device->host path, and the stored parameters are
+    exactly consistent with the stored bank.
 
     Multi-chip (SURVEY.md §2.5; the reference's np.array_split over CPU
     workers, fractal.py:1180-1207, and the codec analog of TP): with dp>1
@@ -133,12 +131,10 @@ def build_encode_core(
     n = range_size
     mb = lb // n
     dblk = _pow2_divisor(db, domain_block)
-    assert pack in ("full", "idx")
-    assert mb % dp == 0 and db % tp == 0
-    if device_vad:
-        assert pack == "idx", "device_vad implies the idx output protocol"
-    if dp > 1 or tp > 1:
-        assert device_vad, "sharded cores use the device_vad/idx protocol"
+    assert mode in ("raw", "masked")
+    assert mb % dp == 0 and db % tp == 0 and nb % 8 == 0
+    assert energy_thresh is not None
+    thresh = float(energy_thresh)
 
     def run_search(ranges, bank, d_valid):
         rblk = _pow2_divisor(ranges.shape[0], range_block)
@@ -158,9 +154,9 @@ def build_encode_core(
                         r_c, bankT, d_weight, d_valid,
                         range_block=min(512, rblk) if rblk % 512 == 0 or rblk < 512 else 256,
                         domain_block=dblk,
-                        # idx protocol: orientation is host-derived, skip
+                        # orientation is host-derived (refit_host), skip
                         # the kernel's per-block winner bookkeeping
-                        with_sym=(pack != "idx"),
+                        with_sym=False,
                     )
                     return (*exact_refit(r_mean, r_c, bank, score, bidx,
                                          bsym, s_clip), score)
@@ -225,62 +221,30 @@ def build_encode_core(
         outs = jax.lax.map(do_block, ranges.reshape(m // rblk, rblk, n))
         return tuple(x.reshape(m) for x in outs)
 
-    def pack_out(ranges, idx, s, o, sym, err, n_ranges, energy_thresh_n,
-                 row0=0, score=None):
+    def pack_out(ranges, idx, score, n_ranges, energy_thresh_n, row0=0):
         # sentinels: energy-pruned (fast_mode, 0.75*thresh on mean power —
-        # fractal.py:602) and bucket-pad rows
+        # fractal.py:602), bucket-pad rows, and no-valid-candidate rows
+        # (non-finite selection score — using the score rather than the
+        # refit error lets XLA dead-code-eliminate the device-side refit
+        # chain entirely; s/o/err/sym are host-refit).
+        # Output: 3 bytes per range — the domain index (< 2^24-1 by the
+        # encoder guard; 0xFFFFFF = sentinel). idx is ALL that crosses the
+        # slow device->host link.
         m = ranges.shape[0]
         r_pow = jnp.mean(ranges * ranges, axis=1)
         r_valid = row0 + jnp.arange(m, dtype=jnp.int32) < n_ranges
         silent = (r_pow < energy_thresh_n * 0.75) if fast_mode else jnp.zeros(m, bool)
-        if pack == "idx" and score is not None:
-            # selection validity from the search score: lets XLA dead-code-
-            # eliminate the device-side refit chain (s/o/err are host-refit)
-            dead = silent | ~r_valid | ~jnp.isfinite(score)
-        else:
-            dead = silent | ~r_valid | ~jnp.isfinite(err)
-        if pack == "idx":
-            # 3 bytes per range: the domain index (< 2^24-1 by the encoder
-            # guard; 0xFFFFFF = sentinel). Orientation is re-derived on the
-            # host (ops.affine.refit_host), so idx is ALL that crosses the
-            # slow device->host link.
-            code = jnp.where(dead, 0xFFFFFF, idx).astype(jnp.int32)
-            return jnp.stack(
-                [
-                    (code & 0xFF).astype(jnp.uint8),
-                    ((code >> 8) & 0xFF).astype(jnp.uint8),
-                    ((code >> 16) & 0xFF).astype(jnp.uint8),
-                ],
-                axis=1,
-            )
-        idx = jnp.where(dead, -1, idx)
-        s = jnp.where(dead, 1.0, s)
-        o = jnp.where(dead, 0.0, o)
-        sym = jnp.where(dead, 0, sym).astype(bool)
-        err = jnp.where(dead, 0.0, err)
-        # one packed output = one device->host transfer. idx fits float32
-        # exactly (< 2^24 domains per shard by construction); err >= 0, so
-        # the mirror flag rides its sign bit (sym=1 -> -err, incl. -0.0).
-        err_signed = jnp.where(sym, -err, err)
-        return jnp.stack([idx.astype(jnp.float32), s, o, err_signed])
+        dead = silent | ~r_valid | ~jnp.isfinite(score)
+        code = jnp.where(dead, 0xFFFFFF, idx).astype(jnp.int32)
+        return jnp.stack(
+            [
+                (code & 0xFF).astype(jnp.uint8),
+                ((code >> 8) & 0xFF).astype(jnp.uint8),
+                ((code >> 16) & 0xFF).astype(jnp.uint8),
+            ],
+            axis=1,
+        )
 
-    if not device_vad:
-        def core(weighted, raw, n_samples, n_ranges, n_domains, energy_thresh):
-            bank = build_bank_jax(
-                raw, tile_size, range_size, domain_step, db, n_domains
-            )
-            d_valid = jnp.arange(db, dtype=jnp.int32) < n_domains
-            ranges = weighted.reshape(mb, n)
-            idx, s, o, sym, err, score = run_search(ranges, bank, d_valid)
-            return pack_out(ranges, idx, s, o, sym, err, n_ranges,
-                            energy_thresh, score=score)
-
-        return core
-
-    from ..ops.vad import voiced_mask_jax
-
-    assert energy_thresh is not None
-    thresh = float(energy_thresh)
     if tp > 1:
         assert search in ("exact", "coarse"), search
         if search == "coarse":
@@ -402,15 +366,62 @@ def build_encode_core(
         outs = jax.lax.map(do_chunk, ranges.reshape(m // rblk, rblk, n))
         return tuple(x.reshape(m) for x in outs)
 
-    def core(raw, meta):
-        n_samples, n_ranges, n_domains = meta[0], meta[1], meta[2]
-        rawf = raw.astype(jnp.float32) if in_i16 else raw
+    def finish(ranges, raw_norm, n_ranges, n_domains, inv):
+        if dp > 1:
+            # contiguous range slab for this dp shard — embarrassingly
+            # parallel, zero communication (fractal.py:1180-1182 analog)
+            i = jax.lax.axis_index(dp_axis)
+            mloc = mb // dp
+            row0 = i * mloc
+            ranges = jax.lax.dynamic_slice(
+                ranges, (row0, jnp.int32(0)), (mloc, n)
+            )
+        else:
+            row0 = 0
+
+        if tp > 1:
+            idx, sym, ok = run_search_tp(ranges, raw_norm, n_domains)
+            score = jnp.where(ok, 0.0, -jnp.inf)
+        else:
+            bank = build_bank_jax(
+                raw_norm, tile_size, range_size, domain_step, db, n_domains
+            )
+            d_valid = jnp.arange(db, dtype=jnp.int32) < n_domains
+            idx, _s, _o, _sym, _err, score = run_search(ranges, bank, d_valid)
+        return pack_out(ranges, idx, score, n_ranges, thresh * inv * inv, row0)
+
+    def _norm(raw):
         # scale normalization on device (see compress_audio_arrays notes):
         # float32 search arithmetic near unit range keeps squared terms
         # well-conditioned; s is scale-invariant and o/err are refit on the
         # host at raw scale, so inv never leaves the device.
+        rawf = raw.astype(jnp.float32) if in_i16 else raw
         scale = jnp.max(jnp.abs(rawf))
-        inv = jnp.where(scale > 0, 1.0 / scale, 1.0)
+        return rawf, jnp.where(scale > 0, 1.0 / scale, 1.0)
+
+    if mode == "masked":
+        def core(raw, mask_bytes, meta):
+            rawf, inv = _norm(raw)
+            # per-sample voiced bits, little-endian within each byte —
+            # expanded with shifts + reshape, no gather
+            bits = (
+                mask_bytes[:, None]
+                >> jnp.arange(8, dtype=mask_bytes.dtype)[None, :]
+            ) & 1
+            weighted = rawf * (bits.reshape(nb).astype(jnp.float32) * inv)
+            base = jax.lax.dynamic_slice(
+                weighted, (jnp.asarray(meta[1], jnp.int32),), (lb,)
+            )
+            ranges = base.reshape(mb, n)
+            return finish(ranges, rawf * inv, meta[2], meta[3], inv)
+
+        return core
+
+    from ..ops.vad import voiced_mask_jax
+
+    def core(raw, meta):
+        n_samples, n_ranges, n_domains = meta[0], meta[1], meta[2]
+        rawf, inv = _norm(raw)
         ns = jnp.asarray(n_samples, jnp.int32)
         mask = voiced_mask_jax(rawf, ns, 2 * n, thresh)
         weighted = rawf * (mask.astype(jnp.float32) * inv)
@@ -431,34 +442,7 @@ def build_encode_core(
             tail[None, :],
             ranges,
         )
-        if dp > 1:
-            # contiguous range slab for this dp shard — embarrassingly
-            # parallel, zero communication (fractal.py:1180-1182 analog)
-            i = jax.lax.axis_index(dp_axis)
-            mloc = mb // dp
-            row0 = i * mloc
-            ranges = jax.lax.dynamic_slice(
-                ranges, (row0, jnp.int32(0)), (mloc, n)
-            )
-        else:
-            row0 = 0
-
-        raw_norm = rawf * inv
-        if tp > 1:
-            idx, sym, ok = run_search_tp(ranges, raw_norm, n_domains)
-            zero = jnp.zeros(ranges.shape[0], jnp.float32)
-            s, o = zero, zero
-            err = score = jnp.where(ok, 0.0, -jnp.inf)
-        else:
-            bank = build_bank_jax(
-                raw_norm, tile_size, range_size, domain_step, db, n_domains
-            )
-            d_valid = jnp.arange(db, dtype=jnp.int32) < n_domains
-            idx, s, o, sym, err, score = run_search(ranges, bank, d_valid)
-        return pack_out(
-            ranges, idx, s, o, sym, err, n_ranges, thresh * inv * inv, row0,
-            score,
-        )
+        return finish(ranges, rawf * inv, n_ranges, n_domains, inv)
 
     return core
 
@@ -503,8 +487,6 @@ def compress_audio_arrays(
     search: str = "auto",
     objective: str = "balanced",
     config: EncoderConfig | None = None,
-    _weighted_override=None,
-    _defer_d2h: bool = False,
 ):
     """Fast-path encode returning a packed match record array.
 
@@ -530,12 +512,6 @@ def compress_audio_arrays(
     domain_step = cfg.domain_step
 
     signal = np.ascontiguousarray(np.asarray(signal, dtype=np.float32))
-    original_len = len(signal)
-
-    if _weighted_override is not None:
-        return _compress_shard(
-            signal, cfg, _weighted_override, _defer_d2h, original_len
-        )
     return _compress_fast(signal, cfg)
 
 
@@ -622,7 +598,7 @@ def _compress_fast(signal: np.ndarray, cfg: EncoderConfig, mesh=None):
         nb, lb, db, cfg.tile_size, range_size, domain_step, search_mode,
         cfg.top_k, cfg.emb_dim, cfg.fast_mode, cfg.s_clip, cfg.domain_block,
         cfg.range_block, cfg.objective, stride, cfg.coarse_topc,
-        bool(use_pallas), True, "idx", in_i16, float(cfg.energy_thresh),
+        bool(use_pallas), "raw", in_i16, float(cfg.energy_thresh),
     )
     if mesh is not None:
         from ..parallel.mesh import DP_AXIS, TP_AXIS
@@ -739,106 +715,10 @@ def _resolve_search(cfg: EncoderConfig, range_size: int, db: int):
     return search_mode, stride
 
 
-def _compress_shard(signal, cfg: EncoderConfig, weighted, defer_d2h, original_len):
-    """Streaming shard mode (models.stream): the caller already ran the
-    global VAD + padding; `signal` is the shard's domain-search window and
-    the returned bank is None (serialized separately). Host-side scale
-    normalization + the full packed output protocol."""
-    range_size = cfg.range_size
-    domain_step = cfg.domain_step
-    weighted = np.ascontiguousarray(weighted, dtype=np.float32)
-    assert len(weighted) % range_size == 0
-    n_ranges = len(weighted) // range_size
-
-    n_domains = n_domains_for(original_len, cfg.tile_size, domain_step)
-    if n_ranges == 0 or n_domains == 0:
-        return _empty_result(
-            range_size, cfg.tile_size, domain_step, cfg.energy_thresh,
-            original_len, arrays=True,
-        )
-    if n_domains >= 1 << 24:
-        raise ValueError(
-            f"{n_domains} domains exceeds the single-shot encoder's 2^24 "
-            "index range; use models.stream.compress_audio_streaming "
-            "(process_file_compress selects it automatically)"
-        )
-
-    # Scale normalization: float32 search arithmetic on raw PCM amplitudes
-    # (~3e4) loses ~7 significant digits on squared terms; working near unit
-    # scale keeps the selection scores and refit well-conditioned. s is
-    # scale-invariant; o/err are rescaled on the way out.
-    scale = float(np.max(np.abs(signal))) or 1.0
-    inv = np.float32(1.0 / scale)
-    nb = bucket(original_len, 4096)
-    lb = bucket(n_ranges, 256) * range_size
-    db = bucket(n_domains, 256)
-    raw_p = np.zeros(nb, dtype=np.float32)
-    raw_p[:original_len] = signal
-    raw_p *= inv
-    wtd_p = np.zeros(lb, dtype=np.float32)
-    wtd_p[: len(weighted)] = weighted
-    wtd_p *= inv
-
-    search_mode, stride = _resolve_search(cfg, range_size, db)
-    use_pallas = cfg.use_pallas
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
-    core = _encode_core(
-        nb, lb, db, cfg.tile_size, range_size, domain_step, search_mode,
-        cfg.top_k, cfg.emb_dim, cfg.fast_mode, cfg.s_clip, cfg.domain_block,
-        cfg.range_block, cfg.objective, stride, cfg.coarse_topc,
-        bool(use_pallas), False, "full", False,
-    )
-    args = (
-        jnp.asarray(wtd_p),
-        jnp.asarray(raw_p),
-        jnp.int32(original_len),
-        jnp.int32(n_ranges),
-        jnp.int32(n_domains),
-        jnp.float32(cfg.energy_thresh / (scale * scale)),
-    )
-    if defer_d2h:
-        # streaming pipeline mode (models.stream): the CALLER holds
-        # DEVICE_LOCK, dispatches the next shard before collecting this one
-        # (single-threaded async overlap) and materializes the record later
-        # with collect_packed_matches.
-        return core(*args), scale, n_ranges
-
-    with DEVICE_LOCK, phase("device"):
-        packed = core(*args)
-        with phase("d2h"):
-            rec = collect_packed_matches(packed, scale, n_ranges)
-
-    return (
-        rec,
-        None,
-        n_ranges,
-        range_size,
-        cfg.tile_size,
-        domain_step,
-        cfg.energy_thresh,
-        original_len,
-    )
-
-
-def collect_packed_matches(packed, scale: float, n_ranges: int) -> np.ndarray:
-    """Device->host transfer + record materialization for a packed (4, M)
-    encode output (the counterpart of build_encode_core's packing: the
-    mirror flag is the sign bit of the err row)."""
-    idx, s, o, err_signed = np.asarray(jax.device_get(packed))
-    rec = np.empty(n_ranges, dtype=MATCH_DTYPE)
-    rec["idx"] = idx[:n_ranges].astype(np.int32)
-    rec["s"] = s[:n_ranges]
-    rec["o"] = o[:n_ranges] * scale
-    rec["sym"] = np.signbit(err_signed[:n_ranges]).astype(np.uint8)
-    rec["err"] = np.abs(err_signed[:n_ranges]) * scale
-    return rec
-
-
 def collect_idx_matches(codes, n_ranges: int, ranges: np.ndarray,
                         bank: np.ndarray, s_clip: float) -> np.ndarray:
     """Device->host transfer + record materialization for the idx-only
-    encode output (pack="idx"): one int32 per range — sentinel -1, else the
+    encode output: 3 bytes per range — 0xFFFFFF sentinel, else the
     selected domain index (bits 0..23) with the mirror flag in bit 24.
     s/o/err are recomputed here with the exact f32 refit against the
     SERIALIZED bank (ops.affine.refit_host), so the stored parameters are

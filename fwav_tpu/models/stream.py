@@ -16,6 +16,14 @@ worker processes (fractal.py:285-334, 238-280, 576-581). The TPU equivalents:
   block from local cumulative sums (domain_block_iter), so a multi-GB bank
   streams straight into the .fwav without materializing.
 
+Transfers use the same lean protocols as the single-shot path
+(models.encode): the raw window crosses host->device as int16 when the
+content is 16-bit-exact, the GLOBAL host VAD decisions ride along as packed
+per-sample bits (mode="masked" — hysteresis state carries from t=0, so
+per-shard device VAD would diverge near shard starts), and only 3 bytes per
+range come back; s/o/err/orientation are refit on the host against the
+exact serialized bank rows.
+
 Locality note: the reference searches every domain for every range; a halo
 search is a neighborhood restriction. Audio self-similarity is strongly
 local, and the balanced objective needs only *a* well-fitting small-|s*mean|
@@ -26,14 +34,18 @@ hundreds of thousands of candidate domains either side.
 from __future__ import annotations
 
 import dataclasses
+import os
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import EncoderConfig
 from ..io.container import MATCH_DTYPE
 from ..ops.domains import n_domains_for
 from ..ops.vad import voiced_detection
-from .encode import compress_audio_arrays
+from ..utils.buckets import bucket
+from .encode import DEVICE_LOCK, _encode_core, _resolve_search
 
 #: Encode shard length in samples (~24 s at 44.1 kHz); must stay well under
 #: the bucket grid's comfort zone so every shard reuses one compiled program.
@@ -94,16 +106,18 @@ def compress_audio_streaming(
         kwargs.pop(k, None)
     if kwargs:
         raise TypeError(f"unknown compress kwargs: {sorted(kwargs)}")
-    range_size = cfg.range_size
+    n = cfg.range_size
     step = cfg.domain_step
+    tile = cfg.tile_size
 
     signal = np.ascontiguousarray(np.asarray(signal, dtype=np.float32))
     original_len = len(signal)
-    n_domains = n_domains_for(original_len, cfg.tile_size, step)
+    n_domains = n_domains_for(original_len, tile, step)
 
-    # global prepass: VAD + scale, so shard boundaries don't shift decisions
+    # global prepass: VAD + silence check, so shard boundaries don't shift
+    # decisions (hysteresis state carries from t=0 — fractal.py:897-907)
     voiced = voiced_detection(
-        signal, frame_size=2 * range_size, energy_threshold=cfg.energy_thresh
+        signal, frame_size=2 * n, energy_threshold=cfg.energy_thresh
     )
     weighted = signal * voiced
     if float(np.sum(weighted.astype(np.float64) ** 2)) < 1e-8:
@@ -113,32 +127,47 @@ def compress_audio_streaming(
         from .encode import _empty_result
 
         return _empty_result(
-            range_size, cfg.tile_size, step, cfg.energy_thresh,
-            original_len, arrays=True,
+            n, tile, step, cfg.energy_thresh, original_len, arrays=True,
         )
-    pad_len = (range_size - (original_len % range_size)) % range_size
+    pad_len = (n - (original_len % n)) % n
     if pad_len:
+        # reflect distributes over the signal*mask product, so padding raw
+        # and mask separately reproduces np.pad(weighted, 'reflect') exactly
+        signal_p = np.pad(signal, (0, pad_len), mode="reflect")
+        voiced_p = np.pad(voiced, (0, pad_len), mode="reflect")
         weighted = np.pad(weighted, (0, pad_len), mode="reflect")
+    else:
+        signal_p, voiced_p = signal, voiced
     L = len(weighted)
-    n_ranges = L // range_size
+    n_ranges = L // n
 
-    shard_samples = max(range_size, (shard_samples // range_size) * range_size)
-    bounds = [
-        (a, min(L, a + shard_samples)) for a in range(0, L, shard_samples)
-    ]
+    # 16-bit-exact content ships as int16 (half the host->device bytes)
+    peak = float(np.max(np.abs(signal)))
+    in_i16 = False
+    if np.isfinite(peak) and peak <= 32767.0:
+        as_i16 = signal_p.astype(np.int16)
+        in_i16 = bool(np.array_equal(signal_p, as_i16))
+    raw_src = as_i16 if in_i16 else signal_p
+
+    shard_samples = max(n, (shard_samples // n) * n)
+    bounds = [(a, min(L, a + shard_samples)) for a in range(0, L, shard_samples)]
     slots = [None] * len(bounds)
 
-    from .encode import DEVICE_LOCK, collect_packed_matches
+    def _ckpt(k):
+        return os.path.join(resume_dir, f"shard_{k:06d}.npy") if resume_dir else None
+
+    if resume_dir:
+        os.makedirs(resume_dir, exist_ok=True)
 
     def _collect(pending):
-        k, packed, scale, g0 = pending
+        k, codes, a, b, g0 = pending
+        m = (b - a) // n
         with DEVICE_LOCK:
-            rec = collect_packed_matches(
-                packed, scale, (bounds[k][1] - bounds[k][0]) // range_size
-            )
-        live = rec["idx"] >= 0
-        rec["idx"][live] += g0 // step
-        slots[k] = rec
+            b3 = np.asarray(jax.device_get(codes))[:m].astype(np.int32)
+        slots[k] = rec = _refit_shard(
+            b3, signal, weighted[a:b].reshape(m, n), g0 // step, tile, n,
+            step, cfg.s_clip,
+        )
         if resume_dir:
             np.save(_ckpt(k), rec)
 
@@ -147,47 +176,60 @@ def compress_audio_streaming(
     # DEVICE_LOCK is held PER dispatch / collect, not for the whole file, so
     # batch worker threads encoding short files interleave with a multi-hour
     # streaming encode instead of starving behind it.
-    import os
-
-    def _ckpt(k):
-        return os.path.join(resume_dir, f"shard_{k:06d}.npy") if resume_dir else None
-
-    if resume_dir:
-        os.makedirs(resume_dir, exist_ok=True)
-
     pending = None
     for k, (a, b) in enumerate(bounds):
         if resume_dir and os.path.exists(_ckpt(k)):
             rec = np.load(_ckpt(k))
-            if rec.dtype == MATCH_DTYPE and len(rec) == (b - a) // range_size:
+            if rec.dtype == MATCH_DTYPE and len(rec) == (b - a) // n:
                 slots[k] = rec
                 continue  # resume: shard already encoded
         # domain neighborhood: windows starting in [g0, g1), g0 step-aligned
         g0 = (max(0, a - halo) // step) * step
         g1 = min(original_len, b + halo)
-        raw_window = signal[g0:g1]
-        if n_domains_for(len(raw_window), cfg.tile_size, step) == 0:
+        m = (b - a) // n
+        n_dom_w = n_domains_for(g1 - g0, tile, step)
+        if n_dom_w == 0:
             # shard past the end of usable signal: emit sentinels
-            m = (b - a) // range_size
             rec = np.zeros(m, dtype=MATCH_DTYPE)
             rec["idx"] = -1
             rec["s"] = 1.0
             slots[k] = rec
             continue
-
-        with DEVICE_LOCK:
-            packed, scale, m = compress_audio_arrays(
-                raw_window,
-                framerate,
-                sampwidth,
-                config=cfg,
-                _weighted_override=weighted[a:b],
-                _defer_d2h=True,
+        if n_dom_w >= 1 << 24:
+            raise ValueError(
+                f"{n_dom_w} domains in one shard window exceeds the 2^24 "
+                "index range; lower shard_samples/halo"
             )
-        assert m == (b - a) // range_size
+
+        g1p = min(L, b + halo)  # padded window end (samples)
+        lenw = g1p - g0
+        lb = bucket(m, 256) * n
+        nbw = bucket(max(lenw, (a - g0) + lb), 4096)
+        db = bucket(n_dom_w, 256)
+        raw_p = np.zeros(nbw, dtype=raw_src.dtype)
+        raw_p[:lenw] = raw_src[g0:g1p]
+        vbits = np.zeros(nbw, np.uint8)
+        vbits[:lenw] = voiced_p[g0:g1p]
+        mask_bytes = np.packbits(vbits, bitorder="little")
+        meta = np.array([lenw, a - g0, m, n_dom_w], np.int32)
+
+        search_mode, stride = _resolve_search(cfg, n, db)
+        use_pallas = cfg.use_pallas
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        core = _encode_core(
+            nbw, lb, db, tile, n, step, search_mode, cfg.top_k, cfg.emb_dim,
+            cfg.fast_mode, cfg.s_clip, cfg.domain_block, cfg.range_block,
+            cfg.objective, stride, cfg.coarse_topc, bool(use_pallas),
+            "masked", in_i16, float(cfg.energy_thresh),
+        )
+        with DEVICE_LOCK:
+            codes = core(
+                jnp.asarray(raw_p), jnp.asarray(mask_bytes), jnp.asarray(meta)
+            )
         if pending is not None:
             _collect(pending)
-        pending = (k, packed, scale, g0)
+        pending = (k, codes, a, b, g0)
     if pending is not None:
         _collect(pending)
 
@@ -197,9 +239,43 @@ def compress_audio_streaming(
         rec,
         None,
         n_ranges,
-        range_size,
-        cfg.tile_size,
+        n,
+        tile,
         step,
         cfg.energy_thresh,
         original_len,
     )
+
+
+def _refit_shard(b3, signal, ranges, row_base, tile, n, step, s_clip):
+    """Materialize one shard's match records from its 3-byte device codes:
+    decode window-local indices, shift to GLOBAL rows, rebuild exactly the
+    referenced serialized-bank rows (ops.domains.bank_rows_host — the same
+    box-mean math the .fwav writer streams out) and run the host refit."""
+    from ..ops.affine import refit_host
+    from ..ops.domains import bank_rows_host
+
+    m = len(b3)
+    c = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+    dead = c == 0xFFFFFF
+    rec = np.empty(m, dtype=MATCH_DTYPE)
+    rec["idx"] = -1
+    rec["s"] = 1.0
+    rec["o"] = 0.0
+    rec["sym"] = 0
+    rec["err"] = 0.0
+    live = ~dead
+    if not live.any():
+        return rec
+    rows = c[live].astype(np.int64) + row_base
+    bank_rows = bank_rows_host(signal, tile, n, step, rows)
+    s, o, err, sym = refit_host(
+        np.ascontiguousarray(ranges[live]), bank_rows,
+        np.arange(len(bank_rows), dtype=np.int32), s_clip,
+    )
+    rec["idx"][live] = rows.astype(np.int32)
+    rec["s"][live] = s
+    rec["o"][live] = o
+    rec["sym"][live] = sym
+    rec["err"][live] = err
+    return rec

@@ -164,7 +164,7 @@ def affine_solve_single(range_block: jnp.ndarray, tile: jnp.ndarray):
 def refit_host(ranges, bank, idx, s_clip: float = 16.0):
     """Exact float32 affine refit of already-selected domain positions, on
     the host, against the host-built (serialized) bank — the host half of
-    the idx-only device->host protocol (models.encode pack="idx").
+    the idx-only device->host protocol (models.encode build_encode_core).
 
     The ORIENTATION is re-derived here rather than trusted from the device:
     for a fixed position, the better orientation maximizes num^2 (the

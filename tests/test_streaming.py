@@ -110,24 +110,25 @@ def test_streaming_shard_resume(tmp_path):
     assert len(files) >= 2
 
     # delete the LAST checkpoint and rerun: only that shard recomputes;
-    # earlier shards must be served from disk (poison the encoder to prove it)
+    # earlier shards must be served from disk (count core dispatches to
+    # prove it — the streaming loop fetches one compiled core per shard)
     files[-1].unlink()
     n_calls = 0
-    orig = S.compress_audio_arrays
+    orig = S._encode_core
 
     def counting(*a, **k):
         nonlocal n_calls
         n_calls += 1
         return orig(*a, **k)
 
-    S.compress_audio_arrays = counting
+    S._encode_core = counting
     try:
         rec2, *_ = compress_audio_streaming(
             sig, sr, 2, tile_size=128, shard_samples=4096, halo=2048,
             resume_dir=str(ck),
         )
     finally:
-        S.compress_audio_arrays = orig
+        S._encode_core = orig
     assert n_calls == 1  # only the missing shard ran
     np.testing.assert_array_equal(rec1, rec2)
 
