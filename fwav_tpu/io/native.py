@@ -71,6 +71,18 @@ def _load():
             ctypes.c_char_p, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
             ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
         ]
+        cdll.fwav_refit.restype = ctypes.c_int
+        cdll.fwav_refit.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_float,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        cdll.fwav_collect.restype = ctypes.c_int
+        cdll.fwav_collect.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_float,
+            ctypes.c_void_p,
+        ]
         _lib = cdll
         return _lib
 
@@ -103,6 +115,66 @@ def write(path, rec: np.ndarray, domains: np.ndarray, range_size, framerate,
         )
     )
     return True
+
+
+def refit(ranges: np.ndarray, bank: np.ndarray, idx: np.ndarray,
+          s_clip: float):
+    """Native exact affine refit (ops/affine.refit_host semantics): one pass
+    per row, no M-sized temporaries. `ranges` (M, N) f32 C-contiguous, `bank`
+    (D, N) f32, `idx` (M,) int32 valid rows. Returns (s, o, err, sym-bool)
+    or None when the library is unavailable. Raises IndexError on an
+    out-of-range domain index (matching numpy's take)."""
+    lib = _load()
+    if lib is None:
+        return None
+    bank = np.ascontiguousarray(bank, dtype=np.float32)
+    idx = np.ascontiguousarray(idx, dtype=np.int32)
+    m, n = ranges.shape
+    s = np.empty(m, np.float32)
+    o = np.empty(m, np.float32)
+    err = np.empty(m, np.float32)
+    sym = np.empty(m, np.bool_)
+    rc = lib.fwav_refit(
+        ranges.ctypes.data_as(ctypes.c_void_p),
+        bank.ctypes.data_as(ctypes.c_void_p),
+        idx.ctypes.data_as(ctypes.c_void_p),
+        m, n, len(bank), float(s_clip),
+        s.ctypes.data_as(ctypes.c_void_p),
+        o.ctypes.data_as(ctypes.c_void_p),
+        err.ctypes.data_as(ctypes.c_void_p),
+        sym.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc == -10:
+        raise IndexError("refit: domain index out of range for the bank")
+    _check(rc)
+    return s, o, err, sym
+
+
+def collect(codes: np.ndarray, ranges: np.ndarray, bank: np.ndarray,
+            s_clip: float):
+    """Native 3-byte-code -> packed MATCH record pass (decode + sentinel +
+    exact refit + struct pack in one row-wise loop; the native form of
+    models/encode.collect_idx_matches). `codes` (M, 3) uint8 C-contiguous.
+    Returns the MATCH_DTYPE record array or None when unavailable."""
+    from .container import MATCH_DTYPE
+
+    lib = _load()
+    if lib is None:
+        return None
+    bank = np.ascontiguousarray(bank, dtype=np.float32)
+    m, n = ranges.shape
+    rec = np.empty(m, dtype=MATCH_DTYPE)
+    rc = lib.fwav_collect(
+        codes.ctypes.data_as(ctypes.c_void_p),
+        ranges.ctypes.data_as(ctypes.c_void_p),
+        bank.ctypes.data_as(ctypes.c_void_p),
+        m, n, len(bank), float(s_clip),
+        rec.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc == -10:
+        raise IndexError("collect: domain index out of range for the bank")
+    _check(rc)
+    return rec
 
 
 def read(path, verify_checksum: bool = True):

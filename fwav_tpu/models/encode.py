@@ -726,7 +726,17 @@ def collect_idx_matches(codes, n_ranges: int, ranges: np.ndarray,
     slow device->host path (vs 16 for the full packed protocol)."""
     from ..ops.affine import refit_host
 
-    b = np.asarray(jax.device_get(codes))[:n_ranges].astype(np.int32)
+    b3 = np.ascontiguousarray(np.asarray(jax.device_get(codes))[:n_ranges])
+    if ranges is not None:
+        from ..io import native
+
+        rec = native.collect(
+            b3, np.ascontiguousarray(ranges, dtype=np.float32), bank, s_clip
+        )
+        if rec is not None:
+            return rec
+
+    b = b3.astype(np.int32)
     c = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
     dead = c == 0xFFFFFF
     rec = np.empty(n_ranges, dtype=MATCH_DTYPE)

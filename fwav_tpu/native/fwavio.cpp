@@ -13,6 +13,7 @@
 // SHA-NI fast path (runtime-detected) that measured ~1.4x faster writes and
 // 1.3x faster verified reads than Python's numpy + OpenSSL-hashlib path.
 
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -352,3 +353,159 @@ int fwav_read_payload(const char* path, uint32_t range_size, uint32_t n_ranges,
 }
 
 }  // extern "C"
+
+// Exact affine refit of already-selected domain rows (the host half of the
+// encoder's idx-only device->host protocol; semantics of ops/affine.py
+// refit_host, itself mirroring the reference solve at fractal.py:802-825):
+// orientation re-derived as |num_mirror| > |num_orig| (original wins ties),
+// s from centered sums with the +1e-12 denominator guard, o = mean(r) -
+// s*mean(t), err from the UNclipped s, s clipped to +/-s_clip last. One pass
+// per row, no M-sized temporaries — replaces ~15 full-array numpy passes.
+// ranges: m*n f32 rows; bank: bank_rows*n f32; idx: m int32 (all valid).
+// Returns 0 ok, -10 if any index is out of [0, bank_rows).
+template <int64_t N>
+static inline void refit_one(const float* __restrict r,
+                             const float* __restrict t, int64_t n, float clip,
+                             float* s_out, float* o_out, float* err_out,
+                             uint8_t* sym_out) {
+    const int64_t nn = N > 0 ? N : n;
+    const float invn = 1.0f / float(nn);
+    const float eps = 1e-12f;
+    float rsum = 0.f, tsum = 0.f;
+    for (int64_t j = 0; j < nn; ++j) { rsum += r[j]; tsum += t[j]; }
+    const float rm = rsum * invn, tm = tsum * invn;
+    float num_o = 0.f, num_m = 0.f, denom = 0.f;
+    for (int64_t j = 0; j < nn; ++j) {
+        const float tc = t[j] - tm;
+        num_o += (r[j] - rm) * tc;
+        num_m += (r[nn - 1 - j] - rm) * tc;
+        denom += tc * tc;
+    }
+    const bool sym = fabsf(num_m) > fabsf(num_o);
+    const float s = (sym ? num_m : num_o) / (denom + eps);
+    float e2 = 0.f;
+    for (int64_t j = 0; j < nn; ++j) {
+        const float rc = (sym ? r[nn - 1 - j] : r[j]) - rm;
+        const float v = rc - s * (t[j] - tm);
+        e2 += v * v;
+    }
+    *s_out = s > clip ? clip : (s < -clip ? -clip : s);
+    *o_out = rm - s * tm;
+    *err_out = sqrtf(e2);
+    *sym_out = uint8_t(sym);
+}
+
+template <int64_t N>
+static void refit_rows(const float* __restrict ranges,
+                       const float* __restrict bank,
+                       const int32_t* __restrict idx, int64_t m, int64_t n,
+                       float s_clip, float* __restrict s_out,
+                       float* __restrict o_out, float* __restrict err_out,
+                       uint8_t* __restrict sym_out) {
+    const int64_t nn = N > 0 ? N : n;
+    const float clip = fabsf(s_clip);
+    for (int64_t i = 0; i < m; ++i) {
+        // the row gather is cache-miss-bound on large banks: stay ~16 rows
+        // ahead so the loads overlap the (tiny) per-row arithmetic
+        if (i + 16 < m)
+            __builtin_prefetch(bank + int64_t(idx[i + 16]) * nn, 0, 1);
+        refit_one<N>(ranges + i * nn, bank + int64_t(idx[i]) * nn, n, clip,
+                     s_out + i, o_out + i, err_out + i, sym_out + i);
+    }
+}
+
+// codes: m 3-byte little-endian domain indices (0xFFFFFF = sentinel).
+// rec_out: m packed 17-byte MATCH records (idx i32, s f32, o f32, sym u8,
+// err f32 — io/container.py MATCH_DTYPE). Sentinel rows store the format's
+// true (-1, 1, 0, 0, 0) tuple (fractal.py:1037); live rows get the exact
+// refit. This is models/encode.collect_idx_matches in one native pass.
+template <int64_t N>
+static int collect_rows(const uint8_t* __restrict codes,
+                        const float* __restrict ranges,
+                        const float* __restrict bank, int64_t m, int64_t n,
+                        int64_t bank_rows, float s_clip,
+                        uint8_t* __restrict rec_out) {
+    const int64_t nn = N > 0 ? N : n;
+    const float clip = fabsf(s_clip);
+    const int32_t kSentinel = -1;
+    const float kOne = 1.0f, kZero = 0.0f;
+    for (int64_t i = 0; i < m; ++i) {
+        if (i + 16 < m) {
+            const uint8_t* cp = codes + 3 * (i + 16);
+            const int64_t cnext =
+                int64_t(cp[0]) | (int64_t(cp[1]) << 8) | (int64_t(cp[2]) << 16);
+            if (cnext != 0xFFFFFF)
+                __builtin_prefetch(bank + cnext * nn, 0, 1);
+        }
+        const uint8_t* cp = codes + 3 * i;
+        const int64_t c =
+            int64_t(cp[0]) | (int64_t(cp[1]) << 8) | (int64_t(cp[2]) << 16);
+        uint8_t* out = rec_out + kMatchBytes * i;
+        if (c == 0xFFFFFF) {
+            memcpy(out, &kSentinel, 4);
+            memcpy(out + 4, &kOne, 4);
+            memcpy(out + 8, &kZero, 4);
+            out[12] = 0;
+            memcpy(out + 13, &kZero, 4);
+            continue;
+        }
+        if (c >= bank_rows) return -10;
+        const int32_t c32 = int32_t(c);
+        float s, o, err;
+        uint8_t sym;
+        refit_one<N>(ranges + i * nn, bank + c * nn, n, clip, &s, &o, &err,
+                     &sym);
+        memcpy(out, &c32, 4);
+        memcpy(out + 4, &s, 4);
+        memcpy(out + 8, &o, 4);
+        out[12] = sym;
+        memcpy(out + 13, &err, 4);
+    }
+    return 0;
+}
+
+extern "C" int fwav_refit(
+        const float* ranges, const float* bank, const int32_t* idx,
+        int64_t m, int64_t n, int64_t bank_rows, float s_clip,
+        float* s_out, float* o_out, float* err_out, uint8_t* sym_out) {
+    for (int64_t i = 0; i < m; ++i)
+        if (idx[i] < 0 || idx[i] >= bank_rows) return -10;
+    switch (n) {  // fixed trip counts let the compiler fully unroll
+        case 4:
+            refit_rows<4>(ranges, bank, idx, m, n, s_clip, s_out, o_out,
+                          err_out, sym_out);
+            break;
+        case 8:
+            refit_rows<8>(ranges, bank, idx, m, n, s_clip, s_out, o_out,
+                          err_out, sym_out);
+            break;
+        case 16:
+            refit_rows<16>(ranges, bank, idx, m, n, s_clip, s_out, o_out,
+                           err_out, sym_out);
+            break;
+        default:
+            refit_rows<0>(ranges, bank, idx, m, n, s_clip, s_out, o_out,
+                          err_out, sym_out);
+    }
+    return 0;
+}
+
+extern "C" int fwav_collect(const uint8_t* codes, const float* ranges,
+                            const float* bank, int64_t m, int64_t n,
+                            int64_t bank_rows, float s_clip,
+                            uint8_t* rec_out) {
+    switch (n) {
+        case 4:
+            return collect_rows<4>(codes, ranges, bank, m, n, bank_rows,
+                                   s_clip, rec_out);
+        case 8:
+            return collect_rows<8>(codes, ranges, bank, m, n, bank_rows,
+                                   s_clip, rec_out);
+        case 16:
+            return collect_rows<16>(codes, ranges, bank, m, n, bank_rows,
+                                    s_clip, rec_out);
+        default:
+            return collect_rows<0>(codes, ranges, bank, m, n, bank_rows,
+                                   s_clip, rec_out);
+    }
+}

@@ -161,6 +161,11 @@ def affine_solve_single(range_block: jnp.ndarray, tile: jnp.ndarray):
     return s[0], o[0], sym[0], err[0]
 
 
+#: Test hook: force the numpy reference path even when the native kernel is
+#: available (tests/test_native_refit.py compares the two head to head).
+_FORCE_NUMPY_REFIT = False
+
+
 def refit_host(ranges, bank, idx, s_clip: float = 16.0):
     """Exact float32 affine refit of already-selected domain positions, on
     the host, against the host-built (serialized) bank — the host half of
@@ -185,13 +190,26 @@ def refit_host(ranges, bank, idx, s_clip: float = 16.0):
     ranges (M, N) float32; idx (M,) int32 (valid rows only — callers mask
     sentinels). Returns (s, o, err, sym) — float32 x3 + bool.
 
-    Large temporaries come from a per-shape workspace pool: freed MB-scale
-    numpy blocks go back to the OS, so without pooling every call pays
-    page-fault cost on ~25 MB of fresh allocations (measured ~2x the whole
-    refit's arithmetic on a single-core host)."""
+    The hot implementation is the native one-pass-per-row kernel
+    (native/fwavio.cpp fwav_refit, same semantics; measured ~6x faster than
+    the numpy path below on the 10 s bench shapes — the numpy version is
+    ~15 full-array passes). The numpy path is the always-available fallback
+    and the executable specification the native kernel is tested against
+    (tests/test_native_refit.py).
+
+    Large temporaries in the numpy path come from a per-shape workspace
+    pool: freed MB-scale numpy blocks go back to the OS, so without pooling
+    every call pays page-fault cost on ~25 MB of fresh allocations (measured
+    ~2x the whole refit's arithmetic on a single-core host)."""
     import numpy as np
 
     r = np.ascontiguousarray(ranges, dtype=np.float32)
+    if not _FORCE_NUMPY_REFIT:
+        from ..io import native
+
+        out = native.refit(r, bank, idx, s_clip)
+        if out is not None:
+            return out
     m, n = r.shape
     ws = _refit_workspace(m, n)
     q = np.full((n, 1), np.float32(1.0 / n))
