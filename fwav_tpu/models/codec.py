@@ -69,12 +69,20 @@ def process_file_compress(path, outdir=None, tile=1024, energy_thresh=1e-4,
 
         if len(signal) > STREAMING_THRESHOLD:
             kwargs.pop("use_gpu", None)
+            mesh = None
+            if devices and devices > 1:
+                # compose time-sharded streaming with the (dp, tp) mesh —
+                # every shard dispatch runs under shard_map
+                from ..parallel.mesh import make_mesh
+
+                mesh = make_mesh(devices, dp=devices // tp, tp=tp)
             (
                 rec, _, n_ranges, range_size, tile_size, domain_step,
                 energy_threshold, original_len,
             ) = compress_audio_streaming(
                 signal, framerate, sampwidth, tile_size=tile,
-                energy_thresh=energy_thresh, search=search, **kwargs,
+                energy_thresh=energy_thresh, search=search, mesh=mesh,
+                **kwargs,
             )
             from ..ops.domains import n_domains_for
 

@@ -516,19 +516,37 @@ def compress_audio_arrays(
 
 
 @lru_cache(maxsize=32)
-def _sharded_encode_core(mesh, dp_axis, *key):
+def _sharded_encode_core(mesh, dp_axis, n_in, *key):
     """jit(shard_map(core)) over a (dp, tp) mesh — one entry per
-    (mesh, shape-bucket). Inputs replicated; the (mb,) idx-code output is
-    stitched from per-device dp slabs."""
+    (mesh, shape-bucket). Inputs replicated (`n_in` of them: 2 for
+    mode="raw", 3 for the streaming mode="masked" protocol); the (mb, 3)
+    idx-code output is stitched from per-device dp slabs."""
     from jax.sharding import PartitionSpec as P
 
     core = build_encode_core(*key)
     return jax.jit(
         jax.shard_map(
-            core, mesh=mesh, in_specs=(P(), P()), out_specs=P(dp_axis),
+            core, mesh=mesh, in_specs=(P(),) * n_in, out_specs=P(dp_axis),
             check_vma=False,
         )
     )
+
+
+def check_tp_composition(search_mode: str, stride: int, db: int, tp: int):
+    """Validate that a search mode composes with tp bank sharding for a
+    bucketed bank of `db` rows (shared by the single-shot and streaming
+    encode paths)."""
+    if tp <= 1:
+        return
+    if search_mode == "topk":
+        raise ValueError("search='topk' does not compose with tp bank "
+                         "sharding; use 'exact' or 'coarse'")
+    if search_mode == "coarse" and db // tp < 4 * stride:
+        raise ValueError(
+            f"tp={tp} bank shards of {db // tp} rows cannot cover the "
+            f"coarse refine halo (needs >= {4 * stride}); lower tp or "
+            "use search='exact'"
+        )
 
 
 def _compress_fast(signal: np.ndarray, cfg: EncoderConfig, mesh=None):
@@ -584,16 +602,7 @@ def _compress_fast(signal: np.ndarray, cfg: EncoderConfig, mesh=None):
     use_pallas = cfg.use_pallas
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    if tp > 1:
-        if search_mode == "topk":
-            raise ValueError("search='topk' does not compose with tp bank "
-                             "sharding; use 'exact' or 'coarse'")
-        if search_mode == "coarse" and db // tp < 4 * stride:
-            raise ValueError(
-                f"tp={tp} bank shards of {db // tp} rows cannot cover the "
-                f"coarse refine halo (needs >= {4 * stride}); lower tp or "
-                "use search='exact'"
-            )
+    check_tp_composition(search_mode, stride, db, tp)
     key = (
         nb, lb, db, cfg.tile_size, range_size, domain_step, search_mode,
         cfg.top_k, cfg.emb_dim, cfg.fast_mode, cfg.s_clip, cfg.domain_block,
@@ -604,7 +613,7 @@ def _compress_fast(signal: np.ndarray, cfg: EncoderConfig, mesh=None):
         from ..parallel.mesh import DP_AXIS, TP_AXIS
 
         core = _sharded_encode_core(
-            mesh, DP_AXIS, *key, dp, tp, DP_AXIS, TP_AXIS
+            mesh, DP_AXIS, 2, *key, dp, tp, DP_AXIS, TP_AXIS
         )
     else:
         core = _encode_core(*key)

@@ -44,8 +44,14 @@ from ..config import EncoderConfig
 from ..io.container import MATCH_DTYPE
 from ..ops.domains import n_domains_for
 from ..ops.vad import voiced_detection
-from ..utils.buckets import bucket
-from .encode import DEVICE_LOCK, _encode_core, _resolve_search
+from ..utils.buckets import bucket, pad_to
+from .encode import (
+    DEVICE_LOCK,
+    _encode_core,
+    _resolve_search,
+    _sharded_encode_core,
+    check_tp_composition,
+)
 
 #: Encode shard length in samples (~24 s at 44.1 kHz); must stay well under
 #: the bucket grid's comfort zone so every shard reuses one compiled program.
@@ -82,6 +88,7 @@ def compress_audio_streaming(
     shard_samples: int = DEFAULT_SHARD,
     halo: int = DEFAULT_HALO,
     resume_dir=None,
+    mesh=None,
     **kwargs,
 ):
     """Shard-by-shard encode for long files. Same return contract as
@@ -96,7 +103,15 @@ def compress_audio_streaming(
     resume_dir: chunk-level checkpointing (SURVEY.md §5) — each completed
     shard's match records are persisted there and skipped on re-run, so a
     crashed multi-hour encode resumes at the last finished shard (the
-    analog of the CLI's file-level skip-resume, one level finer)."""
+    analog of the CLI's file-level skip-resume, one level finer).
+
+    mesh: a (dp, tp) jax.sharding.Mesh composes TIME sharding with the
+    multi-chip shardings (SURVEY.md §2.5 SP/CP + DP/TP): every time shard's
+    dispatch runs the production core under shard_map — its ranges split
+    over the dp axis, its domain window tensor-sharded over tp — and the
+    one-deep shard pipeline still applies. Records are BIT-EQUAL to the
+    single-device streaming encode (host refit of device selections;
+    tests/test_stream_sharded.py)."""
     cfg = kwargs.pop("config", None)
     if cfg is None:
         fields = {f.name for f in dataclasses.fields(EncoderConfig)}
@@ -109,6 +124,13 @@ def compress_audio_streaming(
     n = cfg.range_size
     step = cfg.domain_step
     tile = cfg.tile_size
+
+    if mesh is not None and mesh.devices.size > 1:
+        from ..parallel.mesh import DP_AXIS, TP_AXIS
+
+        dp, tp = mesh.shape[DP_AXIS], mesh.shape[TP_AXIS]
+    else:
+        mesh, dp, tp = None, 1, 1
 
     signal = np.ascontiguousarray(np.asarray(signal, dtype=np.float32))
     original_len = len(signal)
@@ -203,9 +225,9 @@ def compress_audio_streaming(
 
         g1p = min(L, b + halo)  # padded window end (samples)
         lenw = g1p - g0
-        lb = bucket(m, 256) * n
+        lb = pad_to(bucket(m, 256), dp * 256) * n
         nbw = bucket(max(lenw, (a - g0) + lb), 4096)
-        db = bucket(n_dom_w, 256)
+        db = pad_to(bucket(n_dom_w, 256), tp * 256)
         raw_p = np.zeros(nbw, dtype=raw_src.dtype)
         raw_p[:lenw] = raw_src[g0:g1p]
         vbits = np.zeros(nbw, np.uint8)
@@ -214,15 +236,24 @@ def compress_audio_streaming(
         meta = np.array([lenw, a - g0, m, n_dom_w], np.int32)
 
         search_mode, stride = _resolve_search(cfg, n, db)
+        check_tp_composition(search_mode, stride, db, tp)
         use_pallas = cfg.use_pallas
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
-        core = _encode_core(
+        key = (
             nbw, lb, db, tile, n, step, search_mode, cfg.top_k, cfg.emb_dim,
             cfg.fast_mode, cfg.s_clip, cfg.domain_block, cfg.range_block,
             cfg.objective, stride, cfg.coarse_topc, bool(use_pallas),
             "masked", in_i16, float(cfg.energy_thresh),
         )
+        if mesh is not None:
+            from ..parallel.mesh import DP_AXIS, TP_AXIS
+
+            core = _sharded_encode_core(
+                mesh, DP_AXIS, 3, *key, dp, tp, DP_AXIS, TP_AXIS
+            )
+        else:
+            core = _encode_core(*key)
         with DEVICE_LOCK:
             codes = core(
                 jnp.asarray(raw_p), jnp.asarray(mask_bytes), jnp.asarray(meta)
