@@ -70,6 +70,13 @@ def main(argv=None):
                          "the reference (inflates the container ~10x over "
                          "the input; only useful for byte-level comparisons "
                          "against reference-encoded files)")
+    pc.add_argument("--compact", action="store_true",
+                    help="write the v2 compact container (fp16 bank + "
+                         "bit-packed match streams): actually compresses "
+                         "(~3x smaller than the default pruned v1) at "
+                         "< 0.02 dB SNR cost; decodes with this tool only "
+                         "(the reference reads v1 files, which remain the "
+                         "default)")
     pc.add_argument("--devices", type=int, default=1,
                     help="encode over an N-device mesh (ranges data-parallel"
                          "; output bit-identical to one device)")
@@ -105,7 +112,7 @@ def main(argv=None):
             process_file_compress(
                 args.input, args.output, args.tile, args.energy_thresh, args.gpu,
                 search=args.search, prune_bank=args.prune_bank,
-                devices=args.devices, tp=args.tp,
+                devices=args.devices, tp=args.tp, compact=args.compact,
             )
         else:
             if args.output is not None:
@@ -131,7 +138,7 @@ def main(argv=None):
                 from functools import partial
 
                 fn = partial(process_file_compress, devices=args.devices,
-                             tp=args.tp)
+                             tp=args.tp, compact=args.compact)
                 results = _run_jobs(fn, todo, args.workers)
                 metrics_file = os.path.join(out_dir, "compression_metrics.json")
                 with open(metrics_file, "w") as mf:
@@ -159,9 +166,12 @@ def main(argv=None):
             (range_size, framerate, sampwidth, tile_size, domain_step,
              energy_threshold, n_ranges, n_domains, original_len) = hdr
             rec = read_matches(args.input)
+        from .io.container import read_version
+
         sentinels = int(np.sum(rec["idx"] < 0)) if len(rec) else 0
         info = {
             "file": args.input,
+            "version": read_version(args.input),
             "n_ranges": int(n_ranges),
             "n_domains": int(n_domains),
             "range_size": int(range_size),

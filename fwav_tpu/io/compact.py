@@ -1,0 +1,237 @@
+"""The compact `.fwav` v2 container (opt-in; CLI `--compact`).
+
+The reference's own README concedes its compression ratios are "not yet
+competitive" (/root/reference/README.md:356): its container stores the full
+sliding-window domain bank plus 17 bytes per range (fractal.py:1278-1322),
+inflating ~10x over 16-bit input. Version 1 here is that format, frozen
+(io/container.py). Version 2 is the rate-focused encoding of the SAME
+decode inputs:
+
+- the bank is pruned to referenced rows (bounded by the range count) and
+  stored float16 with an exact power-of-2 scale (scale_exp): scaling only
+  changes fp exponents, so the only loss is the fp16 rounding itself;
+- matches split into bit-exact selection streams (a live bitmap, a sym
+  bitmap, domain indices bit-packed at the minimal width for the pruned
+  bank) and fp16 parameter streams (s, o — o shares scale_exp with the
+  bank; s is a dimensionless ratio clipped to +/-16 and never scaled);
+- `err` is not stored: no decoder consumes it (the reference's
+  decompress_audio reads only idx/s/o/sym, fractal.py:1391-1449); loaders
+  return err=0.
+
+Measured on the 10 s / 44.1 kHz bench fixture: 0.57 MB vs the 0.88 MB
+input WAV (ratio 1.55) vs 1.9 MB for v1-pruned (0.47) and ~8.9 MB for the
+reference's full-bank layout (0.10) — the first layout of the three that
+actually compresses. Selection (idx/sym/live) is preserved bit-exactly;
+s/o/bank quantization is float16 (~0.05% relative), measured < 0.02 dB of
+round-trip SNR on every fixture (tests/test_compact.py).
+
+Layout (little-endian; first 66 bytes shaped exactly like v1 with
+version=2, so foreign v1 readers fail cleanly on the version byte — the
+reference raises 'Unsupported FWAV version', fractal.py:1334-1336):
+
+    offset  size  field
+    0       4     magic b'FWAV'
+    4       1     version u8 = 2
+    5       29    range_size u32, framerate u32, sampwidth u8, tile_size
+                  u16, domain_step u16, energy_threshold f32, n_ranges u32,
+                  n_domains u32 (stored bank rows), original_len u32
+    34      32    SHA-256 over EVERYTHING after offset 66
+    66      16    ext header: idx_bits u8, scale_exp i8, reserved u16 = 0,
+                  n_live u32, reserved u64 = 0
+    82      ...   bank          n_domains*range_size float16 (value * 2^-scale_exp)
+            ...   live bitmap   ceil(n_ranges/8) bytes (bit i: match i live)
+            ...   sym bitmap    ceil(n_live/8) bytes (per live match)
+            ...   idx stream    ceil(n_live*idx_bits/8) bytes, LSB-first
+            ...   s             n_live float16
+            ...   o             n_live float16 (value * 2^-scale_exp)
+
+All bitmaps/bit-streams pack LSB-first (numpy bitorder='little').
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+
+from .container import MAGIC, MATCH_DTYPE, _HEADER, matches_to_struct
+
+COMPACT_VERSION = 2
+_EXT = struct.Struct("<BbHIQ")
+_CHECKSUM_OFFSET = 34
+_EXT_OFFSET = 66
+#: Keep 2x headroom under float16 max (65504) so arithmetic on loaded
+#: values cannot overflow back into inf.
+_FP16_CEIL = 32768.0
+
+
+def _pack_bits(values: np.ndarray, bits: int) -> bytes:
+    """LSB-first bit-pack non-negative int values at fixed width."""
+    m = len(values)
+    if m == 0 or bits == 0:
+        return b""
+    v = values.astype(np.uint32)
+    b = ((v[:, None] >> np.arange(bits, dtype=np.uint32)[None, :]) & 1).astype(np.uint8)
+    return np.packbits(b.reshape(-1), bitorder="little").tobytes()
+
+
+def _unpack_bits(buf: bytes, m: int, bits: int) -> np.ndarray:
+    if m == 0 or bits == 0:
+        return np.zeros(m, np.int32)
+    raw = np.unpackbits(
+        np.frombuffer(buf, np.uint8), count=m * bits, bitorder="little"
+    )
+    w = 1 << np.arange(bits, dtype=np.int64)
+    return (raw.reshape(m, bits) @ w).astype(np.int32)
+
+
+def _pack_mask(mask: np.ndarray) -> bytes:
+    return np.packbits(mask.astype(np.uint8), bitorder="little").tobytes()
+
+
+def _unpack_mask(buf: bytes, m: int) -> np.ndarray:
+    if m == 0:
+        return np.zeros(0, bool)
+    return np.unpackbits(
+        np.frombuffer(buf, np.uint8), count=m, bitorder="little"
+    ).astype(bool)
+
+
+def _scale_exp_for(peak: float) -> int:
+    """Smallest k >= 0 with peak / 2^k <= _FP16_CEIL (exact power-of-2
+    scaling: only fp exponents change)."""
+    k = 0
+    while peak / (1 << k) > _FP16_CEIL:
+        k += 1
+    return k
+
+
+def save_compressed_compact(
+    filepath,
+    matches,
+    domains_array,
+    range_size,
+    framerate,
+    sampwidth,
+    tile_size,
+    domain_step,
+    energy_threshold,
+    original_len,
+) -> None:
+    """Write the v2 compact container. Same signature as
+    io.container.save_compressed; callers normally prune the bank first
+    (models.encode.prune_bank) — idx_bits is derived from the stored bank,
+    so an unpruned bank only costs width, never correctness."""
+    rec = matches_to_struct(matches)
+    domains = np.ascontiguousarray(np.asarray(domains_array, dtype=np.float32))
+    n_ranges = len(rec)
+    n_domains = len(domains)
+
+    live = rec["idx"] >= 0
+    n_live = int(live.sum())
+    idx = rec["idx"][live].astype(np.int64)
+    if n_live and (idx.max() >= max(n_domains, 1)):
+        raise ValueError("match indices exceed the stored bank")
+    idx_bits = max(1, int(max(n_domains - 1, 1)).bit_length())
+
+    peaks = [float(np.max(np.abs(domains))) if domains.size else 0.0]
+    if n_live:
+        peaks.append(float(np.max(np.abs(rec["o"][live]))))
+    finite = [p for p in peaks if np.isfinite(p)]
+    peak = max(finite) if finite else 0.0
+    scale_exp = _scale_exp_for(peak)
+    inv = np.float32(1.0 / (1 << scale_exp))
+
+    header = (
+        MAGIC
+        + struct.pack("<B", COMPACT_VERSION)
+        + _HEADER.pack(
+            int(range_size), int(framerate), int(sampwidth), int(tile_size),
+            int(domain_step), float(energy_threshold), int(n_ranges),
+            int(n_domains), int(original_len),
+        )
+    )
+    ext = _EXT.pack(idx_bits, scale_exp, 0, n_live, 0)
+
+    streams = [
+        ext,
+        (domains * inv).astype(np.float16).tobytes(),
+        _pack_mask(live),
+        _pack_mask(rec["sym"][live] != 0),
+        _pack_bits(idx, idx_bits),
+        rec["s"][live].astype(np.float16).tobytes(),
+        (rec["o"][live] * inv).astype(np.float16).tobytes(),
+    ]
+    sha = hashlib.sha256()
+    for sblk in streams:
+        sha.update(sblk)
+    with open(filepath, "wb") as f:
+        f.write(header)
+        f.write(sha.digest())
+        for sblk in streams:
+            f.write(sblk)
+
+
+def load_compressed_compact(filepath, verify_checksum: bool = True):
+    """Load a v2 container; returns the same 10-tuple as
+    io.container.load_compressed_arrays (err is 0 — not stored, see module
+    docstring)."""
+    with open(filepath, "rb") as f:
+        head = f.read(_EXT_OFFSET)
+        body = f.read()
+    if head[:4] != MAGIC:
+        raise ValueError("Not a FWAV file")
+    if head[4] != COMPACT_VERSION:
+        raise ValueError(f"Not a compact FWAV container (version {head[4]})")
+    (
+        range_size, framerate, sampwidth, tile_size, domain_step,
+        energy_threshold, n_ranges, n_domains, original_len,
+    ) = _HEADER.unpack(head[5 : 5 + _HEADER.size])
+    stored = head[_CHECKSUM_OFFSET : _CHECKSUM_OFFSET + 32]
+    if verify_checksum and hashlib.sha256(body).digest() != stored:
+        raise ValueError("Checksum mismatch — file may be corrupted")
+
+    if len(body) < _EXT.size:
+        raise ValueError("Truncated FWAV payload")
+    idx_bits, scale_exp, _r0, n_live, _r1 = _EXT.unpack(body[: _EXT.size])
+    scale = np.float32(1 << scale_exp) if scale_exp >= 0 else np.float32(
+        1.0 / (1 << -scale_exp)
+    )
+
+    off = _EXT.size
+    sizes = [
+        n_domains * range_size * 2,
+        (n_ranges + 7) // 8,
+        (n_live + 7) // 8,
+        (n_live * idx_bits + 7) // 8,
+        n_live * 2,
+        n_live * 2,
+    ]
+    if len(body) != off + sum(sizes):
+        raise ValueError("Truncated FWAV payload")
+    parts = []
+    for sz in sizes:
+        parts.append(body[off : off + sz])
+        off += sz
+    bank_b, live_b, sym_b, idx_b, s_b, o_b = parts
+
+    domains = (
+        np.frombuffer(bank_b, np.float16).astype(np.float32) * scale
+    ).reshape(n_domains, range_size)
+    live = _unpack_mask(live_b, n_ranges)
+    if int(live.sum()) != n_live:
+        raise ValueError("Corrupt FWAV live bitmap")
+
+    rec = np.zeros(n_ranges, dtype=MATCH_DTYPE)
+    rec["idx"] = -1
+    rec["s"] = 1.0
+    if n_live:
+        rec["idx"][live] = _unpack_bits(idx_b, n_live, idx_bits)
+        rec["sym"][live] = _unpack_mask(sym_b, n_live)
+        rec["s"][live] = np.frombuffer(s_b, np.float16).astype(np.float32)
+        rec["o"][live] = np.frombuffer(o_b, np.float16).astype(np.float32) * scale
+    return (
+        rec, domains, n_ranges, range_size, framerate, sampwidth, tile_size,
+        domain_step, energy_threshold, original_len,
+    )

@@ -217,22 +217,37 @@ def save_compressed_streaming(
         raise
 
 
+def read_version(filepath) -> int:
+    """Magic check + version byte (1 = reference layout, 2 = compact)."""
+    with open(filepath, "rb") as f:
+        head = f.read(5)
+    if head[:4] != MAGIC:
+        raise ValueError("Not a FWAV file")
+    return head[4]
+
+
 def read_header(filepath):
-    """Parse only the fixed 66-byte header. Returns the 9-tuple
-    (range_size, framerate, sampwidth, tile_size, domain_step,
-    energy_threshold, n_ranges, n_domains, original_len)."""
+    """Parse only the fixed 66-byte header (shared by v1 and the compact
+    v2 layout). Returns the 9-tuple (range_size, framerate, sampwidth,
+    tile_size, domain_step, energy_threshold, n_ranges, n_domains,
+    original_len)."""
     with open(filepath, "rb") as f:
         if f.read(4) != MAGIC:
             raise ValueError("Not a FWAV file")
         version = struct.unpack("<B", f.read(1))[0]
-        if version != FWAV_VERSION:
+        if version not in (FWAV_VERSION, 2):
             raise ValueError(f"Unsupported FWAV version: {version}")
         return _HEADER.unpack(f.read(_HEADER.size))
 
 
 def read_matches(filepath) -> np.ndarray:
     """Read only the match record table, seeking past the domain bank —
-    O(n_ranges) I/O however large the bank is."""
+    O(n_ranges) I/O however large the bank is. Compact v2 banks are bounded
+    by the range count, so the full loader is the same complexity there."""
+    if read_version(filepath) == 2:
+        from .compact import load_compressed_compact
+
+        return load_compressed_compact(filepath, verify_checksum=False)[0]
     (range_size, _fr, _sw, _tile, _step, _thr, n_ranges, n_domains, _olen) = (
         read_header(filepath)
     )
@@ -249,7 +264,16 @@ def load_compressed_arrays(filepath, verify_checksum: bool = True):
     list) plus the domain bank and header fields. Preferred fast path;
     delegates to the native C++ parser (hardware SHA-NI, single fused
     read+verify pass — measured 1.3x the numpy+hashlib path) when the
-    library is built, with this pure-Python path as the fallback."""
+    library is built, with this pure-Python path as the fallback.
+
+    Routes by the container's version byte: compact v2 files
+    (io.compact, CLI --compact) load through load_compressed_compact and
+    return the identical tuple shape."""
+    if read_version(filepath) == 2:
+        from .compact import load_compressed_compact
+
+        return load_compressed_compact(filepath, verify_checksum=verify_checksum)
+
     from . import native
 
     out = native.read(filepath, verify_checksum=verify_checksum)

@@ -52,15 +52,24 @@ def _resolve_out(path, outdir, default_suffix, expected_ext):
 
 def process_file_compress(path, outdir=None, tile=1024, energy_thresh=1e-4,
                           use_gpu=False, prune_bank=False, search="auto",
-                          devices=1, tp=1, **kwargs):
+                          devices=1, tp=1, compact=False, **kwargs):
     """prune_bank=True drops unreferenced domain rows from the container
     (models.encode.prune_bank): the file stays format-valid for ANY decoder
     and decodes bit-identically, at a fraction of the size (the full bank is
     the reference's ~10x inflation, SURVEY.md §2.4.5).
 
+    compact=True writes the v2 rate-focused container instead (io.compact:
+    pruned fp16 bank, bit-packed selection streams — the first layout that
+    actually compresses; implies prune_bank).
+
     devices>1 runs the encode over a (dp=devices//tp, tp) device mesh
     (parallel.shard.compress_audio_sharded — ranges data-parallel, bank
     tensor-sharded) producing bit-identical output to a single device."""
+    if compact:
+        from ..io.compact import save_compressed_compact as _save
+        prune_bank = True
+    else:
+        _save = save_compressed
     try:
         start = time.time()
         signal, framerate, sampwidth = read_wav_mono(path)
@@ -99,7 +108,7 @@ def process_file_compress(path, outdir=None, tile=1024, energy_thresh=1e-4,
                 bank = bank_rows_host(signal, tile_size, range_size,
                                       domain_step, used)
                 rec = remap_matches(rec, used)
-                save_compressed(
+                _save(
                     outpath, rec, bank, range_size, framerate, sampwidth,
                     tile_size, domain_step, energy_threshold, original_len,
                 )
@@ -141,7 +150,7 @@ def process_file_compress(path, outdir=None, tile=1024, energy_thresh=1e-4,
                 rec, domains = _prune(rec, domains)
                 logger.info("Pruned bank to %d referenced domains", len(domains))
             outpath = _resolve_out(path, outdir, ".fwav", ".fwav")
-            save_compressed(
+            _save(
                 outpath, rec, domains, range_size, framerate, sampwidth,
                 tile_size, domain_step, energy_threshold, original_len,
             )

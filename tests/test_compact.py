@@ -1,0 +1,156 @@
+"""Compact v2 container (io/compact.py; CLI --compact).
+
+Selection streams (idx / sym / live bitmap) must round-trip bit-exactly;
+s/o/bank are float16-quantized with an exact power-of-2 scale, so values
+round-trip to fp16 precision and the decode SNR cost is negligible. The
+format is opt-in: v1 stays the default and the only reference-compatible
+layout (a v2 file fails the reference's version check cleanly).
+"""
+
+import numpy as np
+import pytest
+
+from fwav_tpu import compute_snr, decompress_audio, load_compressed_arrays
+from fwav_tpu.io.compact import (
+    load_compressed_compact,
+    save_compressed_compact,
+)
+from fwav_tpu.io.container import (
+    MATCH_DTYPE,
+    read_matches,
+    read_version,
+    save_compressed,
+)
+from fwav_tpu.models.encode import compress_audio_arrays, prune_bank
+
+
+def _sig(seconds=1.2, sr=16000, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(sr * seconds)) / sr
+    sig = 0.4 * np.sin(2 * np.pi * 330 * t) + 0.15 * np.sin(2 * np.pi * 990 * t)
+    sig += 0.01 * rng.standard_normal(len(t))
+    sig[int(0.5 * sr) : int(0.62 * sr)] = 0.0
+    return np.round(sig * 16000).astype(np.float32), sr
+
+
+@pytest.fixture(scope="module")
+def _encoded(tmp_path_factory):
+    sig, sr = _sig()
+    rec, bank, n_ranges, N, tile, step, thr, olen = compress_audio_arrays(
+        sig, sr, 2, tile_size=128
+    )
+    rec, bank = prune_bank(rec, bank)
+    d = tmp_path_factory.mktemp("compact")
+    p1, p2 = d / "v1.fwav", d / "v2.fwav"
+    save_compressed(p1, rec, bank, N, sr, 2, tile, step, thr, olen)
+    save_compressed_compact(p2, rec, bank, N, sr, 2, tile, step, thr, olen)
+    return sig, sr, rec, bank, (n_ranges, N, tile, step, thr, olen), p1, p2
+
+
+def test_round_trip_fields(_encoded):
+    sig, sr, rec, bank, (n_ranges, N, tile, step, thr, olen), p1, p2 = _encoded
+    assert read_version(p2) == 2 and read_version(p1) == 1
+    out = load_compressed_compact(p2)
+    rec2, bank2 = out[0], out[1]
+    assert out[2:] == (n_ranges, N, sr, 2, tile, step, np.float32(thr), olen)
+    # selection is bit-exact
+    np.testing.assert_array_equal(rec2["idx"], rec["idx"])
+    np.testing.assert_array_equal(rec2["sym"], rec["sym"])
+    # parameters to fp16 precision (exact pow2 scale adds no extra error)
+    live = rec["idx"] >= 0
+    assert live.any() and (~live).any()
+    np.testing.assert_allclose(rec2["s"], rec["s"], rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(rec2["o"], rec["o"], rtol=2e-3, atol=16.0)
+    np.testing.assert_allclose(bank2, bank, rtol=1e-3, atol=16.0)
+    # sentinels carry the format's exact tuple; err is not stored
+    assert np.all(rec2["s"][~live] == 1.0) and np.all(rec2["o"][~live] == 0.0)
+    assert np.all(rec2["err"] == 0.0)
+
+
+def test_public_loader_routes_by_version(_encoded):
+    *_, p1, p2 = _encoded
+    rec2, bank2, *rest2 = load_compressed_arrays(p2)
+    recc, bankc, *restc = load_compressed_compact(p2)
+    np.testing.assert_array_equal(rec2, recc)
+    np.testing.assert_array_equal(bank2, bankc)
+    assert rest2 == restc
+    np.testing.assert_array_equal(read_matches(p2), recc)
+
+
+def test_decode_quality_and_size(_encoded):
+    sig, sr, rec, bank, (n_ranges, N, *_), p1, p2 = _encoded
+    r1, b1, *_ = load_compressed_arrays(p1)
+    r2, b2, *_ = load_compressed_arrays(p2)
+    a = decompress_audio(r1, b1, n_ranges, N, original_len=len(sig))
+    b = decompress_audio(r2, b2, n_ranges, N, original_len=len(sig))
+    snr1, snr2 = compute_snr(sig, a), compute_snr(sig, b)
+    assert abs(snr1 - snr2) < 0.02, (snr1, snr2)
+    # the rate claim: >2x smaller than pruned v1 AND smaller than the input
+    v1, v2 = p1.stat().st_size, p2.stat().st_size
+    assert v2 * 2 < v1, (v1, v2)
+    assert v2 < len(sig) * 2, (v2, len(sig) * 2)  # actually compresses
+
+
+def test_checksum_and_truncation(_encoded, tmp_path):
+    *_, p2 = _encoded
+    raw = bytearray(p2.read_bytes())
+    raw[-1] ^= 0xFF
+    bad = tmp_path / "bad.fwav"
+    bad.write_bytes(bytes(raw))
+    with pytest.raises(ValueError, match="Checksum mismatch"):
+        load_compressed_compact(bad)
+    load_compressed_compact(bad, verify_checksum=False)  # opt-out honored
+    short = tmp_path / "short.fwav"
+    short.write_bytes(p2.read_bytes()[:-3])
+    with pytest.raises(ValueError, match="Truncated"):
+        load_compressed_compact(short, verify_checksum=False)
+
+
+def test_scale_exp_handles_loud_content(tmp_path):
+    # o / bank values beyond float16 max must survive via the pow2 scale
+    rng = np.random.default_rng(1)
+    n_ranges, n_dom, N = 64, 32, 4
+    rec = np.zeros(n_ranges, MATCH_DTYPE)
+    rec["idx"] = rng.integers(0, n_dom, n_ranges)
+    rec["s"] = rng.uniform(-16, 16, n_ranges).astype(np.float32)
+    rec["o"] = rng.uniform(-3e5, 3e5, n_ranges).astype(np.float32)
+    rec["sym"] = rng.integers(0, 2, n_ranges)
+    bank = (rng.standard_normal((n_dom, N)) * 2e5).astype(np.float32)
+    p = tmp_path / "loud.fwav"
+    save_compressed_compact(p, rec, bank, N, 8000, 2, 1024, 1, 1e-4, 256)
+    rec2, bank2, *_ = load_compressed_compact(p)
+    assert np.all(np.isfinite(rec2["o"])) and np.all(np.isfinite(bank2))
+    np.testing.assert_allclose(rec2["o"], rec["o"], rtol=2e-3)
+    np.testing.assert_allclose(bank2, bank, rtol=2e-3)
+    np.testing.assert_array_equal(rec2["idx"], rec["idx"])
+
+
+def test_all_silent_round_trip(tmp_path):
+    rec = np.zeros(16, MATCH_DTYPE)
+    rec["idx"] = -1
+    rec["s"] = 1.0
+    bank = np.zeros((1, 4), np.float32)
+    p = tmp_path / "silent.fwav"
+    save_compressed_compact(p, rec, bank, 4, 8000, 2, 1024, 1, 1e-4, 64)
+    rec2, bank2, *_ = load_compressed_compact(p)
+    np.testing.assert_array_equal(rec2, rec)
+    np.testing.assert_array_equal(bank2, bank)
+
+
+def test_cli_compact_round_trip(tmp_path):
+    from fwav_tpu.cli import main
+    from fwav_tpu.io.wav import read_wav_mono, write_wav
+
+    sig, sr = _sig(seconds=0.6, seed=4)
+    wav = tmp_path / "in.wav"
+    write_wav(wav, sig, sr, 2)
+    main(["compress", str(wav), str(tmp_path / "c.fwav"), "--tile", "128",
+          "--compact"])
+    assert read_version(tmp_path / "c.fwav") == 2
+    main(["decompress", str(tmp_path / "c.fwav"),
+          "--out", str(tmp_path / "r.wav")])
+    recon, _, _ = read_wav_mono(tmp_path / "r.wav")
+    assert compute_snr(sig, recon) > 8.0
+    # the non-compact default still writes v1
+    main(["compress", str(wav), str(tmp_path / "d.fwav"), "--tile", "128"])
+    assert read_version(tmp_path / "d.fwav") == 1
