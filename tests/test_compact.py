@@ -137,6 +137,32 @@ def test_all_silent_round_trip(tmp_path):
     np.testing.assert_array_equal(bank2, bank)
 
 
+def test_streaming_compact_file_level(tmp_path, monkeypatch):
+    # long-file branch: streaming encode -> pruned rows -> compact container
+    import fwav_tpu.models.codec as codec
+    from fwav_tpu.io.wav import read_wav_mono, write_wav
+    from fwav_tpu.models.codec import (
+        process_file_compress,
+        process_file_decompress,
+    )
+
+    monkeypatch.setattr(codec, "STREAMING_THRESHOLD", 8000)
+    sig, sr = _sig(seconds=1.5, seed=7)
+    wav = tmp_path / "in.wav"
+    write_wav(wav, sig, sr, 2)
+    r = process_file_compress(
+        str(wav), str(tmp_path / "out.fwav"), tile=128, compact=True,
+        shard_samples=4096, halo=2048,
+    )
+    assert "error" not in r, r
+    assert read_version(r["output"]) == 2
+    assert r["ratio"] > 1.0, r  # actually compresses
+    r2 = process_file_decompress(r["output"], str(tmp_path / "rec.wav"))
+    assert "error" not in r2, r2
+    recon, _, _ = read_wav_mono(r2["output"])
+    assert compute_snr(sig, recon) > 8.0
+
+
 def test_cli_compact_round_trip(tmp_path):
     from fwav_tpu.cli import main
     from fwav_tpu.io.wav import read_wav_mono, write_wav
