@@ -36,16 +36,22 @@ reference raises 'Unsupported FWAV version', fractal.py:1334-1336):
                   u16, domain_step u16, energy_threshold f32, n_ranges u32,
                   n_domains u32 (stored bank rows), original_len u32
     34      32    SHA-256 over EVERYTHING after offset 66
-    66      16    ext header: idx_bits u8, scale_exp i8, reserved u16 = 0,
-                  n_live u32, reserved u64 = 0
-    82      ...   bank          n_domains*range_size float16 (value * 2^-scale_exp)
+    66      16    ext header: idx_bits u8, bank_scale_exp i8, o_scale_exp
+                  i8, reserved u8 = 0, n_live u32, reserved u64 = 0
+    82      ...   bank          n_domains*range_size float16
+                                (value * 2^-bank_scale_exp)
             ...   live bitmap   ceil(n_ranges/8) bytes (bit i: match i live)
             ...   sym bitmap    ceil(n_live/8) bytes (per live match)
             ...   idx stream    ceil(n_live*idx_bits/8) bytes, LSB-first
             ...   s             n_live float16
-            ...   o             n_live float16 (value * 2^-scale_exp)
+            ...   o             n_live float16 (value * 2^-o_scale_exp)
 
-All bitmaps/bit-streams pack LSB-first (numpy bitorder='little').
+All bitmaps/bit-streams pack LSB-first (numpy bitorder='little'). The bank
+and o streams carry independent scale exponents, chosen to land each
+stream's peak magnitude in [8192, 16384): every element within 2^11 of its
+stream's peak then quantizes at full fp16 relative precision, whatever the
+absolute scale of the content (16-bit PCM, unit-range float, or
+microvolt-level signals alike).
 """
 
 from __future__ import annotations
@@ -58,12 +64,9 @@ import numpy as np
 from .container import MAGIC, MATCH_DTYPE, _HEADER, matches_to_struct
 
 COMPACT_VERSION = 2
-_EXT = struct.Struct("<BbHIQ")
+_EXT = struct.Struct("<BbbBIQ")
 _CHECKSUM_OFFSET = 34
 _EXT_OFFSET = 66
-#: Keep 2x headroom under float16 max (65504) so arithmetic on loaded
-#: values cannot overflow back into inf.
-_FP16_CEIL = 32768.0
 
 
 def _pack_bits(values: np.ndarray, bits: int) -> bytes:
@@ -98,13 +101,20 @@ def _unpack_mask(buf: bytes, m: int) -> np.ndarray:
     ).astype(bool)
 
 
-def _scale_exp_for(peak: float) -> int:
-    """Smallest k >= 0 with peak / 2^k <= _FP16_CEIL (exact power-of-2
-    scaling: only fp exponents change)."""
-    k = 0
-    while peak / (1 << k) > _FP16_CEIL:
-        k += 1
-    return k
+def _scale_exp_for(values) -> int:
+    """Exponent k landing max|values| / 2^k in [8192, 16384) — an exact
+    power-of-2 rescale (only fp exponents change) that gives every stored
+    element full float16 relative precision regardless of content scale."""
+    import math
+
+    peak = float(np.max(np.abs(values))) if np.size(values) else 0.0
+    if peak <= 0.0 or not np.isfinite(peak):
+        return 0
+    return int(math.ceil(math.log2(peak))) - 14
+
+
+def _pow2(exp: int) -> np.float32:
+    return np.float32(2.0 ** exp)
 
 
 def save_compressed_compact(
@@ -135,13 +145,8 @@ def save_compressed_compact(
         raise ValueError("match indices exceed the stored bank")
     idx_bits = max(1, int(max(n_domains - 1, 1)).bit_length())
 
-    peaks = [float(np.max(np.abs(domains))) if domains.size else 0.0]
-    if n_live:
-        peaks.append(float(np.max(np.abs(rec["o"][live]))))
-    finite = [p for p in peaks if np.isfinite(p)]
-    peak = max(finite) if finite else 0.0
-    scale_exp = _scale_exp_for(peak)
-    inv = np.float32(1.0 / (1 << scale_exp))
+    bank_exp = _scale_exp_for(domains)
+    o_exp = _scale_exp_for(rec["o"][live]) if n_live else 0
 
     header = (
         MAGIC
@@ -152,16 +157,16 @@ def save_compressed_compact(
             int(n_domains), int(original_len),
         )
     )
-    ext = _EXT.pack(idx_bits, scale_exp, 0, n_live, 0)
+    ext = _EXT.pack(idx_bits, bank_exp, o_exp, 0, n_live, 0)
 
     streams = [
         ext,
-        (domains * inv).astype(np.float16).tobytes(),
+        (domains * _pow2(-bank_exp)).astype(np.float16).tobytes(),
         _pack_mask(live),
         _pack_mask(rec["sym"][live] != 0),
         _pack_bits(idx, idx_bits),
         rec["s"][live].astype(np.float16).tobytes(),
-        (rec["o"][live] * inv).astype(np.float16).tobytes(),
+        (rec["o"][live] * _pow2(-o_exp)).astype(np.float16).tobytes(),
     ]
     sha = hashlib.sha256()
     for sblk in streams:
@@ -194,10 +199,7 @@ def load_compressed_compact(filepath, verify_checksum: bool = True):
 
     if len(body) < _EXT.size:
         raise ValueError("Truncated FWAV payload")
-    idx_bits, scale_exp, _r0, n_live, _r1 = _EXT.unpack(body[: _EXT.size])
-    scale = np.float32(1 << scale_exp) if scale_exp >= 0 else np.float32(
-        1.0 / (1 << -scale_exp)
-    )
+    idx_bits, bank_exp, o_exp, _r0, n_live, _r1 = _EXT.unpack(body[: _EXT.size])
 
     off = _EXT.size
     sizes = [
@@ -217,7 +219,7 @@ def load_compressed_compact(filepath, verify_checksum: bool = True):
     bank_b, live_b, sym_b, idx_b, s_b, o_b = parts
 
     domains = (
-        np.frombuffer(bank_b, np.float16).astype(np.float32) * scale
+        np.frombuffer(bank_b, np.float16).astype(np.float32) * _pow2(bank_exp)
     ).reshape(n_domains, range_size)
     live = _unpack_mask(live_b, n_ranges)
     if int(live.sum()) != n_live:
@@ -230,7 +232,9 @@ def load_compressed_compact(filepath, verify_checksum: bool = True):
         rec["idx"][live] = _unpack_bits(idx_b, n_live, idx_bits)
         rec["sym"][live] = _unpack_mask(sym_b, n_live)
         rec["s"][live] = np.frombuffer(s_b, np.float16).astype(np.float32)
-        rec["o"][live] = np.frombuffer(o_b, np.float16).astype(np.float32) * scale
+        rec["o"][live] = (
+            np.frombuffer(o_b, np.float16).astype(np.float32) * _pow2(o_exp)
+        )
     return (
         rec, domains, n_ranges, range_size, framerate, sampwidth, tile_size,
         domain_step, energy_threshold, original_len,

@@ -60,8 +60,8 @@ def test_round_trip_fields(_encoded):
     live = rec["idx"] >= 0
     assert live.any() and (~live).any()
     np.testing.assert_allclose(rec2["s"], rec["s"], rtol=1e-3, atol=1e-4)
-    np.testing.assert_allclose(rec2["o"], rec["o"], rtol=2e-3, atol=16.0)
-    np.testing.assert_allclose(bank2, bank, rtol=1e-3, atol=16.0)
+    np.testing.assert_allclose(rec2["o"], rec["o"], rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(bank2, bank, rtol=1e-3, atol=1e-3)
     # sentinels carry the format's exact tuple; err is not stored
     assert np.all(rec2["s"][~live] == 1.0) and np.all(rec2["o"][~live] == 0.0)
     assert np.all(rec2["err"] == 0.0)
@@ -121,8 +121,36 @@ def test_scale_exp_handles_loud_content(tmp_path):
     rec2, bank2, *_ = load_compressed_compact(p)
     assert np.all(np.isfinite(rec2["o"])) and np.all(np.isfinite(bank2))
     np.testing.assert_allclose(rec2["o"], rec["o"], rtol=2e-3)
-    np.testing.assert_allclose(bank2, bank, rtol=2e-3)
+    np.testing.assert_allclose(bank2, bank, rtol=1e-3, atol=1e-12)
     np.testing.assert_array_equal(rec2["idx"], rec["idx"])
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_round_trip(tmp_path, seed):
+    # property: any record table + bank round-trips with exact selection
+    # and fp16-bounded parameters, at any shape (incl. n_ranges=0, no
+    # sentinels, all sentinels, n_domains=1, non-pow2 N)
+    rng = np.random.default_rng(seed)
+    n_ranges = int(rng.integers(0, 400))
+    n_dom = int(rng.integers(1, 900))
+    N = int(rng.choice([4, 5, 8, 16]))
+    rec = np.zeros(n_ranges, MATCH_DTYPE)
+    live = rng.random(n_ranges) < rng.random()
+    rec["idx"] = np.where(live, rng.integers(0, n_dom, n_ranges), -1)
+    rec["s"] = np.where(live, rng.uniform(-16, 16, n_ranges), 1.0).astype(np.float32)
+    rec["o"] = np.where(live, rng.uniform(-4e4, 4e4, n_ranges), 0.0).astype(np.float32)
+    rec["sym"] = np.where(live, rng.integers(0, 2, n_ranges), 0)
+    scale = float(rng.choice([1.0, 1e-3, 1e5]))
+    bank = (rng.standard_normal((n_dom, N)) * scale).astype(np.float32)
+    p = tmp_path / f"f{seed}.fwav"
+    save_compressed_compact(p, rec, bank, N, 44100, 2, 1024, 1, 1e-4, n_ranges * N)
+    rec2, bank2, n_r, N2, *_ = load_compressed_compact(p)
+    assert (n_r, N2) == (n_ranges, N)
+    np.testing.assert_array_equal(rec2["idx"], rec["idx"])
+    np.testing.assert_array_equal(rec2["sym"], rec["sym"])
+    np.testing.assert_allclose(rec2["s"], rec["s"], rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(rec2["o"], rec["o"], rtol=1e-3, atol=1e-7)
+    np.testing.assert_allclose(bank2, bank, rtol=1e-3, atol=1e-12)
 
 
 def test_all_silent_round_trip(tmp_path):
