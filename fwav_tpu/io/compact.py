@@ -18,10 +18,11 @@ decode inputs:
   decompress_audio reads only idx/s/o/sym, fractal.py:1391-1449); loaders
   return err=0.
 
-Measured on the 10 s / 44.1 kHz bench fixture: 0.57 MB vs the 0.88 MB
-input WAV (ratio 1.55) vs 1.9 MB for v1-pruned (0.47) and ~8.9 MB for the
-reference's full-bank layout (0.10) — the first layout of the three that
-actually compresses. Selection (idx/sym/live) is preserved bit-exactly;
+Measured on the 10 s / 44.1 kHz bench fixture: 0.44 MB vs the 0.88 MB
+input WAV (ratio 2.02) vs 1.9 MB for v1-pruned (0.47) and ~8.9 MB for the
+reference's full-bank layout (0.10) — the only layout of the three that
+actually compresses (the lossless entropy stage below is worth ~23% on
+top of the raw v2 streams, at ~64 ms for this file). Selection (idx/sym/live) is preserved bit-exactly;
 s/o/bank quantization is float16 (~0.05% relative), measured < 0.02 dB of
 round-trip SNR on every fixture (tests/test_compact.py).
 
@@ -37,27 +38,37 @@ reference raises 'Unsupported FWAV version', fractal.py:1334-1336):
                   n_domains u32 (stored bank rows), original_len u32
     34      32    SHA-256 over EVERYTHING after offset 66
     66      16    ext header: idx_bits u8, bank_scale_exp i8, o_scale_exp
-                  i8, reserved u8 = 0, n_live u32, reserved u64 = 0
-    82      ...   bank          n_domains*range_size float16
-                                (value * 2^-bank_scale_exp)
-            ...   live bitmap   ceil(n_ranges/8) bytes (bit i: match i live)
-            ...   sym bitmap    ceil(n_live/8) bytes (per live match)
-            ...   idx stream    ceil(n_live*idx_bits/8) bytes, LSB-first
-            ...   s             n_live float16
-            ...   o             n_live float16 (value * 2^-o_scale_exp)
+                  i8, flags u8 (FLAG_*), n_live u32, raw_payload_len u64
+    82      ...   payload — if flags & FLAG_DEFLATE, one zlib stream
+                  inflating to raw_payload_len bytes; else the raw streams:
+
+    raw stream order (sizes derivable from the headers alone):
+            bank          n_domains*range_size float16
+                          (value * 2^-bank_scale_exp)
+            live bitmap   ceil(n_ranges/8) bytes (bit i: match i live)
+            sym bitmap    ceil(n_live/8) bytes (per live match)
+            idx stream    ceil(n_live*W/8) bytes, LSB-first; W = idx_bits,
+                          or idx_bits+1 zigzag first-differences when
+                          flags & FLAG_IDX_DELTA
+            s             n_live float16
+            o             n_live float16 (value * 2^-o_scale_exp)
 
 All bitmaps/bit-streams pack LSB-first (numpy bitorder='little'). The bank
 and o streams carry independent scale exponents, chosen to land each
 stream's peak magnitude in [8192, 16384): every element within 2^11 of its
 stream's peak then quantizes at full fp16 relative precision, whatever the
 absolute scale of the content (16-bit PCM, unit-range float, or
-microvolt-level signals alike).
+microvolt-level signals alike). Under FLAG_DEFLATE the fp16 streams are
+byte-planed (see FLAG_DEFLATE comment) and the writer keeps whichever of
+{raw, deflate, deflate+idx-delta} is smallest, so the entropy stage can
+never lose bytes and is exactly lossless over the quantized streams.
 """
 
 from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 
 import numpy as np
 
@@ -68,25 +79,37 @@ _EXT = struct.Struct("<BbbBIQ")
 _CHECKSUM_OFFSET = 34
 _EXT_OFFSET = 66
 
+#: ext-header flags (u8). DEFLATE: the payload after the ext header is one
+#: zlib stream of the raw concatenated streams, with every fp16 stream
+#: byte-planed (all low bytes, then all high bytes — sign/exponent bytes
+#: are near-constant and deflate crushes them). IDX_DELTA: the idx stream
+#: holds zigzag(first-difference) packed at idx_bits+1 instead of raw
+#: indices at idx_bits (neighbouring ranges select nearby domains, so
+#: deltas concentrate near zero and deflate again wins). The writer
+#: measures all variants and keeps the smallest; flags tell the loader
+#: exactly which transforms to undo.
+FLAG_DEFLATE = 1
+FLAG_IDX_DELTA = 2
+
 
 def _pack_bits(values: np.ndarray, bits: int) -> bytes:
     """LSB-first bit-pack non-negative int values at fixed width."""
     m = len(values)
     if m == 0 or bits == 0:
         return b""
-    v = values.astype(np.uint32)
-    b = ((v[:, None] >> np.arange(bits, dtype=np.uint32)[None, :]) & 1).astype(np.uint8)
+    v = values.astype(np.uint64)
+    b = ((v[:, None] >> np.arange(bits, dtype=np.uint64)[None, :]) & 1).astype(np.uint8)
     return np.packbits(b.reshape(-1), bitorder="little").tobytes()
 
 
 def _unpack_bits(buf: bytes, m: int, bits: int) -> np.ndarray:
     if m == 0 or bits == 0:
-        return np.zeros(m, np.int32)
+        return np.zeros(m, np.int64)
     raw = np.unpackbits(
         np.frombuffer(buf, np.uint8), count=m * bits, bitorder="little"
     )
     w = 1 << np.arange(bits, dtype=np.int64)
-    return (raw.reshape(m, bits) @ w).astype(np.int32)
+    return raw.reshape(m, bits) @ w
 
 
 def _pack_mask(mask: np.ndarray) -> bytes:
@@ -115,6 +138,39 @@ def _scale_exp_for(values) -> int:
 
 def _pow2(exp: int) -> np.float32:
     return np.float32(2.0 ** exp)
+
+
+def _byteplane(buf: bytes) -> bytes:
+    """Split an fp16 stream into its low-byte plane then high-byte plane."""
+    a = np.frombuffer(buf, np.uint8)
+    return a[0::2].tobytes() + a[1::2].tobytes()
+
+
+def _unbyteplane(buf: bytes) -> bytes:
+    a = np.frombuffer(buf, np.uint8)
+    h = len(a) // 2
+    out = np.empty(len(a), np.uint8)
+    out[0::2] = a[:h]
+    out[1::2] = a[h:]
+    return out.tobytes()
+
+
+def _zigzag(d: np.ndarray) -> np.ndarray:
+    return ((d << 1) ^ (d >> 63)).astype(np.int64)
+
+
+def _unzigzag(z: np.ndarray) -> np.ndarray:
+    return (z >> 1) ^ -(z & 1)
+
+
+def _idx_delta_encode(idx: np.ndarray) -> np.ndarray:
+    """zigzag(first-difference); element 0 is zigzag(idx[0])."""
+    d = np.diff(idx.astype(np.int64), prepend=np.int64(0))
+    return _zigzag(d)
+
+
+def _idx_delta_decode(zz: np.ndarray) -> np.ndarray:
+    return np.cumsum(_unzigzag(zz.astype(np.int64))).astype(np.int64)
 
 
 def save_compressed_compact(
@@ -157,25 +213,41 @@ def save_compressed_compact(
             int(n_domains), int(original_len),
         )
     )
-    ext = _EXT.pack(idx_bits, bank_exp, o_exp, 0, n_live, 0)
+    bank_b = (domains * _pow2(-bank_exp)).astype(np.float16).tobytes()
+    live_b = _pack_mask(live)
+    sym_b = _pack_mask(rec["sym"][live] != 0)
+    s_b = rec["s"][live].astype(np.float16).tobytes()
+    o_b = (rec["o"][live] * _pow2(-o_exp)).astype(np.float16).tobytes()
 
-    streams = [
-        ext,
-        (domains * _pow2(-bank_exp)).astype(np.float16).tobytes(),
-        _pack_mask(live),
-        _pack_mask(rec["sym"][live] != 0),
-        _pack_bits(idx, idx_bits),
-        rec["s"][live].astype(np.float16).tobytes(),
-        (rec["o"][live] * _pow2(-o_exp)).astype(np.float16).tobytes(),
-    ]
+    # Entropy stage: byteplane the fp16 streams and deflate (level 6 — within
+    # ~0.3% of level 9 at 3x the speed on the bench fixture). The idx stream
+    # is the one transform choice that depends on content (plain packing vs
+    # zigzag first-differences); decide it on the idx stream alone, then run
+    # one full compress. Keep the raw layout if deflate ever loses.
+    idx_plain = _pack_bits(idx, idx_bits)
+    idx_delta = _pack_bits(_idx_delta_encode(idx), idx_bits + 1)
+    if len(zlib.compress(idx_delta, 6)) < len(zlib.compress(idx_plain, 6)):
+        flags, idx_stream = FLAG_DEFLATE | FLAG_IDX_DELTA, idx_delta
+    else:
+        flags, idx_stream = FLAG_DEFLATE, idx_plain
+    planes = (
+        _byteplane(bank_b) + live_b + sym_b + idx_stream
+        + _byteplane(s_b) + _byteplane(o_b)
+    )
+    payload, raw_len = zlib.compress(planes, 6), len(planes)
+    raw = bank_b + live_b + sym_b + idx_plain + s_b + o_b
+    if len(raw) <= len(payload):
+        flags, payload, raw_len = 0, raw, len(raw)
+
+    ext = _EXT.pack(idx_bits, bank_exp, o_exp, flags, n_live, raw_len)
     sha = hashlib.sha256()
-    for sblk in streams:
-        sha.update(sblk)
+    sha.update(ext)
+    sha.update(payload)
     with open(filepath, "wb") as f:
         f.write(header)
         f.write(sha.digest())
-        for sblk in streams:
-            f.write(sblk)
+        f.write(ext)
+        f.write(payload)
 
 
 def load_compressed_compact(filepath, verify_checksum: bool = True):
@@ -199,24 +271,38 @@ def load_compressed_compact(filepath, verify_checksum: bool = True):
 
     if len(body) < _EXT.size:
         raise ValueError("Truncated FWAV payload")
-    idx_bits, bank_exp, o_exp, _r0, n_live, _r1 = _EXT.unpack(body[: _EXT.size])
+    idx_bits, bank_exp, o_exp, flags, n_live, raw_len = _EXT.unpack(
+        body[: _EXT.size]
+    )
 
-    off = _EXT.size
+    payload = body[_EXT.size :]
+    if flags & FLAG_DEFLATE:
+        try:
+            payload = zlib.decompress(payload, bufsize=raw_len)
+        except zlib.error as e:
+            # truncation and bit-flips both surface here: the zlib stream
+            # carries its own adler32, so deflated payloads stay
+            # corruption-checked even when the SHA-256 pass is skipped
+            raise ValueError("Corrupt or truncated FWAV payload") from e
+    eff_idx_bits = idx_bits + 1 if flags & FLAG_IDX_DELTA else idx_bits
     sizes = [
         n_domains * range_size * 2,
         (n_ranges + 7) // 8,
         (n_live + 7) // 8,
-        (n_live * idx_bits + 7) // 8,
+        (n_live * eff_idx_bits + 7) // 8,
         n_live * 2,
         n_live * 2,
     ]
-    if len(body) != off + sum(sizes):
+    if len(payload) != sum(sizes):
         raise ValueError("Truncated FWAV payload")
     parts = []
+    off = 0
     for sz in sizes:
-        parts.append(body[off : off + sz])
+        parts.append(payload[off : off + sz])
         off += sz
     bank_b, live_b, sym_b, idx_b, s_b, o_b = parts
+    if flags & FLAG_DEFLATE:
+        bank_b, s_b, o_b = map(_unbyteplane, (bank_b, s_b, o_b))
 
     domains = (
         np.frombuffer(bank_b, np.float16).astype(np.float32) * _pow2(bank_exp)
@@ -229,7 +315,10 @@ def load_compressed_compact(filepath, verify_checksum: bool = True):
     rec["idx"] = -1
     rec["s"] = 1.0
     if n_live:
-        rec["idx"][live] = _unpack_bits(idx_b, n_live, idx_bits)
+        packed = _unpack_bits(idx_b, n_live, eff_idx_bits)
+        if flags & FLAG_IDX_DELTA:
+            packed = _idx_delta_decode(packed)
+        rec["idx"][live] = packed.astype(np.int32)
         rec["sym"][live] = _unpack_mask(sym_b, n_live)
         rec["s"][live] = np.frombuffer(s_b, np.float16).astype(np.float32)
         rec["o"][live] = (

@@ -99,10 +99,19 @@ def test_checksum_and_truncation(_encoded, tmp_path):
     bad.write_bytes(bytes(raw))
     with pytest.raises(ValueError, match="Checksum mismatch"):
         load_compressed_compact(bad)
-    load_compressed_compact(bad, verify_checksum=False)  # opt-out honored
+    from fwav_tpu.io.compact import _EXT_OFFSET, FLAG_DEFLATE
+
+    if raw[_EXT_OFFSET + 3] & FLAG_DEFLATE:
+        # SHA opt-out honored, but the zlib stream's own adler32 still
+        # catches payload corruption — deflated files are never silently
+        # garbage even with verify_checksum=False
+        with pytest.raises(ValueError, match="payload"):
+            load_compressed_compact(bad, verify_checksum=False)
+    else:
+        load_compressed_compact(bad, verify_checksum=False)  # opt-out honored
     short = tmp_path / "short.fwav"
     short.write_bytes(p2.read_bytes()[:-3])
-    with pytest.raises(ValueError, match="Truncated"):
+    with pytest.raises(ValueError, match="payload"):
         load_compressed_compact(short, verify_checksum=False)
 
 
@@ -151,6 +160,56 @@ def test_fuzz_round_trip(tmp_path, seed):
     np.testing.assert_allclose(rec2["s"], rec["s"], rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(rec2["o"], rec["o"], rtol=1e-3, atol=1e-7)
     np.testing.assert_allclose(bank2, bank, rtol=1e-3, atol=1e-12)
+
+
+def _flags_of(path):
+    from fwav_tpu.io.compact import _EXT_OFFSET
+
+    return path.read_bytes()[_EXT_OFFSET + 3]
+
+
+def test_idx_delta_variant_selected_and_exact(tmp_path):
+    # smoothly drifting domain indices: zigzag first-differences are tiny
+    # constants, so the writer must pick FLAG_IDX_DELTA — and the stream
+    # must still round-trip bit-exactly at idx_bits+1 packing
+    from fwav_tpu.io.compact import FLAG_IDX_DELTA
+
+    n_ranges, n_dom = 4096, 5000
+    rec = np.zeros(n_ranges, MATCH_DTYPE)
+    rec["idx"] = (np.arange(n_ranges) + (np.arange(n_ranges) % 3)) % n_dom
+    rec["s"] = 1.0
+    rng = np.random.default_rng(7)
+    bank = rng.standard_normal((n_dom, 4)).astype(np.float32)
+    p = tmp_path / "drift.fwav"
+    save_compressed_compact(p, rec, bank, 4, 8000, 2, 1024, 1, 1e-4, n_ranges * 4)
+    assert _flags_of(p) & FLAG_IDX_DELTA
+    rec2, *_ = load_compressed_compact(p)
+    np.testing.assert_array_equal(rec2["idx"], rec["idx"])
+
+
+def test_raw_fallback_branch(tmp_path, monkeypatch):
+    # if deflate ever loses (incompressible content), the writer must store
+    # the raw stream layout (flags=0) and the loader must read it back
+    import fwav_tpu.io.compact as compact
+
+    real = compact.zlib.compress
+    monkeypatch.setattr(
+        compact.zlib, "compress", lambda b, lvl=6: real(b, lvl) + b"\0" * len(b)
+    )
+    sig, sr = _sig()
+    rec, bank, n_ranges, N, tile, step, thr, olen = compress_audio_arrays(
+        sig, sr, 2, tile_size=128
+    )
+    rec, bank = prune_bank(rec, bank)
+    p = tmp_path / "raw.fwav"
+    save_compressed_compact(p, rec, bank, N, sr, 2, tile, step, thr, olen)
+    monkeypatch.undo()
+    assert _flags_of(p) == 0
+    rec2, bank2, *_ = load_compressed_compact(p)
+    np.testing.assert_array_equal(rec2["idx"], rec["idx"])
+    np.testing.assert_array_equal(rec2["sym"], rec["sym"])
+    np.testing.assert_allclose(rec2["s"], rec["s"], rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(bank2, bank, rtol=1e-3, atol=1e-3)
 
 
 def test_all_silent_round_trip(tmp_path):
