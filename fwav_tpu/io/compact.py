@@ -92,24 +92,42 @@ FLAG_DEFLATE = 1
 FLAG_IDX_DELTA = 2
 
 
+#: Values per bit-packing chunk. Must be a multiple of 8 so every full
+#: chunk contributes a whole number of bytes at any width (chunk*bits % 8
+#: == 0) and chunks concatenate without bit realignment. Bounds the
+#: (chunk, bits) intermediate to ~0.25 GB at 32-bit width — an hour-scale
+#: file (~80 M live ranges) packs in constant memory instead of
+#: materializing an (m, bits) uint64 tensor.
+_BITPACK_CHUNK = 1 << 20
+
+
 def _pack_bits(values: np.ndarray, bits: int) -> bytes:
     """LSB-first bit-pack non-negative int values at fixed width."""
     m = len(values)
     if m == 0 or bits == 0:
         return b""
-    v = values.astype(np.uint64)
-    b = ((v[:, None] >> np.arange(bits, dtype=np.uint64)[None, :]) & 1).astype(np.uint8)
-    return np.packbits(b.reshape(-1), bitorder="little").tobytes()
+    shifts = np.arange(bits, dtype=np.uint64)[None, :]
+    out = []
+    for i in range(0, m, _BITPACK_CHUNK):
+        v = values[i : i + _BITPACK_CHUNK].astype(np.uint64)
+        b = ((v[:, None] >> shifts) & 1).astype(np.uint8)
+        out.append(np.packbits(b.reshape(-1), bitorder="little").tobytes())
+    return b"".join(out)
 
 
 def _unpack_bits(buf: bytes, m: int, bits: int) -> np.ndarray:
     if m == 0 or bits == 0:
         return np.zeros(m, np.int64)
-    raw = np.unpackbits(
-        np.frombuffer(buf, np.uint8), count=m * bits, bitorder="little"
-    )
     w = 1 << np.arange(bits, dtype=np.int64)
-    return raw.reshape(m, bits) @ w
+    a = np.frombuffer(buf, np.uint8)
+    res = np.empty(m, np.int64)
+    step_bytes = _BITPACK_CHUNK * bits // 8
+    for i in range(0, m, _BITPACK_CHUNK):
+        mc = min(_BITPACK_CHUNK, m - i)
+        chunk = a[i // _BITPACK_CHUNK * step_bytes :][: (mc * bits + 7) // 8]
+        raw = np.unpackbits(chunk, count=mc * bits, bitorder="little")
+        res[i : i + mc] = raw.reshape(mc, bits) @ w
+    return res
 
 
 def _pack_mask(mask: np.ndarray) -> bytes:
@@ -127,13 +145,16 @@ def _unpack_mask(buf: bytes, m: int) -> np.ndarray:
 def _scale_exp_for(values) -> int:
     """Exponent k landing max|values| / 2^k in [8192, 16384) — an exact
     power-of-2 rescale (only fp exponents change) that gives every stored
-    element full float16 relative precision regardless of content scale."""
+    element full float16 relative precision regardless of content scale.
+    Clamped to the int8 ext-header field / normal-float32 scale range:
+    subnormal-float32 peaks (below ~2^-112) store with reduced precision
+    instead of crashing the writer."""
     import math
 
     peak = float(np.max(np.abs(values))) if np.size(values) else 0.0
     if peak <= 0.0 or not np.isfinite(peak):
         return 0
-    return int(math.ceil(math.log2(peak))) - 14
+    return max(-126, min(126, int(math.ceil(math.log2(peak))) - 14))
 
 
 def _pow2(exp: int) -> np.float32:
@@ -220,13 +241,18 @@ def save_compressed_compact(
     o_b = (rec["o"][live] * _pow2(-o_exp)).astype(np.float16).tobytes()
 
     # Entropy stage: byteplane the fp16 streams and deflate (level 6 — within
-    # ~0.3% of level 9 at 3x the speed on the bench fixture). The idx stream
-    # is the one transform choice that depends on content (plain packing vs
-    # zigzag first-differences); decide it on the idx stream alone, then run
-    # one full compress. Keep the raw layout if deflate ever loses.
+    # ~0.3% of level 9 at 3x the speed on the bench fixture; hour-scale
+    # payloads drop to level 1, ~100 MB/s, within ~1.5% of level 6). The idx
+    # stream is the one transform choice that depends on content (plain
+    # packing vs zigzag first-differences); decide it by probing a bounded
+    # prefix of the idx stream alone, then run one full compress. Keep the
+    # raw layout if deflate ever loses.
     idx_plain = _pack_bits(idx, idx_bits)
     idx_delta = _pack_bits(_idx_delta_encode(idx), idx_bits + 1)
-    if len(zlib.compress(idx_delta, 6)) < len(zlib.compress(idx_plain, 6)):
+    probe = 4 << 20
+    if len(zlib.compress(idx_delta[:probe], 1)) < len(
+        zlib.compress(idx_plain[:probe], 1)
+    ):
         flags, idx_stream = FLAG_DEFLATE | FLAG_IDX_DELTA, idx_delta
     else:
         flags, idx_stream = FLAG_DEFLATE, idx_plain
@@ -234,7 +260,8 @@ def save_compressed_compact(
         _byteplane(bank_b) + live_b + sym_b + idx_stream
         + _byteplane(s_b) + _byteplane(o_b)
     )
-    payload, raw_len = zlib.compress(planes, 6), len(planes)
+    level = 6 if len(planes) <= (64 << 20) else 1
+    payload, raw_len = zlib.compress(planes, level), len(planes)
     raw = bank_b + live_b + sym_b + idx_plain + s_b + o_b
     if len(raw) <= len(payload):
         flags, payload, raw_len = 0, raw, len(raw)

@@ -105,9 +105,16 @@ def process_file_compress(path, outdir=None, tile=1024, energy_thresh=1e-4,
                 from .encode import remap_matches
 
                 used = np.unique(rec["idx"][rec["idx"] >= 0])
-                bank = bank_rows_host(signal, tile_size, range_size,
-                                      domain_step, used)
-                rec = remap_matches(rec, used)
+                if used.size == 0:
+                    # same guard as encode.prune_bank: the reference's
+                    # load_compressed crashes on an n_domains=0 container
+                    # (np.vstack of nothing, fractal.py:1372) — keep one
+                    # zero row so all-sentinel files stay loadable
+                    bank = np.zeros((1, range_size), np.float32)
+                else:
+                    bank = bank_rows_host(signal, tile_size, range_size,
+                                          domain_step, used)
+                    rec = remap_matches(rec, used)
                 _save(
                     outpath, rec, bank, range_size, framerate, sampwidth,
                     tile_size, domain_step, energy_threshold, original_len,

@@ -583,9 +583,14 @@ def _compress_fast(signal: np.ndarray, cfg: EncoderConfig, mesh=None):
     nb = bucket(original_len, 4096)
     # bucket the RANGE COUNT, not the sample count: lb must be an exact
     # multiple of range_size for the (mb, N) reshape (range_size can have
-    # odd factors, e.g. tile_size=1536 -> range_size=6)
-    lb = pad_to(bucket(n_ranges, 256), dp * 256) * range_size
-    db = pad_to(bucket(n_domains, 256), tp * 256)
+    # odd factors, e.g. tile_size=1536 -> range_size=6). Shard-divisibility
+    # padding applies only on real meshes: pad_to with dp=1/tp=1 would
+    # round the quarter-octave bucket values (320/384/...) back up to
+    # 256-multiples and undo the small-shape padding cap.
+    rb = bucket(n_ranges, 256)
+    dbk = bucket(n_domains, 256)
+    lb = (pad_to(rb, dp * 256) if dp > 1 else rb) * range_size
+    db = pad_to(dbk, tp * 256) if tp > 1 else dbk
 
     # 16-bit PCM content (every real 8/16-bit WAV) crosses host->device as
     # int16 — half the bytes of float32 on the link that costs ~50 MB/s
@@ -727,11 +732,14 @@ def _resolve_search(cfg: EncoderConfig, range_size: int, db: int):
 def collect_idx_matches(codes, n_ranges: int, ranges: np.ndarray,
                         bank: np.ndarray, s_clip: float) -> np.ndarray:
     """Device->host transfer + record materialization for the idx-only
-    encode output: 3 bytes per range — 0xFFFFFF sentinel, else the
-    selected domain index (bits 0..23) with the mirror flag in bit 24.
+    encode output: exactly 3 bytes per range — 0xFFFFFF sentinel, else the
+    selected domain index in bits 0..23. The mirror orientation is NOT
+    transmitted: refit_host re-derives it on the host (see
+    build_encode_core's docstring and CLAUDE.md — deriving orientation
+    host-side is what makes records bit-reproducible across shardings).
     s/o/err are recomputed here with the exact f32 refit against the
     SERIALIZED bank (ops.affine.refit_host), so the stored parameters are
-    self-consistent with the stored bank and only ~4 bytes/range cross the
+    self-consistent with the stored bank and only 3 bytes/range cross the
     slow device->host path (vs 16 for the full packed protocol)."""
     from ..ops.affine import refit_host
 

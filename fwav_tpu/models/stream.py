@@ -225,9 +225,14 @@ def compress_audio_streaming(
 
         g1p = min(L, b + halo)  # padded window end (samples)
         lenw = g1p - g0
-        lb = pad_to(bucket(m, 256), dp * 256) * n
+        # shard-divisibility padding only on real meshes (see
+        # models/encode.py: pad_to at dp=1/tp=1 would undo the
+        # quarter-octave buckets' small-shape padding cap)
+        rbw = bucket(m, 256)
+        dbw = bucket(n_dom_w, 256)
+        lb = (pad_to(rbw, dp * 256) if dp > 1 else rbw) * n
         nbw = bucket(max(lenw, (a - g0) + lb), 4096)
-        db = pad_to(bucket(n_dom_w, 256), tp * 256)
+        db = pad_to(dbw, tp * 256) if tp > 1 else dbw
         raw_p = np.zeros(nbw, dtype=raw_src.dtype)
         raw_p[:lenw] = raw_src[g0:g1p]
         vbits = np.zeros(nbw, np.uint8)

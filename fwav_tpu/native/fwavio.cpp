@@ -374,14 +374,22 @@ static inline void refit_one(const float* __restrict r,
     float rsum = 0.f, tsum = 0.f;
     for (int64_t j = 0; j < nn; ++j) { rsum += r[j]; tsum += t[j]; }
     const float rm = rsum * invn, tm = tsum * invn;
-    float num_o = 0.f, num_m = 0.f, denom = 0.f;
+    float num_o = 0.f, num_m = 0.f, denom = 0.f, rcss = 0.f;
     for (int64_t j = 0; j < nn; ++j) {
+        const float rc = r[j] - rm;
         const float tc = t[j] - tm;
-        num_o += (r[j] - rm) * tc;
+        num_o += rc * tc;
         num_m += (r[nn - 1 - j] - rm) * tc;
         denom += tc * tc;
+        rcss += rc * rc;
     }
-    const bool sym = fabsf(num_m) > fabsf(num_o);
+    // Orientation tie tolerance — keep in sync with _TIE_TOL in
+    // ops/affine.py refit_host: original wins unless the mirror beats it
+    // by more than 1e-5 of the Cauchy-Schwarz bound on |num|, so this
+    // sequential accumulation and numpy's BLAS/pairwise one agree on every
+    // mathematically-tied (palindromic-tile) row.
+    const float tol = 1e-5f * sqrtf(rcss) * sqrtf(denom);
+    const bool sym = fabsf(num_m) > fabsf(num_o) + tol;
     const float s = (sym ? num_m : num_o) / (denom + eps);
     float e2 = 0.f;
     for (int64_t j = 0; j < nn; ++j) {

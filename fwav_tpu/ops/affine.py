@@ -21,6 +21,12 @@ import jax
 import jax.numpy as jnp
 
 _EPS = 1e-12
+#: Orientation tie tolerance, relative to the Cauchy-Schwarz bound
+#: sqrt(sum r_c^2)*sqrt(sum t_c^2) on |num|. Must exceed n*ulp_f32
+#: (~1e-6 at n=16) so the numpy and native refits — which accumulate in
+#: different orders — agree on every mathematically-tied orientation.
+#: Keep in sync with TIE_TOL in native/fwavio.cpp.
+_TIE_TOL = 1e-5
 
 
 def affine_stats(tiles: jnp.ndarray):
@@ -220,9 +226,20 @@ def refit_host(ranges, bank, idx, s_clip: float = 16.0):
     t_c = np.subtract(t, t_mean[:, None], out=ws["tc"])
     num_o = np.einsum("ij,ij->i", r_c, t_c, out=ws["v1"])
     num_m = np.einsum("ij,ij->i", r_c[:, ::-1], t_c, out=ws["v2"])
-    sym = np.abs(num_m) > np.abs(num_o)  # strict: original wins ties
-    num = np.where(sym, num_m, num_o)
     denom = np.einsum("ij,ij->i", t_c, t_c, out=ws["v3"])
+    # Orientation: original unless mirror wins by more than a tolerance
+    # scaled to the Cauchy-Schwarz bound on |num| (sqrt(sum r_c^2 * sum
+    # t_c^2)). For palindromic tiles num_o and num_m are the SAME terms
+    # summed in different orders, so a strict |num_m| > |num_o| resolves
+    # by accumulation-order noise — and flips between this path and the
+    # native sequential kernel (identical margin there, fwavio.cpp
+    # refit_one). The margin (1e-5 > n*ulp_f32) makes both paths agree on
+    # every mathematical tie; a mirror that truly wins by less than 1e-5
+    # of the correlation bound changes err only at the 1e-10 level.
+    rcss = np.einsum("ij,ij->i", r_c, r_c, out=ws["v4"])
+    tol = np.float32(_TIE_TOL) * np.sqrt(rcss) * np.sqrt(denom)
+    sym = np.abs(num_m) > np.abs(num_o) + tol
+    num = np.where(sym, num_m, num_o)
     s = num / (denom + np.float32(_EPS))
     o = r_mean - s * t_mean
     r_c_eff = np.where(sym[:, None], r_c[:, ::-1], r_c)
@@ -253,6 +270,7 @@ def _refit_workspace(m: int, n: int):
             v1=np.empty(m, np.float32),
             v2=np.empty(m, np.float32),
             v3=np.empty(m, np.float32),
+            v4=np.empty(m, np.float32),
         )
         _REFIT_TLS.ws = ws
     return ws

@@ -134,6 +134,24 @@ def test_scale_exp_handles_loud_content(tmp_path):
     np.testing.assert_array_equal(rec2["idx"], rec["idx"])
 
 
+def test_subnormal_content_does_not_crash(tmp_path):
+    # peaks below float32's normal range clamp the pow2 exponent to the
+    # int8 header field instead of crashing struct.pack / overflowing 2^k
+    rec = np.zeros(8, MATCH_DTYPE)
+    rec["idx"] = np.arange(8) % 2
+    rec["s"] = 1.0
+    rec["o"] = np.float32(1e-41)
+    bank = np.full((2, 4), 1e-41, np.float32)
+    p = tmp_path / "tiny.fwav"
+    save_compressed_compact(p, rec, bank, 4, 8000, 2, 1024, 1, 1e-4, 32)
+    rec2, bank2, *_ = load_compressed_compact(p)
+    np.testing.assert_array_equal(rec2["idx"], rec["idx"])
+    assert np.all(np.isfinite(bank2)) and np.all(np.isfinite(rec2["o"]))
+    # reduced precision is acceptable down here, sign/scale must survive
+    np.testing.assert_allclose(bank2, bank, rtol=2e-3)
+    np.testing.assert_allclose(rec2["o"], rec["o"], rtol=2e-3)
+
+
 @pytest.mark.parametrize("seed", range(6))
 def test_fuzz_round_trip(tmp_path, seed):
     # property: any record table + bank round-trips with exact selection
@@ -210,6 +228,29 @@ def test_raw_fallback_branch(tmp_path, monkeypatch):
     np.testing.assert_array_equal(rec2["sym"], rec["sym"])
     np.testing.assert_allclose(rec2["s"], rec["s"], rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(bank2, bank, rtol=1e-3, atol=1e-3)
+
+
+def test_large_payload_level1_path(tmp_path):
+    # >64 MB of raw streams routes through the fast (level-1) deflate and
+    # the bounded idx probe; round trip must stay exact on selections. The
+    # bank carries the bulk (cheap to build) while n_ranges stays >1 chunk
+    # of the chunked bit-packer (tests/test_compact.py is CPU-only).
+    rng = np.random.default_rng(3)
+    n_ranges, n_dom = 2_000_000, 4_000_000
+    rec = np.zeros(n_ranges, MATCH_DTYPE)
+    rec["idx"] = rng.integers(0, n_dom, n_ranges)
+    rec["s"] = rng.uniform(-16, 16, n_ranges).astype(np.float32)
+    rec["o"] = rng.uniform(-3e4, 3e4, n_ranges).astype(np.float32)
+    rec["sym"] = rng.integers(0, 2, n_ranges)
+    bank = rng.standard_normal((n_dom, 4)).astype(np.float32)
+    p = tmp_path / "big.fwav"
+    save_compressed_compact(p, rec, bank, 4, 44100, 2, 1024, 1, 1e-4, n_ranges * 4)
+    rec2, bank2, n_r, *_ = load_compressed_compact(p)
+    assert n_r == n_ranges
+    np.testing.assert_array_equal(rec2["idx"], rec["idx"])
+    np.testing.assert_array_equal(rec2["sym"], rec["sym"])
+    np.testing.assert_allclose(rec2["s"], rec["s"], rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(bank2, bank, rtol=1e-3, atol=1e-12)
 
 
 def test_all_silent_round_trip(tmp_path):

@@ -149,3 +149,25 @@ def test_native_refit_rejects_out_of_range_index():
         native.refit(ranges, bank, np.array([0, 3], np.int32), 16.0)
     with pytest.raises(IndexError):
         native.refit(ranges, bank, np.array([-1, 0], np.int32), 16.0)
+
+
+@needs_native
+@pytest.mark.parametrize("n", [4, 8, 16, 6])
+def test_orientation_agrees_on_palindromic_tiles(n):
+    # palindromic bank rows make num_orig and num_mirror the SAME terms
+    # summed in different orders: a strict |num_m| > |num_o| would resolve
+    # by accumulation-order noise and flip between the native sequential
+    # kernel and numpy's BLAS reductions (measured 607/2000 rows before
+    # the Cauchy-Schwarz-scaled tie tolerance). Both paths must now pick
+    # the ORIGINAL orientation on every mathematical tie.
+    rng = np.random.default_rng(5)
+    M = 2000
+    half = rng.standard_normal((M, n // 2)).astype(np.float32)
+    mid = rng.standard_normal((M, n % 2)).astype(np.float32)
+    bank = np.concatenate([half, mid, half[:, ::-1]], axis=1)
+    ranges = (rng.standard_normal((M, n)) * 100).astype(np.float32)
+    idx = np.arange(M, dtype=np.int32)
+    *_, y_n = _numpy_refit(ranges, bank, idx, 16.0)
+    *_, y_c = native.refit(np.ascontiguousarray(ranges), bank, idx, 16.0)
+    np.testing.assert_array_equal(y_c, y_n)
+    assert not y_n.any()  # ties resolve to original in both paths
