@@ -18,6 +18,7 @@ from .models import (
     compress_audio,
     compress_audio_arrays,
     decompress_audio,
+    decompress_segment,
     process_file_compress,
     process_file_decompress,
 )
@@ -39,7 +40,7 @@ __all__ = [
     "MATCH_DTYPE", "load_compressed", "load_compressed_arrays",
     "read_wav_mono", "save_compressed", "write_wav",
     "compress_audio", "compress_audio_arrays", "compress_audio_streaming",
-    "decompress_audio",
+    "decompress_audio", "decompress_segment",
     "process_file_compress", "process_file_decompress",
     "multi_head_embedding", "tile_embedding", "tonal_embedding",
     "transient_embedding", "voiced_detection",

@@ -102,6 +102,11 @@ def main(argv=None):
     pd.add_argument("--batch", action="store_true",
                     help="treat input as directory and decompress all FWAV inside")
     pd.add_argument("--workers", type=int, default=4)
+    pd.add_argument("--start", type=float, default=None, metavar="SEC",
+                    help="decode only from this time (random-access segment "
+                         "decode; exact — ranges are independent)")
+    pd.add_argument("--duration", type=float, default=None, metavar="SEC",
+                    help="length of the decoded segment (with --start)")
 
     args = parser.parse_args(argv)
 
@@ -192,7 +197,9 @@ def main(argv=None):
         if not args.batch:
             out_file = args.out or (os.path.splitext(args.input)[0] + "_recon.wav")
             process_file_decompress(args.input, out_file, args.iter, args.eps,
-                                    args.gpu, s_damping=args.damping)
+                                    args.gpu, s_damping=args.damping,
+                                    start_s=args.start,
+                                    duration_s=args.duration)
         else:
             out_dir = args.out or args.input
             files = [
@@ -215,7 +222,11 @@ def main(argv=None):
             )
             if todo:
                 os.makedirs(out_dir, exist_ok=True)
-                results = _run_jobs(process_file_decompress, todo, args.workers)
+                from functools import partial
+
+                fn = partial(process_file_decompress, start_s=args.start,
+                             duration_s=args.duration)
+                results = _run_jobs(fn, todo, args.workers)
                 metrics_file = os.path.join(out_dir, "decompression_metrics.json")
                 with open(metrics_file, "w") as mf:
                     json.dump(results, mf, indent=2)

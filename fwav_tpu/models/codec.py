@@ -180,24 +180,44 @@ def process_file_compress(path, outdir=None, tile=1024, energy_thresh=1e-4,
 
 
 def process_file_decompress(path, outdir=None, iterations=8, eps=1e-3,
-                            use_gpu=False, s_damping=0.0, **kwargs):
+                            use_gpu=False, s_damping=0.0, start_s=None,
+                            duration_s=None, **kwargs):
+    """File-level decode (reference: process_file_decompress,
+    fractal.py:1524-1546). Beyond the reference: start_s/duration_s decode
+    only the requested time window (models.decode.decompress_segment —
+    exact, per-range independent) and write it as the output WAV."""
     try:
         start = time.time()
         (
             rec, domains, n_ranges, range_size, framerate, sampwidth,
             tile_size, domain_step, energy_threshold, original_len,
         ) = load_compressed_arrays(path)
-        recon = decompress_audio(
-            rec, domains, n_ranges, range_size, iterations=iterations,
-            convergence_eps=eps, use_gpu=use_gpu, original_len=original_len,
-            s_damping=s_damping, **kwargs,
-        )
+        if start_s is not None or duration_s is not None:
+            from .decode import decompress_segment
+
+            a = int(round((start_s or 0.0) * framerate))
+            b = (
+                a + int(round(duration_s * framerate))
+                if duration_s is not None else int(original_len)
+            )
+            recon = decompress_segment(
+                rec, domains, n_ranges, range_size, a, b,
+                original_len=original_len, iterations=iterations,
+                convergence_eps=eps, use_gpu=use_gpu, s_damping=s_damping,
+                **kwargs,
+            )
+        else:
+            recon = decompress_audio(
+                rec, domains, n_ranges, range_size, iterations=iterations,
+                convergence_eps=eps, use_gpu=use_gpu,
+                original_len=original_len, s_damping=s_damping, **kwargs,
+            )
         if sampwidth == 4:
             recon = np.clip(recon, -1.0, 1.0)
         outpath = _resolve_out(path, outdir, "_recon.wav", ".wav")
         write_wav(outpath, np.asarray(recon), framerate, sampwidth)
         elapsed = time.time() - start
-        xrt = (original_len / framerate / elapsed) if elapsed > 0 else float("inf")
+        xrt = (len(recon) / framerate / elapsed) if elapsed > 0 else float("inf")
         logger.info(
             "Decompressed %s -> %s  time=%.2fs  x_realtime=%.1f",
             path, outpath, elapsed, xrt,

@@ -292,3 +292,47 @@ def decompress_audio(
     if original_len is not None:
         recon = recon[: int(original_len)]
     return recon
+
+
+def decompress_segment(
+    matches,
+    domains_array,
+    n_ranges,
+    range_size,
+    start,
+    end,
+    original_len=None,
+    **decode_kwargs,
+):
+    """Random-access decode of samples [start, end) without reconstructing
+    the file. Fractal reconstruction here is per-range independent (ranges
+    never overlap — fractal.py:1112's non-overlapping reshape), so decoding
+    only the ranges covering the window is EXACT: for the default
+    s_damping=0 closed form the result is bit-identical to slicing the full
+    decode (tested); for the damped device loop it reaches the same fixed
+    point, with only the per-chunk early-break iteration count able to
+    differ (same caveat as DECODE_SHARD_RANGES chunking).
+
+    start/end are sample offsets (end exclusive, clamped to the file);
+    negative start clamps to 0. Returns the float32 segment — a capability
+    the reference lacks (its decoder is whole-file only,
+    fractal.py:1378-1473)."""
+    n_ranges = int(n_ranges)
+    range_size = int(range_size)
+    total = (
+        int(original_len) if original_len is not None
+        else n_ranges * range_size
+    )
+    start = max(0, int(start))
+    end = min(int(end), total)
+    if end <= start or n_ranges == 0:
+        return np.zeros(0, np.float32)
+
+    r0 = start // range_size
+    r1 = min(-(-end // range_size), n_ranges)
+    rec = matches_to_struct(matches)[r0:r1]
+    seg = decompress_audio(
+        rec, domains_array, r1 - r0, range_size,
+        original_len=None, **decode_kwargs,
+    )
+    return seg[start - r0 * range_size : end - r0 * range_size]
