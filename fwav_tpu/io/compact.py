@@ -284,6 +284,9 @@ def load_compressed_compact(filepath, verify_checksum: bool = True):
     with open(filepath, "rb") as f:
         head = f.read(_EXT_OFFSET)
         body = f.read()
+    if len(head) < _EXT_OFFSET:
+        raise ValueError("Not a FWAV file" if head[:4] != MAGIC
+                         else "Truncated FWAV payload")
     if head[:4] != MAGIC:
         raise ValueError("Not a FWAV file")
     if head[4] != COMPACT_VERSION:

@@ -221,7 +221,7 @@ def read_version(filepath) -> int:
     """Magic check + version byte (1 = reference layout, 2 = compact)."""
     with open(filepath, "rb") as f:
         head = f.read(5)
-    if head[:4] != MAGIC:
+    if len(head) < 5 or head[:4] != MAGIC:
         raise ValueError("Not a FWAV file")
     return head[4]
 
@@ -232,12 +232,14 @@ def read_header(filepath):
     tile_size, domain_step, energy_threshold, n_ranges, n_domains,
     original_len)."""
     with open(filepath, "rb") as f:
-        if f.read(4) != MAGIC:
-            raise ValueError("Not a FWAV file")
-        version = struct.unpack("<B", f.read(1))[0]
-        if version not in (FWAV_VERSION, 2):
-            raise ValueError(f"Unsupported FWAV version: {version}")
-        return _HEADER.unpack(f.read(_HEADER.size))
+        head = f.read(5 + _HEADER.size)
+    if len(head) < 5 or head[:4] != MAGIC:
+        raise ValueError("Not a FWAV file")
+    if head[4] not in (FWAV_VERSION, 2):
+        raise ValueError(f"Unsupported FWAV version: {head[4]}")
+    if len(head) < 5 + _HEADER.size:
+        raise ValueError("Truncated FWAV payload")
+    return _HEADER.unpack(head[5:])
 
 
 def read_matches(filepath) -> np.ndarray:
@@ -286,10 +288,13 @@ def load_compressed_arrays(filepath, verify_checksum: bool = True):
         version = struct.unpack("<B", f.read(1))[0]
         if version != FWAV_VERSION:
             raise ValueError(f"Unsupported FWAV version: {version}")
+        hdr = f.read(_HEADER.size)
+        if len(hdr) != _HEADER.size:
+            raise ValueError("Truncated FWAV payload")
         (
             range_size, framerate, sampwidth, tile_size, domain_step,
             energy_threshold, n_ranges, n_domains, original_len,
-        ) = _HEADER.unpack(f.read(_HEADER.size))
+        ) = _HEADER.unpack(hdr)
         stored_checksum = f.read(32)
 
         dom_bytes = n_domains * range_size * 4
