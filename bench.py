@@ -119,7 +119,13 @@ def main(argv=None):
         return
 
     best, best_value = None, float("-inf")
+    t0 = time.time()
     for attempt in range(3):
+        # compiles are not persistable across processes on tunneled PJRT
+        # plugins, and a slow tunnel phase can stretch one compile past
+        # 8 minutes — bound the total wall clock and keep whatever we have
+        if best is not None and time.time() - t0 > 700:
+            break
         try:
             out = subprocess.run(
                 [sys.executable, __file__, "--single"],

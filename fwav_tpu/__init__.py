@@ -17,6 +17,7 @@ from .io import (
 from .models import (
     compress_audio,
     compress_audio_arrays,
+    compress_audio_packed,
     decompress_audio,
     decompress_segment,
     process_file_compress,
@@ -39,7 +40,8 @@ __all__ = [
     "DecoderConfig", "EncoderConfig", "VADConfig",
     "MATCH_DTYPE", "load_compressed", "load_compressed_arrays",
     "read_wav_mono", "save_compressed", "write_wav",
-    "compress_audio", "compress_audio_arrays", "compress_audio_streaming",
+    "compress_audio", "compress_audio_arrays", "compress_audio_packed",
+    "compress_audio_streaming",
     "decompress_audio", "decompress_segment",
     "process_file_compress", "process_file_decompress",
     "multi_head_embedding", "tile_embedding", "tonal_embedding",

@@ -54,6 +54,10 @@ def main(argv=None):
                     help="treat input as directory and compress all WAV inside")
     pc.add_argument("--workers", type=int, default=4,
                     help="parallel file-level workers for batch")
+    pc.add_argument("--packed", action="store_true",
+                    help="batch mode: encode same-bucket files in single "
+                         "vmapped device dispatches (amortizes the device "
+                         "round trip over many small files)")
     pc.add_argument("--search", default="auto",
                     choices=["auto", "exact", "coarse", "topk"],
                     help="auto (default: coarse-to-fine for large banks, brute "
@@ -140,11 +144,21 @@ def main(argv=None):
             )
             if todo:
                 os.makedirs(out_dir, exist_ok=True)
-                from functools import partial
+                if args.packed:
+                    from .models.codec import process_files_compress_packed
 
-                fn = partial(process_file_compress, devices=args.devices,
-                             tp=args.tp, compact=args.compact)
-                results = _run_jobs(fn, todo, args.workers)
+                    results = process_files_compress_packed(
+                        [(f, outp) for f, outp, *_ in todo],
+                        tile=args.tile, energy_thresh=args.energy_thresh,
+                        search=args.search, prune_bank=args.prune_bank,
+                        compact=args.compact,
+                    )
+                else:
+                    from functools import partial
+
+                    fn = partial(process_file_compress, devices=args.devices,
+                                 tp=args.tp, compact=args.compact)
+                    results = _run_jobs(fn, todo, args.workers)
                 metrics_file = os.path.join(out_dir, "compression_metrics.json")
                 with open(metrics_file, "w") as mf:
                     json.dump(results, mf, indent=2)

@@ -1,6 +1,6 @@
 from .codec import process_file_compress, process_file_decompress
 from .decode import decompress_audio, decompress_segment
-from .encode import compress_audio, compress_audio_arrays
+from .encode import compress_audio, compress_audio_arrays, compress_audio_packed
 
 __all__ = [
     "process_file_compress",
@@ -8,4 +8,5 @@ __all__ = [
     "decompress_audio", "decompress_segment",
     "compress_audio",
     "compress_audio_arrays",
+    "compress_audio_packed",
 ]

@@ -179,6 +179,77 @@ def process_file_compress(path, outdir=None, tile=1024, energy_thresh=1e-4,
         return {"input": path, "error": str(e)}
 
 
+def process_files_compress_packed(jobs, tile=1024, energy_thresh=1e-4,
+                                  search="auto", prune_bank=False,
+                                  compact=False):
+    """Batch compress with PACKED device dispatches (CLI `--batch
+    --packed`): all readable inputs encode through
+    models.encode.compress_audio_packed — one vmapped dispatch per
+    same-bucket stack of files — then save per file. Small-file batch
+    throughput is transport-round-trip-bound in the thread-pool mode; this
+    amortizes the round trip across up to PACK_B_MAX files.
+
+    jobs: [(input_wav, output_fwav), ...]. Returns per-file metric dicts
+    (time_s is the pack's wall time divided across its files; "packed"
+    marks them). Unreadable files return error dicts without sinking the
+    batch, same isolation as process_file_compress."""
+    if compact:
+        from ..io.compact import save_compressed_compact as _save
+        prune_bank = True
+    else:
+        _save = save_compressed
+    from .encode import compress_audio_packed
+    from .encode import prune_bank as _prune
+
+    t0 = time.time()
+    loaded, results = [], [None] * len(jobs)
+    for k, (path, _out) in enumerate(jobs):
+        try:
+            signal, framerate, sampwidth = read_wav_mono(path)
+            if sampwidth == 4:
+                signal = np.clip(signal.astype(np.float32), -1.0, 1.0)
+            loaded.append((k, signal, framerate, sampwidth))
+        except Exception as e:  # noqa: BLE001 — per-file isolation
+            logger.exception("Compression failed for %s", jobs[k][0])
+            results[k] = {"input": jobs[k][0], "error": str(e)}
+
+    encoded = compress_audio_packed(
+        [sig for _, sig, _, _ in loaded], 0, 0, tile_size=tile,
+        energy_thresh=energy_thresh, search=search,
+    )
+    for (k, _sig, framerate, sampwidth), enc in zip(loaded, encoded):
+        path, outpath = jobs[k]
+        try:
+            (rec, domains, n_ranges, range_size, tile_size, domain_step,
+             energy_threshold, original_len) = enc
+            if prune_bank:
+                rec, domains = _prune(rec, domains)
+            _save(
+                outpath, rec, domains, range_size, framerate, sampwidth,
+                tile_size, domain_step, energy_threshold, original_len,
+            )
+            in_size = os.path.getsize(path)
+            out_size = os.path.getsize(outpath)
+            results[k] = {
+                "input": path, "output": outpath,
+                "ratio": in_size / out_size if out_size else 0,
+                "packed": True,
+            }
+        except Exception as e:  # noqa: BLE001
+            logger.exception("Compression failed for %s", path)
+            results[k] = {"input": path, "error": str(e)}
+    elapsed = time.time() - t0
+    share = elapsed / max(len(loaded), 1)
+    for r in results:
+        if r is not None and "error" not in r:
+            r["time_s"] = share
+    logger.info(
+        "Packed-compressed %d files in %.2fs (%.1f files/s)",
+        len(loaded), elapsed, len(loaded) / elapsed if elapsed > 0 else 0,
+    )
+    return results
+
+
 def process_file_decompress(path, outdir=None, iterations=8, eps=1e-3,
                             use_gpu=False, s_damping=0.0, start_s=None,
                             duration_s=None, **kwargs):

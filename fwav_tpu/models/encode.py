@@ -515,6 +515,150 @@ def compress_audio_arrays(
     return _compress_fast(signal, cfg)
 
 
+#: Files per packed dispatch: bounds device memory (B x bank blocks) while
+#: amortizing the per-dispatch transport round trip over many small files.
+PACK_B_MAX = 16
+
+
+@lru_cache(maxsize=64)
+def _packed_encode_core(*key):
+    """jit(vmap(core)): one dispatch encodes a whole stack of same-bucket
+    files (compress_audio_packed). jit re-traces per leading-axis size, so
+    callers pad stacks to powers of two to bound retraces."""
+    return jax.jit(jax.vmap(build_encode_core(*key)))
+
+
+def compress_audio_packed(
+    signals,
+    framerate,
+    sampwidth,
+    tile_size: int = 1024,
+    energy_thresh: float = 1e-4,
+    fast_mode: bool = True,
+    search: str = "auto",
+    objective: str = "balanced",
+    config: EncoderConfig | None = None,
+):
+    """Encode MANY short signals with one device dispatch per same-bucket
+    stack of up to PACK_B_MAX files (vmap over the fused encode core).
+
+    Small-file batch throughput is transport-bound: each single-file
+    dispatch pays the device round trip (~30 ms on tunneled rigs) for a few
+    ms of compute, capping the thread-pool batch mode (cli --batch) near
+    1/round-trip files/s however many workers run. Packing amortizes that
+    round trip across the stack. Files group by their shape bucket
+    (nb, lb, db) + dtype, so mixed-length inputs still pack whenever they
+    share buckets; host-side bank builds and the exact refit stay per-file
+    (overlapped with the packed D2H fetch, same protocol as the single-shot
+    path). Selections come from the same core vmapped — records match the
+    single-shot encoder's exactly on tie-free content (vmap batching may
+    legally flip fp near-ties; the decoder contract never changes).
+
+    Replaces the reference's file-level multiprocessing.Pool fan-out
+    (fractal.py:1605-1617) rather than translating it: one SPMD program
+    over a stack of files instead of N processes contending for one GPU.
+
+    Returns a list of compress_audio_arrays-shaped 8-tuples, input order.
+    """
+    del framerate, sampwidth  # shape-independent; kept for API symmetry
+    device_banner()
+    cfg = config or EncoderConfig(
+        tile_size=tile_size, energy_thresh=energy_thresh,
+        fast_mode=fast_mode, search=search, objective=objective,
+    )
+    range_size = cfg.range_size
+    domain_step = cfg.domain_step
+
+    results = [None] * len(signals)
+    groups: dict = {}
+    prepped: dict = {}
+    for i, sig in enumerate(signals):
+        signal = np.ascontiguousarray(np.asarray(sig, dtype=np.float32))
+        original_len = len(signal)
+        n_ranges = -(-original_len // range_size) if original_len else 0
+        n_domains = n_domains_for(original_len, cfg.tile_size, domain_step)
+        if n_ranges == 0 or n_domains == 0:
+            results[i] = _empty_result(
+                range_size, cfg.tile_size, domain_step, cfg.energy_thresh,
+                original_len, arrays=True,
+            )
+            continue
+        if n_domains >= 1 << 24:
+            raise ValueError(
+                f"signal {i}: {n_domains} domains exceeds the packed "
+                "encoder's 2^24 index range; encode long files "
+                "individually (compress_audio_streaming)"
+            )
+        nb = bucket(original_len, 4096)
+        lb = bucket(n_ranges, 256) * range_size
+        db = bucket(n_domains, 256)
+        peak = float(np.max(np.abs(signal)))
+        in_i16 = bool(
+            np.isfinite(peak) and peak <= 32767.0
+            and np.array_equal(signal, signal.astype(np.int16))
+        )
+        raw_p = np.zeros(nb, dtype=np.int16 if in_i16 else np.float32)
+        raw_p[:original_len] = signal.astype(np.int16) if in_i16 else signal
+        search_mode, stride = _resolve_search(cfg, range_size, db)
+        use_pallas = cfg.use_pallas
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        key = (
+            nb, lb, db, cfg.tile_size, range_size, domain_step, search_mode,
+            cfg.top_k, cfg.emb_dim, cfg.fast_mode, cfg.s_clip,
+            cfg.domain_block, cfg.range_block, cfg.objective, stride,
+            cfg.coarse_topc, bool(use_pallas), "raw", in_i16,
+            float(cfg.energy_thresh),
+        )
+        groups.setdefault(key, []).append(i)
+        prepped[i] = (
+            signal, raw_p,
+            np.array([original_len, n_ranges, n_domains], np.int32),
+            n_ranges, n_domains, original_len,
+        )
+
+    for key, idxs in groups.items():
+        core = _packed_encode_core(*key)
+        for c0 in range(0, len(idxs), PACK_B_MAX):
+            chunk = idxs[c0 : c0 + PACK_B_MAX]
+            b_real = len(chunk)
+            b_pad = 1 << (b_real - 1).bit_length()  # pow2 bounds retraces
+            rows = chunk + [chunk[-1]] * (b_pad - b_real)
+            raws = np.stack([prepped[i][1] for i in rows])
+            metas = np.stack([prepped[i][2] for i in rows])
+            with DEVICE_LOCK, phase("device"):
+                codes = core(jnp.asarray(raws), jnp.asarray(metas))
+                box: dict = {}
+
+                def _fetch(codes=codes, box=box):
+                    try:
+                        box["codes"] = np.asarray(jax.device_get(codes))
+                    except BaseException as e:  # surfaced after join
+                        box["exc"] = e
+
+                fetcher = threading.Thread(target=_fetch, daemon=True)
+                with phase("d2h"):
+                    fetcher.start()
+                    banks = {}
+                    with phase("host_bank"):
+                        for i in chunk:
+                            banks[i] = build_domains_host(
+                                prepped[i][0], cfg.tile_size, range_size,
+                                domain_step,
+                            )
+                    fetcher.join()
+            if "exc" in box:
+                raise box["exc"]
+            for j, i in enumerate(chunk):
+                signal, _raw, _meta, n_ranges, n_domains, olen = prepped[i]
+                assert len(banks[i]) == n_domains
+                results[i] = _finalize_encode(
+                    box["codes"][j][:n_ranges], signal, cfg, range_size,
+                    domain_step, n_ranges, n_domains, olen, banks[i],
+                )
+    return results
+
+
 @lru_cache(maxsize=32)
 def _sharded_encode_core(mesh, dp_axis, n_in, *key):
     """jit(shard_map(core)) over a (dp, tp) mesh — one entry per
@@ -651,7 +795,18 @@ def _compress_fast(signal: np.ndarray, cfg: EncoderConfig, mesh=None):
         raise box["exc"]
     c = box["codes"][:n_ranges]
     assert len(bank) == n_domains
+    return _finalize_encode(
+        c, signal, cfg, range_size, domain_step, n_ranges, n_domains,
+        original_len, bank,
+    )
 
+
+def _finalize_encode(c, signal, cfg, range_size, domain_step, n_ranges,
+                     n_domains, original_len, bank):
+    """Host half of the idx-only encode protocol, per file: sentinel/silent
+    classification and the exact refit of the device's selections against
+    the serialized bank. Shared by the single-shot path and
+    compress_audio_packed (which fetches many files' codes in one D2H)."""
     pad_len = (range_size - (original_len % range_size)) % range_size
     if cfg.fast_mode and bool(np.all(c == 0xFF)):  # every 3-byte code 0xFFFFFF
         # every range pruned: distinguish the reference's all-silent empty
