@@ -115,6 +115,11 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     if args.cmd == "compress":
+        if args.packed and not args.batch:
+            parser.error("--packed only applies to --batch mode")
+        if args.packed and (args.devices > 1 or args.tp > 1):
+            parser.error("--packed runs single-device; drop --devices/--tp "
+                         "or use the thread-pool batch mode")
         if not args.batch:
             if args.output is None:
                 parser.error("compress requires OUTPUT unless --batch is used")
@@ -208,8 +213,22 @@ def main(argv=None):
         print(json.dumps(info, indent=2))
 
     elif args.cmd == "decompress":
+        # segment decodes get their own output names: a 1 s excerpt must
+        # not masquerade as the full reconstruction nor trip skip-resume
+        # against (or for) a later full decode
+        if args.start is not None or args.duration is not None:
+            seg = "_recon_seg"
+            if args.start is not None:
+                seg += f"_{args.start:g}s"
+            if args.duration is not None:
+                seg += f"+{args.duration:g}s"
+            recon_suffix = seg + ".wav"
+        else:
+            recon_suffix = "_recon.wav"
         if not args.batch:
-            out_file = args.out or (os.path.splitext(args.input)[0] + "_recon.wav")
+            out_file = args.out or (
+                os.path.splitext(args.input)[0] + recon_suffix
+            )
             process_file_decompress(args.input, out_file, args.iter, args.eps,
                                     args.gpu, s_damping=args.damping,
                                     start_s=args.start,
@@ -225,7 +244,7 @@ def main(argv=None):
             for f in files:
                 base = os.path.basename(f)
                 outpath = os.path.join(
-                    out_dir, base[: -len(".fwav")] + "_recon.wav"
+                    out_dir, base[: -len(".fwav")] + recon_suffix
                 )
                 if not os.path.exists(outpath):
                     todo.append((f, outpath, args.iter, args.eps, args.gpu,

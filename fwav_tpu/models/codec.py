@@ -195,57 +195,89 @@ def process_files_compress_packed(jobs, tile=1024, energy_thresh=1e-4,
     batch, same isolation as process_file_compress."""
     if compact:
         from ..io.compact import save_compressed_compact as _save
-        prune_bank = True
+        prune_bank_ = True
     else:
         _save = save_compressed
+        prune_bank_ = prune_bank
     from .encode import compress_audio_packed
     from .encode import prune_bank as _prune
 
     t0 = time.time()
-    loaded, results = [], [None] * len(jobs)
-    for k, (path, _out) in enumerate(jobs):
-        try:
-            signal, framerate, sampwidth = read_wav_mono(path)
+    results = [None] * len(jobs)
+    n_packed = 0
+    # bounded-memory slices: signals/results of one slice are released
+    # before the next slice is read (a directory of thousands of files must
+    # not resident the whole corpus)
+    slice_files = 64
+    for s0 in range(0, len(jobs), slice_files):
+        sl = range(s0, min(len(jobs), s0 + slice_files))
+        loaded = []
+        for k in sl:
+            path, outpath = jobs[k]
+            try:
+                signal, framerate, sampwidth = read_wav_mono(path)
+            except Exception as e:  # noqa: BLE001 — per-file isolation
+                logger.exception("Compression failed for %s", path)
+                results[k] = {"input": path, "error": str(e)}
+                continue
+            if len(signal) > STREAMING_THRESHOLD:
+                # long files take the single-file path (streaming encode,
+                # blockwise bank) exactly as the non-packed CLI would
+                results[k] = process_file_compress(
+                    path, outpath, tile, energy_thresh,
+                    prune_bank=prune_bank, search=search, compact=compact,
+                )
+                continue
             if sampwidth == 4:
                 signal = np.clip(signal.astype(np.float32), -1.0, 1.0)
             loaded.append((k, signal, framerate, sampwidth))
-        except Exception as e:  # noqa: BLE001 — per-file isolation
-            logger.exception("Compression failed for %s", jobs[k][0])
-            results[k] = {"input": jobs[k][0], "error": str(e)}
 
-    encoded = compress_audio_packed(
-        [sig for _, sig, _, _ in loaded], 0, 0, tile_size=tile,
-        energy_thresh=energy_thresh, search=search,
-    )
-    for (k, _sig, framerate, sampwidth), enc in zip(loaded, encoded):
-        path, outpath = jobs[k]
         try:
-            (rec, domains, n_ranges, range_size, tile_size, domain_step,
-             energy_threshold, original_len) = enc
-            if prune_bank:
-                rec, domains = _prune(rec, domains)
-            _save(
-                outpath, rec, domains, range_size, framerate, sampwidth,
-                tile_size, domain_step, energy_threshold, original_len,
+            encoded = compress_audio_packed(
+                [sig for _, sig, _, _ in loaded], 0, 0, tile_size=tile,
+                energy_thresh=energy_thresh, search=search,
             )
-            in_size = os.path.getsize(path)
-            out_size = os.path.getsize(outpath)
-            results[k] = {
-                "input": path, "output": outpath,
-                "ratio": in_size / out_size if out_size else 0,
-                "packed": True,
-            }
-        except Exception as e:  # noqa: BLE001
-            logger.exception("Compression failed for %s", path)
-            results[k] = {"input": path, "error": str(e)}
+        except Exception:  # noqa: BLE001 — resolve blame per file
+            logger.exception(
+                "Packed encode failed for a %d-file slice; falling back to "
+                "per-file encode", len(loaded),
+            )
+            for k, *_ in loaded:
+                results[k] = process_file_compress(
+                    jobs[k][0], jobs[k][1], tile, energy_thresh,
+                    prune_bank=prune_bank, search=search, compact=compact,
+                )
+            continue
+        n_packed += len(loaded)
+        for (k, _sig, framerate, sampwidth), enc in zip(loaded, encoded):
+            path, outpath = jobs[k]
+            try:
+                (rec, domains, n_ranges, range_size, tile_size, domain_step,
+                 energy_threshold, original_len) = enc
+                if prune_bank_:
+                    rec, domains = _prune(rec, domains)
+                _save(
+                    outpath, rec, domains, range_size, framerate, sampwidth,
+                    tile_size, domain_step, energy_threshold, original_len,
+                )
+                in_size = os.path.getsize(path)
+                out_size = os.path.getsize(outpath)
+                results[k] = {
+                    "input": path, "output": outpath,
+                    "ratio": in_size / out_size if out_size else 0,
+                    "packed": True,
+                }
+            except Exception as e:  # noqa: BLE001
+                logger.exception("Compression failed for %s", path)
+                results[k] = {"input": path, "error": str(e)}
     elapsed = time.time() - t0
-    share = elapsed / max(len(loaded), 1)
+    share = elapsed / max(n_packed, 1)
     for r in results:
-        if r is not None and "error" not in r:
+        if r is not None and r.get("packed"):
             r["time_s"] = share
     logger.info(
         "Packed-compressed %d files in %.2fs (%.1f files/s)",
-        len(loaded), elapsed, len(loaded) / elapsed if elapsed > 0 else 0,
+        n_packed, elapsed, n_packed / elapsed if elapsed > 0 else 0,
     )
     return results
 

@@ -98,3 +98,64 @@ def test_cli_packed_batch(tmp_path):
     # skip-resume parity: second run finds nothing to do
     cli_main(["compress", str(indir), "--batch", "--packed", "--out",
               str(out), "--tile", "128"])
+
+
+def test_packed_routes_long_files_to_streaming(tmp_path, monkeypatch):
+    # a "long" file (over STREAMING_THRESHOLD) in a packed batch must take
+    # the single-file streaming path instead of sinking the whole run on
+    # the packed encoder's index-range check
+    import fwav_tpu.models.codec as codec
+    from fwav_tpu.io.container import load_compressed_arrays
+    from fwav_tpu.io.wav import write_wav
+    from fwav_tpu.models.codec import process_files_compress_packed
+
+    monkeypatch.setattr(codec, "STREAMING_THRESHOLD", 8000)
+    rng = np.random.default_rng(13)
+    t_long = np.arange(20000) / 16000
+    t_short = np.arange(6000) / 16000
+    write_wav(tmp_path / "long.wav", np.round(
+        (0.4 * np.sin(2 * np.pi * 300 * t_long)
+         + 0.01 * rng.standard_normal(len(t_long))) * 16000
+    ).astype(np.float32), 16000, 2)
+    write_wav(tmp_path / "short.wav", np.round(
+        (0.4 * np.sin(2 * np.pi * 400 * t_short)
+         + 0.01 * rng.standard_normal(len(t_short))) * 16000
+    ).astype(np.float32), 16000, 2)
+    jobs = [
+        (str(tmp_path / "long.wav"), str(tmp_path / "long.fwav")),
+        (str(tmp_path / "short.wav"), str(tmp_path / "short.fwav")),
+    ]
+    results = process_files_compress_packed(jobs, tile=128)
+    assert all("error" not in r for r in results)
+    assert not results[0].get("packed") and results[1].get("packed")
+    for _, out in jobs:
+        rec, *_ = load_compressed_arrays(out)
+        assert (rec["idx"] >= 0).any()
+
+
+def test_packed_falls_back_per_file_on_encoder_failure(tmp_path, monkeypatch):
+    # packed-encode failure must resolve blame per file, not sink the batch
+    import fwav_tpu.models.encode as encode
+    from fwav_tpu.io.wav import write_wav
+    from fwav_tpu.models.codec import process_files_compress_packed
+
+    def boom(*a, **k):
+        raise RuntimeError("injected")
+
+    monkeypatch.setattr(encode, "compress_audio_packed", boom)
+    t = np.arange(6000) / 16000
+    write_wav(tmp_path / "a.wav",
+              np.round(0.4 * np.sin(2 * np.pi * 330 * t) * 16000)
+              .astype(np.float32), 16000, 2)
+    jobs = [(str(tmp_path / "a.wav"), str(tmp_path / "a.fwav"))]
+    results = process_files_compress_packed(jobs, tile=128)
+    assert "error" not in results[0] and not results[0].get("packed")
+
+
+def test_cli_packed_flag_conflicts():
+    from fwav_tpu.cli import main as cli_main
+
+    with pytest.raises(SystemExit):
+        cli_main(["compress", "in.wav", "out.fwav", "--packed"])
+    with pytest.raises(SystemExit):
+        cli_main(["compress", "d", "--batch", "--packed", "--devices", "2"])

@@ -102,3 +102,27 @@ def test_cli_start_duration(tmp_path, _enc):
     write_wav(ref, full[a : a + int(round(0.5 * sr))], sr, 2)
     want, _, _ = read_wav_mono(ref)
     np.testing.assert_array_equal(got, want)
+
+
+def test_cli_segment_output_naming(tmp_path, _enc):
+    # segment outputs must not collide with full-decode outputs: a 0.2 s
+    # excerpt may never masquerade as <name>_recon.wav nor trip the batch
+    # skip-resume against a later full decode
+    import os
+
+    from fwav_tpu.cli import main as cli_main
+    from fwav_tpu.io.container import save_compressed
+    from fwav_tpu.io.wav import read_wav_mono
+
+    sig, sr, rec, bank, n_ranges, N, olen, full = _enc
+    d = tmp_path / "batch"
+    d.mkdir()
+    save_compressed(d / "x.fwav", rec, bank, N, sr, 2, 128, 1, 1e-4, olen)
+    cli_main(["decompress", str(d), "--batch", "--start", "0.2",
+              "--duration", "0.2"])
+    seg_name = "x_recon_seg_0.2s+0.2s.wav"
+    assert (d / seg_name).exists() and not (d / "x_recon.wav").exists()
+    cli_main(["decompress", str(d), "--batch"])  # full decode NOT skipped
+    assert (d / "x_recon.wav").exists()
+    got, _, _ = read_wav_mono(d / seg_name)
+    assert len(got) == int(0.2 * sr)
