@@ -19,7 +19,7 @@ decode inputs:
   return err=0.
 
 Measured on the 10 s / 44.1 kHz bench fixture: 0.44 MB vs the 0.88 MB
-input WAV (ratio 2.02) vs 1.9 MB for v1-pruned (0.47) and ~8.9 MB for the
+input WAV (ratio 1.98) vs 1.9 MB for v1-pruned (0.47) and ~8.9 MB for the
 reference's full-bank layout (0.10) — the only layout of the three that
 actually compresses (the lossless entropy stage below is worth ~23% on
 top of the raw v2 streams, at ~64 ms for this file). Selection (idx/sym/live) is preserved bit-exactly;
@@ -51,14 +51,21 @@ reference raises 'Unsupported FWAV version', fractal.py:1334-1336):
                           or idx_bits+1 zigzag first-differences when
                           flags & FLAG_IDX_DELTA
             s             n_live float16
-            o             n_live float16 (value * 2^-o_scale_exp)
+            o             n_live int16 fixed point:
+                          stored = round(value * 2^-o_scale_exp)
 
 All bitmaps/bit-streams pack LSB-first (numpy bitorder='little'). The bank
 and o streams carry independent scale exponents, chosen to land each
-stream's peak magnitude in [8192, 16384): every element within 2^11 of its
-stream's peak then quantizes at full fp16 relative precision, whatever the
-absolute scale of the content (16-bit PCM, unit-range float, or
-microvolt-level signals alike). Under FLAG_DEFLATE the fp16 streams are
+stream's peak magnitude in [8192, 16384), and the scaling is an exact
+power of 2 (only fp exponents change). The bank stays float16 (its role is
+multiplicative — relative precision is what matters); o is int16 FIXED
+point, because the default decode's output IS o per range
+(models/decode.py closed form) and uniform absolute error is what
+minimizes output distortion: worst-case error is peak/2^15 (0.5 LSB on
+16-bit PCM content — measured 8x better than float16's near-peak ulp at
+the same 2 bytes/value), so v2 round trips are transparent at the
+content's own quantization floor. s stays float16: it is a dimensionless
+ratio clipped to +/-16 and only relative precision matters. Under FLAG_DEFLATE the fp16 streams are
 byte-planed (see FLAG_DEFLATE comment) and the writer keeps whichever of
 {raw, deflate, deflate+idx-delta} is smallest, so the entropy stage can
 never lose bytes and is exactly lossless over the quantized streams.
@@ -238,7 +245,10 @@ def save_compressed_compact(
     live_b = _pack_mask(live)
     sym_b = _pack_mask(rec["sym"][live] != 0)
     s_b = rec["s"][live].astype(np.float16).tobytes()
-    o_b = (rec["o"][live] * _pow2(-o_exp)).astype(np.float16).tobytes()
+    o_b = (
+        np.round(rec["o"][live].astype(np.float64) * 2.0 ** -o_exp)
+        .astype(np.int16).tobytes()
+    )
 
     # Entropy stage: byteplane the fp16 streams and deflate (level 6 — within
     # ~0.3% of level 9 at 3x the speed on the bench fixture; hour-scale
@@ -352,7 +362,7 @@ def load_compressed_compact(filepath, verify_checksum: bool = True):
         rec["sym"][live] = _unpack_mask(sym_b, n_live)
         rec["s"][live] = np.frombuffer(s_b, np.float16).astype(np.float32)
         rec["o"][live] = (
-            np.frombuffer(o_b, np.float16).astype(np.float32) * _pow2(o_exp)
+            np.frombuffer(o_b, np.int16).astype(np.float32) * _pow2(o_exp)
         )
     return (
         rec, domains, n_ranges, range_size, framerate, sampwidth, tile_size,
