@@ -21,7 +21,12 @@ from fwav_tpu.models.codec import process_file_compress, process_file_decompress
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--prune-bank", action="store_true")
+    # pruned containers are the default, matching the CLI; --full-bank
+    # restores the reference's inflated full-bank layout, --compact writes
+    # the rate-focused v2 container
+    ap.add_argument("--full-bank", dest="prune_bank", action="store_false",
+                    default=True)
+    ap.add_argument("--compact", action="store_true")
     ap.add_argument("--seconds", type=float, default=3.0)
     ap.add_argument("--sr", type=int, default=44100)
     args = ap.parse_args()
@@ -36,7 +41,8 @@ def main():
     write_wav(wav, sig, args.sr, 2)
 
     m = process_file_compress(wav, os.path.join(d, "out"),
-                              prune_bank=args.prune_bank)
+                              prune_bank=args.prune_bank,
+                              compact=args.compact)
     print("compress:", m)
     r = process_file_decompress(m["output"], os.path.join(d, "rec"))
     print("decompress:", r)
