@@ -12,19 +12,22 @@ decode inputs:
   changes fp exponents, so the only loss is the fp16 rounding itself;
 - matches split into bit-exact selection streams (a live bitmap, a sym
   bitmap, domain indices bit-packed at the minimal width for the pruned
-  bank) and fp16 parameter streams (s, o — o shares scale_exp with the
-  bank; s is a dimensionless ratio clipped to +/-16 and never scaled);
+  bank) and quantized parameter streams: s as float16 (a dimensionless
+  ratio clipped to +/-16, never scaled), o as int16 fixed point under its
+  own power-of-2 exponent (see the layout notes below);
 - `err` is not stored: no decoder consumes it (the reference's
   decompress_audio reads only idx/s/o/sym, fractal.py:1391-1449); loaders
   return err=0.
 
-Measured on the 10 s / 44.1 kHz bench fixture: 0.44 MB vs the 0.88 MB
-input WAV (ratio 1.98) vs 1.9 MB for v1-pruned (0.47) and ~8.9 MB for the
+Measured on the 10 s / 44.1 kHz bench fixture: 0.46 MB vs the 0.88 MB
+input WAV (ratio 1.93) vs 1.9 MB for v1-pruned (0.47) and ~8.9 MB for the
 reference's full-bank layout (0.10) — the only layout of the three that
 actually compresses (the lossless entropy stage below is worth ~23% on
-top of the raw v2 streams, at ~64 ms for this file). Selection (idx/sym/live) is preserved bit-exactly;
-s/o/bank quantization is float16 (~0.05% relative), measured < 0.02 dB of
-round-trip SNR on every fixture (tests/test_compact.py).
+top of the raw v2 streams, at ~64 ms for this file). Selection
+(idx/sym/live) is preserved bit-exactly; s/bank quantize to float16
+(~0.05% relative) and o to int16 fixed point (half an LSB of its pow2
+scale), measured < 0.02 dB of round-trip SNR on every fixture
+(tests/test_compact.py).
 
 Layout (little-endian; first 66 bytes shaped exactly like v1 with
 version=2, so foreign v1 readers fail cleanly on the version byte — the
@@ -51,22 +54,26 @@ reference raises 'Unsupported FWAV version', fractal.py:1334-1336):
                           or idx_bits+1 zigzag first-differences when
                           flags & FLAG_IDX_DELTA
             s             n_live float16
-            o             n_live int16 fixed point:
-                          stored = round(value * 2^-o_scale_exp)
+            o             n_live int16 fixed point (FLAG_O_INT16 set):
+                          stored = round(value * 2^-o_scale_exp),
+                          saturated to [-32767, 32767]; float16
+                          (* 2^-o_scale_exp) when the flag is clear
 
 All bitmaps/bit-streams pack LSB-first (numpy bitorder='little'). The bank
-and o streams carry independent scale exponents, chosen to land each
-stream's peak magnitude in [8192, 16384), and the scaling is an exact
-power of 2 (only fp exponents change). The bank stays float16 (its role is
-multiplicative — relative precision is what matters); o is int16 FIXED
-point, because the default decode's output IS o per range
-(models/decode.py closed form) and uniform absolute error is what
-minimizes output distortion: worst-case error is peak/2^15 (0.5 LSB on
-16-bit PCM content — measured 8x better than float16's near-peak ulp at
-the same 2 bytes/value), so v2 round trips are transparent at the
-content's own quantization floor. s stays float16: it is a dimensionless
-ratio clipped to +/-16 and only relative precision matters. Under FLAG_DEFLATE the fp16 streams are
-byte-planed (see FLAG_DEFLATE comment) and the writer keeps whichever of
+and o streams carry independent power-of-2 scale exponents (exact: only fp
+exponents change). The bank stays float16 with its peak landed in
+[8192, 16384) — its role is multiplicative, so relative precision is what
+matters. o is int16 FIXED point with its peak landed in (16384, 32768],
+because the default decode's output IS o per range (models/decode.py
+closed form) and uniform absolute error is what minimizes output
+distortion: worst-case error is peak * 2^-15 — 0.5 LSB on full-scale
+16-bit PCM content, ~16x better than float16's near-peak ulp at the same
+2 bytes/value — with up to 1 ulp at the single saturated peak sample when
+the scaled peak rounds to 32768. Non-finite offsets are rejected at write
+time (ValueError) rather than silently quantized. s stays float16: it is
+a dimensionless ratio clipped to +/-16 and only relative precision
+matters. Under FLAG_DEFLATE the two-byte streams are byte-planed (see
+FLAG_DEFLATE comment) and the writer keeps whichever of
 {raw, deflate, deflate+idx-delta} is smallest, so the entropy stage can
 never lose bytes and is exactly lossless over the quantized streams.
 """
@@ -87,16 +94,19 @@ _CHECKSUM_OFFSET = 34
 _EXT_OFFSET = 66
 
 #: ext-header flags (u8). DEFLATE: the payload after the ext header is one
-#: zlib stream of the raw concatenated streams, with every fp16 stream
-#: byte-planed (all low bytes, then all high bytes — sign/exponent bytes
-#: are near-constant and deflate crushes them). IDX_DELTA: the idx stream
-#: holds zigzag(first-difference) packed at idx_bits+1 instead of raw
-#: indices at idx_bits (neighbouring ranges select nearby domains, so
-#: deltas concentrate near zero and deflate again wins). The writer
-#: measures all variants and keeps the smallest; flags tell the loader
-#: exactly which transforms to undo.
+#: zlib stream of the raw concatenated streams, with every two-byte stream
+#: (bank/s/o) byte-planed (all low bytes, then all high bytes — the
+#: near-constant high bytes deflate well). IDX_DELTA: the idx stream holds
+#: zigzag(first-difference) packed at idx_bits+1 instead of raw indices at
+#: idx_bits (neighbouring ranges select nearby domains, so deltas
+#: concentrate near zero and deflate again wins). O_INT16: the o stream is
+#: int16 fixed point instead of the original float16 encoding — always set
+#: by this writer; the loader honors both so early-v2 files keep decoding
+#: correctly. The writer measures the variants and keeps the smallest;
+#: flags tell the loader exactly which transforms to undo.
 FLAG_DEFLATE = 1
 FLAG_IDX_DELTA = 2
+FLAG_O_INT16 = 4
 
 
 #: Values per bit-packing chunk. Must be a multiple of 8 so every full
@@ -162,6 +172,23 @@ def _scale_exp_for(values) -> int:
     if peak <= 0.0 or not np.isfinite(peak):
         return 0
     return max(-126, min(126, int(math.ceil(math.log2(peak))) - 14))
+
+
+def _o_exp_for(values) -> int:
+    """Exponent k landing max|values| / 2^k in (16384, 32768] — the int16
+    fixed-point window (one bit wider than the float16 one): worst-case
+    rounding error is then peak * 2^-15, i.e. 0.5 LSB on full-scale 16-bit
+    PCM offsets. Same int8/normal-f32 clamping as _scale_exp_for."""
+    import math
+
+    peak = float(np.max(np.abs(values))) if np.size(values) else 0.0
+    if peak <= 0.0:
+        return 0
+    if not np.isfinite(peak):
+        raise ValueError(
+            "non-finite offsets cannot be stored in the compact container"
+        )
+    return max(-126, min(126, int(math.ceil(math.log2(peak))) - 15))
 
 
 def _pow2(exp: int) -> np.float32:
@@ -230,7 +257,7 @@ def save_compressed_compact(
     idx_bits = max(1, int(max(n_domains - 1, 1)).bit_length())
 
     bank_exp = _scale_exp_for(domains)
-    o_exp = _scale_exp_for(rec["o"][live]) if n_live else 0
+    o_exp = _o_exp_for(rec["o"][live]) if n_live else 0
 
     header = (
         MAGIC
@@ -245,9 +272,13 @@ def save_compressed_compact(
     live_b = _pack_mask(live)
     sym_b = _pack_mask(rec["sym"][live] != 0)
     s_b = rec["s"][live].astype(np.float16).tobytes()
+    # saturate: the scaled peak rounds to at most 32768 (window edge) —
+    # one count above int16 max, clipped at 1 ulp cost on that sample
     o_b = (
-        np.round(rec["o"][live].astype(np.float64) * 2.0 ** -o_exp)
-        .astype(np.int16).tobytes()
+        np.clip(
+            np.round(rec["o"][live].astype(np.float64) * 2.0 ** -o_exp),
+            -32767, 32767,
+        ).astype(np.int16).tobytes()
     )
 
     # Entropy stage: byteplane the fp16 streams and deflate (level 6 — within
@@ -276,7 +307,9 @@ def save_compressed_compact(
     if len(raw) <= len(payload):
         flags, payload, raw_len = 0, raw, len(raw)
 
-    ext = _EXT.pack(idx_bits, bank_exp, o_exp, flags, n_live, raw_len)
+    ext = _EXT.pack(
+        idx_bits, bank_exp, o_exp, flags | FLAG_O_INT16, n_live, raw_len
+    )
     sha = hashlib.sha256()
     sha.update(ext)
     sha.update(payload)
@@ -361,8 +394,9 @@ def load_compressed_compact(filepath, verify_checksum: bool = True):
         rec["idx"][live] = packed.astype(np.int32)
         rec["sym"][live] = _unpack_mask(sym_b, n_live)
         rec["s"][live] = np.frombuffer(s_b, np.float16).astype(np.float32)
+        o_dtype = np.int16 if flags & FLAG_O_INT16 else np.float16
         rec["o"][live] = (
-            np.frombuffer(o_b, np.int16).astype(np.float32) * _pow2(o_exp)
+            np.frombuffer(o_b, o_dtype).astype(np.float32) * _pow2(o_exp)
         )
     return (
         rec, domains, n_ranges, range_size, framerate, sampwidth, tile_size,

@@ -28,9 +28,10 @@ from fwav_tpu.models.encode import compress_audio_arrays, prune_bank
 
 def _assert_o_fixed_point(got, want):
     # o is int16 fixed point: uniform absolute error <= 0.5 * 2^o_exp,
-    # and the pow2 scale lands the peak in [8192, 16384) -> bound is
-    # peak * 2^-14 (0.5 LSB on 16-bit PCM content)
-    bound = float(np.abs(want).max()) * 2.0**-14 + 1e-12
+    # and the pow2 scale lands the peak in (16384, 32768] -> bound is
+    # peak * 2^-15 (0.5 LSB on full-scale 16-bit PCM content); the single
+    # saturated peak sample may cost 1 ulp (covered separately)
+    bound = float(np.abs(want).max()) * 2.0**-15 + 1e-12
     np.testing.assert_allclose(got, want, rtol=0, atol=bound)
 
 
@@ -234,7 +235,9 @@ def test_raw_fallback_branch(tmp_path, monkeypatch):
     p = tmp_path / "raw.fwav"
     save_compressed_compact(p, rec, bank, N, sr, 2, tile, step, thr, olen)
     monkeypatch.undo()
-    assert _flags_of(p) == 0
+    from fwav_tpu.io.compact import FLAG_DEFLATE, FLAG_O_INT16
+
+    assert _flags_of(p) == FLAG_O_INT16  # raw layout, no deflate bits
     rec2, bank2, *_ = load_compressed_compact(p)
     np.testing.assert_array_equal(rec2["idx"], rec["idx"])
     np.testing.assert_array_equal(rec2["sym"], rec["sym"])
@@ -320,3 +323,81 @@ def test_cli_compact_round_trip(tmp_path):
     # the non-compact default still writes v1
     main(["compress", str(wav), str(tmp_path / "d.fwav"), "--tile", "128"])
     assert read_version(tmp_path / "d.fwav") == 1
+
+
+def test_o_saturation_edge_and_nonfinite_rejection(tmp_path):
+    from fwav_tpu.io.compact import _o_exp_for
+
+    # a peak whose scaled value rounds to the window edge 32768 saturates
+    # to 32767 at exactly 1 ulp cost on that sample
+    rec = np.zeros(2, MATCH_DTYPE)
+    rec["idx"] = [0, 1]
+    rec["s"] = 1.0
+    rec["o"] = [32768.0, 100.0]
+    bank = np.ones((2, 4), np.float32)
+    p = tmp_path / "edge.fwav"
+    save_compressed_compact(p, rec, bank, 4, 8000, 2, 1024, 1, 1e-4, 8)
+    rec2, *_ = load_compressed_compact(p)
+    assert abs(rec2["o"][0] - 32768.0) <= 1.0
+    assert abs(rec2["o"][1] - 100.0) <= 0.5
+    # non-finite offsets are rejected loudly, not silently quantized
+    rec["o"] = [np.inf, 0.0]
+    with pytest.raises(ValueError, match="non-finite"):
+        save_compressed_compact(tmp_path / "bad.fwav", rec, bank, 4, 8000,
+                                2, 1024, 1, 1e-4, 8)
+    rec["o"] = [np.nan, 0.0]
+    with pytest.raises(ValueError, match="non-finite"):
+        save_compressed_compact(tmp_path / "bad.fwav", rec, bank, 4, 8000,
+                                2, 1024, 1, 1e-4, 8)
+    # window: peak lands in (16384, 32768]
+    assert _o_exp_for(np.array([32768.0])) == 0
+    assert _o_exp_for(np.array([32769.0])) == 1
+    assert _o_exp_for(np.array([16384.0])) == -1
+
+
+def test_legacy_fp16_o_files_still_decode(tmp_path):
+    # files written before FLAG_O_INT16 carry fp16 o streams; the loader
+    # must honor the clear flag instead of reinterpreting the bytes
+    import hashlib
+    import struct
+
+    from fwav_tpu.io.compact import _EXT, _EXT_OFFSET, FLAG_O_INT16
+
+    rec = np.zeros(4, MATCH_DTYPE)
+    rec["idx"] = np.arange(4)
+    rec["s"] = 1.0
+    rec["o"] = [100.0, -250.0, 0.5, 12000.0]
+    bank = np.ones((4, 4), np.float32)
+    p = tmp_path / "new.fwav"
+    save_compressed_compact(p, rec, bank, 4, 8000, 2, 1024, 1, 1e-4, 16)
+    blob = bytearray(p.read_bytes())
+    # forge a legacy file: clear FLAG_O_INT16, re-encode o as fp16 under a
+    # legacy-window exponent, fix the checksum
+    (idx_bits, bank_exp, o_exp, flags, n_live, raw_len) = _EXT.unpack(
+        blob[_EXT_OFFSET : _EXT_OFFSET + _EXT.size]
+    )
+    assert flags & FLAG_O_INT16
+    legacy_exp = 0
+    o16 = rec["o"].astype(np.float16).tobytes()
+    assert flags & 1 == 0 or True  # writer may or may not deflate; rebuild raw
+    from fwav_tpu.io.compact import _pack_bits, _pack_mask
+
+    live = rec["idx"] >= 0
+    raw = (
+        (bank * 2.0**-bank_exp).astype(np.float16).tobytes()
+        + _pack_mask(live)
+        + _pack_mask(rec["sym"][live] != 0)
+        + _pack_bits(rec["idx"][live].astype(np.int64), idx_bits)
+        + rec["s"][live].astype(np.float16).tobytes()
+        + o16
+    )
+    ext = _EXT.pack(idx_bits, bank_exp, legacy_exp, 0, n_live, len(raw))
+    sha = hashlib.sha256()
+    sha.update(ext)
+    sha.update(raw)
+    legacy = bytes(blob[:34]) + sha.digest() + ext + raw
+    q = tmp_path / "legacy.fwav"
+    q.write_bytes(legacy)
+    rec2, *_ = load_compressed_compact(q)
+    np.testing.assert_allclose(rec2["o"], rec["o"], rtol=1e-3, atol=1e-3)
+    np.testing.assert_array_equal(rec2["idx"], rec["idx"])
