@@ -77,7 +77,6 @@ def process_file_compress(path, outdir=None, tile=1024, energy_thresh=1e-4,
             signal = np.clip(signal.astype(np.float32), -1.0, 1.0)
 
         if len(signal) > STREAMING_THRESHOLD:
-            kwargs.pop("use_gpu", None)
             mesh = None
             if devices and devices > 1:
                 # compose time-sharded streaming with the (dp, tp) mesh —
@@ -190,8 +189,10 @@ def process_files_compress_packed(jobs, tile=1024, energy_thresh=1e-4,
     amortizes the round trip across up to PACK_B_MAX files.
 
     jobs: [(input_wav, output_fwav), ...]. Returns per-file metric dicts
-    (time_s is the pack's wall time divided across its files; "packed"
-    marks them). Unreadable files return error dicts without sinking the
+    ("packed": True marks files that went through a packed dispatch;
+    time_s is the packed encode+save wall time divided across those files
+    — long-file/fallback encodes carry their own process_file_compress
+    metrics). Unreadable files return error dicts without sinking the
     batch, same isolation as process_file_compress."""
     if compact:
         from ..io.compact import save_compressed_compact as _save
@@ -202,9 +203,9 @@ def process_files_compress_packed(jobs, tile=1024, energy_thresh=1e-4,
     from .encode import compress_audio_packed
     from .encode import prune_bank as _prune
 
-    t0 = time.time()
     results = [None] * len(jobs)
     n_packed = 0
+    packed_elapsed = 0.0  # time inside packed encode+save only (see time_s)
     # bounded-memory slices: signals/results of one slice are released
     # before the next slice is read (a directory of thousands of files must
     # not resident the whole corpus)
@@ -232,6 +233,7 @@ def process_files_compress_packed(jobs, tile=1024, energy_thresh=1e-4,
                 signal = np.clip(signal.astype(np.float32), -1.0, 1.0)
             loaded.append((k, signal, framerate, sampwidth))
 
+        t_slice = time.time()
         try:
             encoded = compress_audio_packed(
                 [sig for _, sig, _, _ in loaded], 0, 0, tile_size=tile,
@@ -256,6 +258,9 @@ def process_files_compress_packed(jobs, tile=1024, energy_thresh=1e-4,
                  energy_threshold, original_len) = enc
                 if prune_bank_:
                     rec, domains = _prune(rec, domains)
+                # same output-path semantics as process_file_compress
+                # (which the long-file and fallback branches route through)
+                outpath = _resolve_out(path, outpath, ".fwav", ".fwav")
                 _save(
                     outpath, rec, domains, range_size, framerate, sampwidth,
                     tile_size, domain_step, energy_threshold, original_len,
@@ -270,14 +275,15 @@ def process_files_compress_packed(jobs, tile=1024, energy_thresh=1e-4,
             except Exception as e:  # noqa: BLE001
                 logger.exception("Compression failed for %s", path)
                 results[k] = {"input": path, "error": str(e)}
-    elapsed = time.time() - t0
-    share = elapsed / max(n_packed, 1)
+        packed_elapsed += time.time() - t_slice
+    share = packed_elapsed / max(n_packed, 1)
     for r in results:
         if r is not None and r.get("packed"):
             r["time_s"] = share
     logger.info(
         "Packed-compressed %d files in %.2fs (%.1f files/s)",
-        n_packed, elapsed, n_packed / elapsed if elapsed > 0 else 0,
+        n_packed, packed_elapsed,
+        n_packed / packed_elapsed if packed_elapsed > 0 else 0,
     )
     return results
 

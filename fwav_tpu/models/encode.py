@@ -828,7 +828,15 @@ def _finalize_encode(c, signal, cfg, range_size, domain_step, n_ranges,
         # with range boundaries, so every range is either fully voiced
         # (weighted == raw on it) or fully zeroed (device emitted a sentinel
         # — its refit row is ignored). The host VAD pass is skipped
-        # entirely on this, the common, path.
+        # entirely on this, the common, path. The reflect-padded TAIL
+        # range's reflected samples source from the last range_size+1 raw
+        # samples — at most one frame back — and that frame is voiced
+        # whenever the tail is live: the centered 5-frame box smoothing
+        # gives smoothed(tail) <= smoothed(prev) (prev's window is a
+        # superset containing the tail's terms), so tail above either
+        # hysteresis threshold implies prev above it too; raw == weighted
+        # on the reflected sources of every live tail
+        # (tests/test_e2e.py::test_fast_mode_tail_refit_matches_weighted_semantics).
         if pad_len:
             padded = np.pad(signal, (0, pad_len), mode="reflect")
         else:

@@ -134,7 +134,6 @@ def compress_audio_streaming(
 
     signal = np.ascontiguousarray(np.asarray(signal, dtype=np.float32))
     original_len = len(signal)
-    n_domains = n_domains_for(original_len, tile, step)
 
     # global prepass: VAD + silence check, so shard boundaries don't shift
     # decisions (hysteresis state carries from t=0 — fractal.py:897-907)
@@ -181,17 +180,47 @@ def compress_audio_streaming(
     if resume_dir:
         os.makedirs(resume_dir, exist_ok=True)
 
+    def _spawn_fetcher(codes):
+        # fetch from a thread that blocks in C (GIL released): the host
+        # refit/checkpoint/next-shard prep below then overlap the fetch
+        # window instead of starving the tunnel client ~1:1 (CLAUDE.md
+        # invariant; same pattern as models.encode._compress_fast).
+        # DEVICE_LOCK inside the thread keeps the no-concurrent-dispatch
+        # rule: the next dispatch waits until this fetch drains.
+        import threading
+
+        box: dict = {}
+
+        def run():
+            try:
+                with DEVICE_LOCK:
+                    box["codes"] = np.asarray(jax.device_get(codes))
+            except BaseException as e:  # surfaced at join
+                box["exc"] = e
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        return t, box
+
     def _collect(pending):
-        k, codes, a, b, g0 = pending
+        k, fetcher, box, a, b, g0 = pending
         m = (b - a) // n
-        with DEVICE_LOCK:
-            b3 = np.asarray(jax.device_get(codes))[:m].astype(np.int32)
+        fetcher.join()
+        if "exc" in box:
+            raise box["exc"]
+        b3 = box["codes"][:m].astype(np.int32)
         slots[k] = rec = _refit_shard(
             b3, signal, weighted[a:b].reshape(m, n), g0 // step, tile, n,
             step, cfg.s_clip,
         )
         if resume_dir:
-            np.save(_ckpt(k), rec)
+            # crash-safe: write-to-temp + atomic rename, so a kill mid-save
+            # never leaves a truncated checkpoint that poisons every later
+            # resume attempt
+            tmp = _ckpt(k) + ".tmp"
+            with open(tmp, "wb") as f:  # np.save(path) would append .npy
+                np.save(f, rec)
+            os.replace(tmp, _ckpt(k))
 
     # one-deep pipeline: dispatch shard k+1 before pulling shard k's results,
     # so the device computes while the host waits on the (slow) D2H path.
@@ -201,8 +230,14 @@ def compress_audio_streaming(
     pending = None
     for k, (a, b) in enumerate(bounds):
         if resume_dir and os.path.exists(_ckpt(k)):
-            rec = np.load(_ckpt(k))
-            if rec.dtype == MATCH_DTYPE and len(rec) == (b - a) // n:
+            try:
+                rec = np.load(_ckpt(k))
+            except Exception:  # corrupt/foreign checkpoint -> re-encode
+                rec = None
+            if (
+                rec is not None and rec.dtype == MATCH_DTYPE
+                and len(rec) == (b - a) // n
+            ):
                 slots[k] = rec
                 continue  # resume: shard already encoded
         # domain neighborhood: windows starting in [g0, g1), g0 step-aligned
@@ -263,9 +298,11 @@ def compress_audio_streaming(
             codes = core(
                 jnp.asarray(raw_p), jnp.asarray(mask_bytes), jnp.asarray(meta)
             )
+        fetcher, box = _spawn_fetcher(codes)
         if pending is not None:
+            # shard k-1's refit/checkpoint overlap shard k's fetch window
             _collect(pending)
-        pending = (k, codes, a, b, g0)
+        pending = (k, fetcher, box, a, b, g0)
     if pending is not None:
         _collect(pending)
 

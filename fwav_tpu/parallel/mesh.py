@@ -25,6 +25,11 @@ def make_mesh(n_devices=None, dp=None, tp=1) -> Mesh:
     n_devices // tp."""
     devices = jax.devices()
     n = n_devices or len(devices)
+    if n > len(devices):
+        raise ValueError(
+            f"requested {n} devices but only {len(devices)} are available "
+            f"({jax.default_backend()} backend)"
+        )
     if dp is None:
         dp = n // tp
     assert dp * tp == n, (dp, tp, n)

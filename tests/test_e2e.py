@@ -311,3 +311,35 @@ def test_topk_emb_dim_variants(tone, emb_dim):
     )
     recon = decompress_audio(rec, domains, n_ranges, rs, original_len=len(sig))
     assert compute_snr(sig, recon) > 4.0
+
+
+def test_fast_mode_tail_refit_matches_weighted_semantics():
+    # reflect-padded tail: the reflected samples can source from a
+    # DIFFERENT, unvoiced (zeroed-on-device) frame. fast_mode must refit
+    # the tail against the device's weighted signal, not raw — compare the
+    # tail record against fast_mode=False, whose refit is weighted by
+    # construction. ns = 2049 (pad_len=3): tail range holds 1 raw + 3
+    # reflected samples reaching back into a 6-frame quiet stretch.
+    import numpy as np
+
+    from fwav_tpu.models.encode import compress_audio_arrays
+
+    rng = np.random.default_rng(17)
+    ns = 2049
+    sig = 0.1 * np.sin(2 * np.pi * 440 * np.arange(ns) / 8000)
+    sig += 0.002 * rng.standard_normal(ns)
+    sig[2000:2048] = 0.005 * rng.standard_normal(48)  # quiet: VAD off
+    sig[2048] = 0.25  # loud tail sample keeps the final frame voiced
+    sig = sig.astype(np.float32)
+
+    fast = compress_audio_arrays(sig, 8000, 4, tile_size=128, fast_mode=True)
+    slow = compress_audio_arrays(sig, 8000, 4, tile_size=128, fast_mode=False)
+    rec_f, rec_s = fast[0], slow[0]
+    assert rec_f["idx"][-1] >= 0, "tail range must be live for this test"
+    # the tail's reflected sources must actually be zeroed by VAD in the
+    # weighted view (otherwise the fixture does not cover the bug)
+    for field in ("idx", "sym", "s", "o", "err"):
+        np.testing.assert_array_equal(
+            rec_f[field][-1:], rec_s[field][-1:],
+            err_msg=f"tail record field {field}",
+        )
