@@ -252,7 +252,7 @@ def save_compressed_compact(
     live = rec["idx"] >= 0
     n_live = int(live.sum())
     idx = rec["idx"][live].astype(np.int64)
-    if n_live and (idx.max() >= max(n_domains, 1)):
+    if n_live and idx.max() >= n_domains:
         raise ValueError("match indices exceed the stored bank")
     idx_bits = max(1, int(max(n_domains - 1, 1)).bit_length())
 
@@ -347,16 +347,12 @@ def load_compressed_compact(filepath, verify_checksum: bool = True):
     idx_bits, bank_exp, o_exp, flags, n_live, raw_len = _EXT.unpack(
         body[: _EXT.size]
     )
+    if flags & ~(FLAG_DEFLATE | FLAG_IDX_DELTA | FLAG_O_INT16):
+        # a future stream encoding must fail loudly on this loader, never
+        # decode to plausible garbage (the FLAG_O_INT16 transition is the
+        # in-repo precedent for exactly that hazard)
+        raise ValueError(f"Unknown compact FWAV flags: 0x{flags:02x}")
 
-    payload = body[_EXT.size :]
-    if flags & FLAG_DEFLATE:
-        try:
-            payload = zlib.decompress(payload, bufsize=raw_len)
-        except zlib.error as e:
-            # truncation and bit-flips both surface here: the zlib stream
-            # carries its own adler32, so deflated payloads stay
-            # corruption-checked even when the SHA-256 pass is skipped
-            raise ValueError("Corrupt or truncated FWAV payload") from e
     eff_idx_bits = idx_bits + 1 if flags & FLAG_IDX_DELTA else idx_bits
     sizes = [
         n_domains * range_size * 2,
@@ -366,7 +362,22 @@ def load_compressed_compact(filepath, verify_checksum: bool = True):
         n_live * 2,
         n_live * 2,
     ]
-    if len(payload) != sum(sizes):
+    expected = sum(sizes)
+    payload = body[_EXT.size :]
+    if flags & FLAG_DEFLATE:
+        # validate the stored length against the header-derived size BEFORE
+        # allocating: a corrupt raw_payload_len must raise the format's
+        # ValueError, not pre-allocate a u64's worth of buffer (MemoryError)
+        if raw_len != expected:
+            raise ValueError("Corrupt or truncated FWAV payload")
+        try:
+            payload = zlib.decompress(payload, bufsize=expected)
+        except zlib.error as e:
+            # truncation and bit-flips both surface here: the zlib stream
+            # carries its own adler32, so deflated payloads stay
+            # corruption-checked even when the SHA-256 pass is skipped
+            raise ValueError("Corrupt or truncated FWAV payload") from e
+    if len(payload) != expected:
         raise ValueError("Truncated FWAV payload")
     parts = []
     off = 0
@@ -391,6 +402,13 @@ def load_compressed_compact(filepath, verify_checksum: bool = True):
         packed = _unpack_bits(idx_b, n_live, eff_idx_bits)
         if flags & FLAG_IDX_DELTA:
             packed = _idx_delta_decode(packed)
+        # mirror the writer's invariant: a corrupt idx stream (possible on
+        # raw-layout files with the SHA pass skipped) must not pass
+        # out-of-range or negative indices to decoders
+        if packed.size and (
+            int(packed.min()) < 0 or int(packed.max()) >= n_domains
+        ):
+            raise ValueError("Corrupt FWAV idx stream")
         rec["idx"][live] = packed.astype(np.int32)
         rec["sym"][live] = _unpack_mask(sym_b, n_live)
         rec["s"][live] = np.frombuffer(s_b, np.float16).astype(np.float32)

@@ -17,7 +17,7 @@ import wave
 import numpy as np
 
 
-def read_wav_mono(path, mmap: bool = False):
+def read_wav_mono(path):
     """Read a WAV file, fold to mono, return (float32 signal, framerate,
     sampwidth). Raises on compressed WAV (comptype != 'NONE')."""
     with wave.open(str(path), "rb") as w:

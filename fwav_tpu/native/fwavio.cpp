@@ -305,10 +305,14 @@ int fwav_read_header(const char* path, int64_t* out_ints, double* out_thresh) {
     FILE* f = fopen(path, "rb");
     if (!f) return -1;
     uint8_t header[kHeaderSize];
-    if (fread(header, 1, kHeaderSize, f) != kHeaderSize) { fclose(f); return -2; }
+    size_t got = fread(header, 1, kHeaderSize, f);
     fclose(f);
-    if (memcmp(header, "FWAV", 4) != 0) return -5;
+    // mirror the Python fallback's diagnostics: <5 readable bytes or bad
+    // magic -> not a FWAV file; valid magic but short -> truncated (-7),
+    // not a generic I/O error
+    if (got < 5 || memcmp(header, "FWAV", 4) != 0) return -5;
     if (header[4] != 1) return -6;
+    if (got != kHeaderSize) return -7;
     uint32_t u32; uint16_t u16; float fl;
     out_ints[0] = header[4];
     memcpy(&u32, header + 5, 4);  out_ints[1] = u32;

@@ -138,9 +138,18 @@ def find_best_domain_affine(range_block, domains, candidate_idxs, range_size=Non
     if isinstance(domains, (str, bytes)) or hasattr(domains, "__fspath__"):
         import os
 
+        if range_size is None:
+            range_size = len(np.asarray(range_block).reshape(-1))
         size = os.path.getsize(domains)
-        n = size // (4 * int(range_size))
-        domains = np.memmap(domains, dtype="float32", mode="r", shape=(n, int(range_size)))
+        row = 4 * int(range_size)
+        if size % row:
+            raise ValueError(
+                f"domain memmap size {size} is not a multiple of the "
+                f"{row}-byte row (range_size={range_size})"
+            )
+        domains = np.memmap(
+            domains, dtype="float32", mode="r", shape=(size // row, int(range_size))
+        )
     bank = np.asarray(domains, dtype=np.float32)
     cand = np.asarray(
         [int(c) for c in (candidate_idxs if candidate_idxs is not None else []) if int(c) >= 0],

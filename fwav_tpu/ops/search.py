@@ -196,6 +196,40 @@ def exact_refit(
     return best_idx, s, o, best_sym.astype(jnp.uint8), err
 
 
+def _topk_merge_scan(score_fn, xs_blocks, M, k, domain_block, n_blocks):
+    """Blockwise running best-k merge over domain blocks: each scan step
+    scores one block via score_fn(*block_inputs) -> (M, Db) with invalid
+    slots at -inf, then merges into the carried (M, k) best via
+    concat + lax.top_k (stable: earlier/global-lower indices win ties).
+    Shared by the coarse candidate scan (gain scores) and the exact top-k
+    MIPS (embedding scores) so the merge/tie-break semantics live in one
+    place. Returns (scores (M, k) desc, idx (M, k) int32, -1 where no
+    finite score survived)."""
+
+    def step(carry, xs):
+        best_s, best_i = carry
+        blk_i = xs[0]
+        score = score_fn(*xs[1:])
+        idx = jnp.broadcast_to(
+            blk_i * domain_block
+            + jnp.arange(domain_block, dtype=jnp.int32)[None, :],
+            score.shape,
+        )
+        merged_s = jnp.concatenate([best_s, score], axis=1)
+        merged_i = jnp.concatenate([best_i, idx], axis=1)
+        top_s, pos = jax.lax.top_k(merged_s, k)
+        top_i = jnp.take_along_axis(merged_i, pos, axis=1)
+        return (top_s, top_i), None
+
+    init = (
+        jnp.full((M, k), _NEG, jnp.float32),
+        jnp.full((M, k), -1, jnp.int32),
+    )
+    xs = (jnp.arange(n_blocks, dtype=jnp.int32),) + tuple(xs_blocks)
+    (scores, idx), _ = jax.lax.scan(step, init, xs)
+    return scores, jnp.where(jnp.isfinite(scores), idx, -1)
+
+
 def gain_topk_scan(
     r_c: jnp.ndarray,        # (M, N) centered ranges
     bank_sub: jnp.ndarray,   # (Dc, N) subsampled bank
@@ -226,9 +260,7 @@ def gain_topk_scan(
     weight_blocks = d_weight.reshape(n_blocks, domain_block)
     valid_blocks = d_valid.reshape(n_blocks, domain_block)
 
-    def step(carry, xs):
-        best_s, best_i = carry
-        blk_i, bank_blk, weight_blk, valid_blk = xs
+    def score_block(bank_blk, weight_blk, valid_blk):
         # DEFAULT (bf16-pass) precision: this picks coarse lobes only; the
         # refine stage re-scores in full f32 and the refit is exact, so
         # score noise here costs nothing (balanced-objective near-ties are
@@ -240,25 +272,13 @@ def gain_topk_scan(
         )
         num_o, num_m = num2[:M], num2[M:]
         score = jnp.maximum(num_o * num_o, num_m * num_m) * weight_blk
-        score = jnp.where(valid_blk[None, :], score, _NEG)
-        idx = jnp.broadcast_to(
-            blk_i * domain_block
-            + jnp.arange(domain_block, dtype=jnp.int32)[None, :],
-            score.shape,
-        )
-        merged_s = jnp.concatenate([best_s, score], axis=1)
-        merged_i = jnp.concatenate([best_i, idx], axis=1)
-        top_s, pos = jax.lax.top_k(merged_s, top_c)
-        top_i = jnp.take_along_axis(merged_i, pos, axis=1)
-        return (top_s, top_i), None
+        return jnp.where(valid_blk[None, :], score, _NEG)
 
-    init = (
-        jnp.full((M, top_c), _NEG, jnp.float32),
-        jnp.full((M, top_c), -1, jnp.int32),
+    _, idx = _topk_merge_scan(
+        score_block, (bank_blocks, weight_blocks, valid_blocks),
+        M, top_c, domain_block, n_blocks,
     )
-    xs = (jnp.arange(n_blocks, dtype=jnp.int32), bank_blocks, weight_blocks, valid_blocks)
-    (scores, idx), _ = jax.lax.scan(step, init, xs)
-    return jnp.where(jnp.isfinite(scores), idx, -1)
+    return idx
 
 
 def coarse_refine_search(
@@ -536,34 +556,19 @@ def topk_scores_block(
     emb_blocks = bank_emb.reshape(n_blocks, domain_block, E)
     valid_blocks = d_valid.reshape(n_blocks, domain_block)
 
-    def step(carry, xs):
-        best_s, best_i = carry
-        blk_i, emb_blk, valid_blk = xs
+    def score_block(emb_blk, valid_blk):
         scores = jax.lax.dot_general(
             q, emb_blk,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )  # (M, Db)
-        scores = jnp.where(valid_blk[None, :], scores, _NEG)
-        idx = jnp.broadcast_to(
-            blk_i * domain_block + jnp.arange(domain_block, dtype=jnp.int32)[None, :],
-            scores.shape,
-        )
-        merged_s = jnp.concatenate([best_s, scores], axis=1)
-        merged_i = jnp.concatenate([best_i, idx], axis=1)
-        top_s, pos = jax.lax.top_k(merged_s, top_k)
-        top_i = jnp.take_along_axis(merged_i, pos, axis=1)
-        return (top_s, top_i), None
+        return jnp.where(valid_blk[None, :], scores, _NEG)
 
-    init = (
-        jnp.full((M, top_k), _NEG, jnp.float32),
-        jnp.full((M, top_k), -1, jnp.int32),
+    return _topk_merge_scan(
+        score_block, (emb_blocks, valid_blocks), M, top_k, domain_block,
+        n_blocks,
     )
-    xs = (jnp.arange(n_blocks, dtype=jnp.int32), emb_blocks, valid_blocks)
-    (scores, idx), _ = jax.lax.scan(step, init, xs)
-    idx = jnp.where(jnp.isfinite(scores), idx, -1)
-    return scores, idx
 
 
 def topk_search_block(
