@@ -13,6 +13,11 @@ A process-wide device lock inside the encode/decode engines serializes the
 jitted dispatch itself (one chip = one compute queue anyway), so threads
 overlap host-side work (WAV decode, container serialization, hashing) with
 device compute.
+
+Exit codes: 0 on success, 1 if any file failed (the reference always exits
+0; nonzero-on-failure is what scripts and CI need). Heavy imports (jax via
+the codec) load lazily per subcommand, so `info` and argparse errors never
+initialize a device runtime.
 """
 
 from __future__ import annotations
@@ -24,8 +29,7 @@ from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
-from .models.codec import process_file_compress, process_file_decompress
-from .utils.logging import logger
+from .utils.logging import configure_cli_logging, logger
 
 
 def _run_jobs(fn, jobs, workers):
@@ -35,7 +39,43 @@ def _run_jobs(fn, jobs, workers):
         return list(pool.map(lambda args: fn(*args), jobs))
 
 
-def main(argv=None):
+def _exit_code(results) -> int:
+    """0 unless any per-file result reports an error."""
+    if isinstance(results, dict):
+        results = [results]
+    return 1 if any("error" in (r or {}) for r in results) else 0
+
+
+def _run_batch(in_dir, out_dir, ext, out_name, run_todo, metrics_name, verb):
+    """Shared batch scaffolding (compress/decompress): list *ext files,
+    build the skip-resume todo list (fractal.py:1597-1600), run, write the
+    metrics JSON. `out_name(base)` maps an input basename to its output
+    name; `run_todo(todo)` returns per-file metric dicts."""
+    files = [
+        os.path.join(in_dir, f)
+        for f in sorted(os.listdir(in_dir))
+        if f.lower().endswith(ext)
+    ]
+    todo = []
+    for f in files:
+        outpath = os.path.join(out_dir, out_name(os.path.basename(f)))
+        if not os.path.exists(outpath):
+            todo.append((f, outpath))
+    logger.info("Batch %s %d/%d files", verb, len(todo), len(files))
+    if not todo:
+        logger.info("Nothing to do — all outputs already exist.")
+        return 0
+    os.makedirs(out_dir, exist_ok=True)
+    results = run_todo(todo)
+    metrics_file = os.path.join(out_dir, metrics_name)
+    with open(metrics_file, "w") as mf:
+        json.dump(results, mf, indent=2)
+    logger.info("Wrote metrics to %s", metrics_file)
+    return _exit_code(results)
+
+
+def main(argv=None) -> int:
+    configure_cli_logging()
     parser = argparse.ArgumentParser(
         description="TPU-native fractal WAV compressor with batch processing and metrics"
     )
@@ -113,6 +153,8 @@ def main(argv=None):
                     help="length of the decoded segment (with --start)")
 
     args = parser.parse_args(argv)
+    if getattr(args, "workers", 1) < 1:
+        parser.error("--workers must be >= 1")
 
     if args.cmd == "compress":
         if args.packed and not args.batch:
@@ -120,78 +162,70 @@ def main(argv=None):
         if args.packed and (args.devices > 1 or args.tp > 1):
             parser.error("--packed runs single-device; drop --devices/--tp "
                          "or use the thread-pool batch mode")
+        if args.devices < 1 or args.tp < 1 or args.devices % args.tp:
+            parser.error(
+                f"--tp must divide --devices (got devices={args.devices}, "
+                f"tp={args.tp})"
+            )
+        from .models.codec import process_file_compress
+
         if not args.batch:
             if args.output is None:
                 parser.error("compress requires OUTPUT unless --batch is used")
-            process_file_compress(
+            return _exit_code(process_file_compress(
                 args.input, args.output, args.tile, args.energy_thresh, args.gpu,
                 search=args.search, prune_bank=args.prune_bank,
                 devices=args.devices, tp=args.tp, compact=args.compact,
+            ))
+        if args.output is not None:
+            parser.error("Do not provide positional OUTPUT when using "
+                         "--batch; use --out instead")
+
+        def run_todo(todo):
+            if args.packed:
+                from .models.codec import process_files_compress_packed
+
+                return process_files_compress_packed(
+                    todo, tile=args.tile, energy_thresh=args.energy_thresh,
+                    search=args.search, prune_bank=args.prune_bank,
+                    compact=args.compact,
+                )
+            return _run_jobs(
+                lambda f, outp: process_file_compress(
+                    f, outp, args.tile, args.energy_thresh, args.gpu,
+                    prune_bank=args.prune_bank, search=args.search,
+                    devices=args.devices, tp=args.tp, compact=args.compact,
+                ),
+                todo, args.workers,
             )
-        else:
-            if args.output is not None:
-                parser.error("Do not provide positional OUTPUT when using --batch; use --out instead")
-            out_dir = args.out or args.input
-            files = [
-                os.path.join(args.input, f)
-                for f in sorted(os.listdir(args.input))
-                if f.lower().endswith(".wav")
-            ]
-            todo = []
-            for f in files:
-                outpath = os.path.join(out_dir, os.path.basename(f) + ".fwav")
-                if not os.path.exists(outpath):  # skip-resume (fractal.py:1597-1600)
-                    todo.append((f, outpath, args.tile, args.energy_thresh,
-                                 args.gpu, args.prune_bank, args.search))
-            logger.info(
-                "Batch compressing %d/%d files using %d workers",
-                len(todo), len(files), args.workers,
-            )
-            if todo:
-                os.makedirs(out_dir, exist_ok=True)
-                if args.packed:
-                    from .models.codec import process_files_compress_packed
 
-                    results = process_files_compress_packed(
-                        [(f, outp) for f, outp, *_ in todo],
-                        tile=args.tile, energy_thresh=args.energy_thresh,
-                        search=args.search, prune_bank=args.prune_bank,
-                        compact=args.compact,
-                    )
-                else:
-                    from functools import partial
+        return _run_batch(
+            args.input, args.out or args.input, ".wav",
+            lambda base: base + ".fwav", run_todo,
+            "compression_metrics.json", "compressing",
+        )
 
-                    fn = partial(process_file_compress, devices=args.devices,
-                                 tp=args.tp, compact=args.compact)
-                    results = _run_jobs(fn, todo, args.workers)
-                metrics_file = os.path.join(out_dir, "compression_metrics.json")
-                with open(metrics_file, "w") as mf:
-                    json.dump(results, mf, indent=2)
-                logger.info("Wrote metrics to %s", metrics_file)
-            else:
-                logger.info("No files to compress — all already exist.")
+    if args.cmd == "info":
+        from .io.container import read_header, read_matches, read_version
 
-    elif args.cmd == "info":
+        checksum_state = "not checked"
         if args.verify:
-            # full read (hashes the payload)
             from .io.container import load_compressed_arrays
 
-            (rec, _domains, n_ranges, range_size, framerate, sampwidth,
-             tile_size, domain_step, energy_threshold, original_len) = (
+            try:
                 load_compressed_arrays(args.input, verify_checksum=True)
-            )
-            n_domains = len(_domains)
-        else:
-            # header + match table only — never touches the (possibly
-            # multi-GB) domain bank payload
-            from .io.container import read_header, read_matches
-
-            hdr = read_header(args.input)
-            (range_size, framerate, sampwidth, tile_size, domain_step,
-             energy_threshold, n_ranges, n_domains, original_len) = hdr
-            rec = read_matches(args.input)
-        from .io.container import read_version
-
+                checksum_state = "verified"
+            except ValueError as e:
+                if "Checksum mismatch" not in str(e):
+                    raise
+                checksum_state = "FAILED"
+        # header + match table only — never holds the (possibly multi-GB)
+        # domain bank payload in RAM for the report itself
+        (range_size, framerate, sampwidth, tile_size, domain_step,
+         energy_threshold, n_ranges, n_domains, original_len) = (
+            read_header(args.input)
+        )
+        rec = read_matches(args.input)
         sentinels = int(np.sum(rec["idx"] < 0)) if len(rec) else 0
         info = {
             "file": args.input,
@@ -208,11 +242,14 @@ def main(argv=None):
             "duration_s": round(original_len / framerate, 3) if framerate else None,
             "silent_sentinel_ranges": sentinels,
             "file_bytes": os.path.getsize(args.input),
-            "checksum": "verified" if args.verify else "not checked",
+            "checksum": checksum_state,
         }
         print(json.dumps(info, indent=2))
+        return 1 if checksum_state == "FAILED" else 0
 
-    elif args.cmd == "decompress":
+    if args.cmd == "decompress":
+        from .models.codec import process_file_decompress
+
         # segment decodes get their own output names: a 1 s excerpt must
         # not masquerade as the full reconstruction nor trip skip-resume
         # against (or for) a later full decode
@@ -229,46 +266,31 @@ def main(argv=None):
             out_file = args.out or (
                 os.path.splitext(args.input)[0] + recon_suffix
             )
-            process_file_decompress(args.input, out_file, args.iter, args.eps,
-                                    args.gpu, s_damping=args.damping,
-                                    start_s=args.start,
-                                    duration_s=args.duration)
-        else:
-            out_dir = args.out or args.input
-            files = [
-                os.path.join(args.input, f)
-                for f in sorted(os.listdir(args.input))
-                if f.lower().endswith(".fwav")
-            ]
-            todo = []
-            for f in files:
-                base = os.path.basename(f)
-                outpath = os.path.join(
-                    out_dir, base[: -len(".fwav")] + recon_suffix
-                )
-                if not os.path.exists(outpath):
-                    todo.append((f, outpath, args.iter, args.eps, args.gpu,
-                                 args.damping))
-            logger.info(
-                "Batch decompressing %d/%d files using %d workers",
-                len(todo), len(files), args.workers,
-            )
-            if todo:
-                os.makedirs(out_dir, exist_ok=True)
-                from functools import partial
+            return _exit_code(process_file_decompress(
+                args.input, out_file, args.iter, args.eps, args.gpu,
+                s_damping=args.damping, start_s=args.start,
+                duration_s=args.duration,
+            ))
 
-                fn = partial(process_file_decompress, start_s=args.start,
-                             duration_s=args.duration)
-                results = _run_jobs(fn, todo, args.workers)
-                metrics_file = os.path.join(out_dir, "decompression_metrics.json")
-                with open(metrics_file, "w") as mf:
-                    json.dump(results, mf, indent=2)
-                logger.info("Wrote metrics to %s", metrics_file)
-            else:
-                logger.info("No files to decompress — all already exist.")
-    else:
-        parser.print_help()
+        def run_todo(todo):
+            return _run_jobs(
+                lambda f, outp: process_file_decompress(
+                    f, outp, args.iter, args.eps, args.gpu,
+                    s_damping=args.damping, start_s=args.start,
+                    duration_s=args.duration,
+                ),
+                todo, args.workers,
+            )
+
+        return _run_batch(
+            args.input, args.out or args.input, ".fwav",
+            lambda base: base[: -len(".fwav")] + recon_suffix, run_todo,
+            "decompression_metrics.json", "decompressing",
+        )
+
+    parser.print_help()
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())

@@ -26,6 +26,7 @@ from ..io.container import (
 )
 from ..io.wav import read_wav_mono, write_wav
 from ..utils.logging import logger
+from ..utils.metrics import compression_ratio, x_realtime
 from .decode import decompress_audio
 from .encode import compress_audio_arrays
 from .stream import compress_audio_streaming, domain_block_iter
@@ -163,8 +164,8 @@ def process_file_compress(path, outdir=None, tile=1024, energy_thresh=1e-4,
         elapsed = time.time() - start
         in_size = os.path.getsize(path)
         out_size = os.path.getsize(outpath)
-        ratio = in_size / out_size if out_size > 0 else 0
-        xrt = (original_len / framerate / elapsed) if elapsed > 0 else float("inf")
+        ratio = compression_ratio(in_size, out_size)
+        xrt = x_realtime(original_len, framerate, elapsed)
         logger.info(
             "Compressed %s -> %s  time=%.2fs  ratio=%.2f  x_realtime=%.1f",
             path, outpath, elapsed, ratio, xrt,
@@ -269,7 +270,7 @@ def process_files_compress_packed(jobs, tile=1024, energy_thresh=1e-4,
                 out_size = os.path.getsize(outpath)
                 results[k] = {
                     "input": path, "output": outpath,
-                    "ratio": in_size / out_size if out_size else 0,
+                    "ratio": compression_ratio(in_size, out_size),
                     "packed": True,
                 }
             except Exception as e:  # noqa: BLE001
@@ -326,7 +327,7 @@ def process_file_decompress(path, outdir=None, iterations=8, eps=1e-3,
         outpath = _resolve_out(path, outdir, "_recon.wav", ".wav")
         write_wav(outpath, np.asarray(recon), framerate, sampwidth)
         elapsed = time.time() - start
-        xrt = (len(recon) / framerate / elapsed) if elapsed > 0 else float("inf")
+        xrt = x_realtime(len(recon), framerate, elapsed)
         logger.info(
             "Decompressed %s -> %s  time=%.2fs  x_realtime=%.1f",
             path, outpath, elapsed, xrt,

@@ -9,8 +9,20 @@ from __future__ import annotations
 
 import logging
 
-logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s: %(message)s")
+#: A LIBRARY never calls logging.basicConfig (that would hijack the
+#: embedding application's root-logger configuration); configure only our
+#: own logger and let it propagate if the app has handlers. The CLI calls
+#: configure_cli_logging() for the standalone experience.
 logger = logging.getLogger("fwavc")
+logger.setLevel(logging.INFO)
+
+
+def configure_cli_logging() -> None:
+    """Root-logger setup for the standalone CLI (not for library use)."""
+    logging.basicConfig(
+        level=logging.INFO, format="%(asctime)s %(levelname)s: %(message)s"
+    )
+
 
 _banner_done = False
 
@@ -47,5 +59,8 @@ _banner_msg = ""
 
 def _set_banner(msg: str) -> None:
     global _banner_done, _banner_msg
-    _banner_done = True
+    # publish the message BEFORE the done flag: a concurrent
+    # device_banner() that observes _banner_done must never read the
+    # empty-string placeholder
     _banner_msg = msg
+    _banner_done = True

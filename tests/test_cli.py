@@ -141,3 +141,49 @@ def test_cli_default_prunes_bank(tmp_path, wav_dir):
     a, _, _ = read_wav_mono(str(rp))
     b, _, _ = read_wav_mono(str(rf))
     np.testing.assert_array_equal(a, b)
+
+
+def test_cli_exit_codes(tmp_path):
+    # 0 on success, 1 when a file fails — scripts/CI depend on it (the
+    # reference always exits 0)
+    from fwav_tpu.cli import main as cli_main
+
+    assert cli_main(["compress", str(tmp_path / "missing.wav"),
+                     str(tmp_path / "o.fwav")]) == 1
+    assert cli_main(["decompress", str(tmp_path / "missing.fwav"),
+                     "--out", str(tmp_path / "o.wav")]) == 1
+
+
+def test_cli_info_verify_reports_failed_checksum(tmp_path, capsys):
+    import json
+
+    import numpy as np
+
+    from fwav_tpu.cli import main as cli_main
+    from fwav_tpu.io.container import MATCH_DTYPE, save_compressed
+
+    rec = np.zeros(8, MATCH_DTYPE)
+    rec["idx"] = np.arange(8) % 2
+    rec["s"] = 1.0
+    bank = np.ones((2, 4), np.float32)
+    p = tmp_path / "x.fwav"
+    save_compressed(p, rec, bank, 4, 8000, 2, 1024, 1, 1e-4, 32)
+    blob = bytearray(p.read_bytes())
+    blob[-1] ^= 0xFF
+    p.write_bytes(bytes(blob))
+    rc = cli_main(["info", str(p), "--verify"])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 1 and out["checksum"] == "FAILED"
+    # header info still reported despite the corrupt payload
+    assert out["n_ranges"] == 8
+
+
+def test_cli_workers_and_tp_validation(tmp_path):
+    import pytest
+
+    from fwav_tpu.cli import main as cli_main
+
+    with pytest.raises(SystemExit):
+        cli_main(["compress", str(tmp_path), "--batch", "--workers", "0"])
+    with pytest.raises(SystemExit):
+        cli_main(["compress", "a.wav", "b.fwav", "--devices", "4", "--tp", "3"])
