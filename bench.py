@@ -49,6 +49,9 @@ def make_signal(seconds: float = 10.0, sr: int = 44100) -> np.ndarray:
 
 
 def measure():
+    from fwav_tpu.utils.logging import configure_cli_logging
+
+    configure_cli_logging()  # standalone script: keep the banner visible
     from fwav_tpu import compress_audio_arrays, decompress_audio, compute_snr
 
     sr = 44100
