@@ -133,6 +133,10 @@ def main(argv=None) -> int:
     pi.add_argument("--verify", action="store_true",
                     help="also verify the SHA-256 payload checksum")
 
+    ps = sub.add_parser("snr", help="round-trip quality: SNR between two WAVs")
+    ps.add_argument("original", help="original WAV")
+    ps.add_argument("reconstruction", help="reconstructed WAV")
+
     pd = sub.add_parser("decompress")
     pd.add_argument("input", help="input file or directory")
     pd.add_argument("--out", default=None, help="output file or directory")
@@ -246,6 +250,22 @@ def main(argv=None) -> int:
         }
         print(json.dumps(info, indent=2))
         return 1 if checksum_state == "FAILED" else 0
+
+    if args.cmd == "snr":
+        from .io.wav import read_wav_mono
+        from .utils.metrics import compute_snr
+
+        a, sr_a, _ = read_wav_mono(args.original)
+        b, sr_b, _ = read_wav_mono(args.reconstruction)
+        if sr_a != sr_b:
+            logger.warning("sample rates differ: %d vs %d", sr_a, sr_b)
+        print(json.dumps({
+            "original": args.original,
+            "reconstruction": args.reconstruction,
+            "snr_db": round(compute_snr(a, b), 4),
+            "compared_samples": int(min(len(a), len(b))),
+        }, indent=2))
+        return 0
 
     if args.cmd == "decompress":
         from .models.codec import process_file_decompress

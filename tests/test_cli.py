@@ -187,3 +187,23 @@ def test_cli_workers_and_tp_validation(tmp_path):
         cli_main(["compress", str(tmp_path), "--batch", "--workers", "0"])
     with pytest.raises(SystemExit):
         cli_main(["compress", "a.wav", "b.fwav", "--devices", "4", "--tp", "3"])
+
+
+def test_cli_snr_subcommand(tmp_path, capsys):
+    import json
+
+    import numpy as np
+
+    from fwav_tpu.cli import main as cli_main
+    from fwav_tpu.io.wav import write_wav
+
+    t = np.arange(8000) / 8000
+    a = np.round(8000 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    b = a.copy()
+    b[::50] += 100.0
+    write_wav(tmp_path / "a.wav", a, 8000, 2)
+    write_wav(tmp_path / "b.wav", b, 8000, 2)
+    rc = cli_main(["snr", str(tmp_path / "a.wav"), str(tmp_path / "b.wav")])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0 and 20.0 < out["snr_db"] < 60.0
+    assert out["compared_samples"] == 8000
