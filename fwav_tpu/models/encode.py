@@ -140,7 +140,12 @@ def build_encode_core(
         rblk = _pow2_divisor(ranges.shape[0], range_block)
         if search == "exact":
             d_mean, d_denom = affine_stats(bank)
-            if use_pallas:
+            exact_prb = (
+                min(512, rblk) if rblk % 512 == 0 or rblk < 512 else 256
+            )
+            from ..ops.pallas_search import pallas_blocks_ok
+
+            if use_pallas and pallas_blocks_ok(rblk, db, exact_prb, dblk):
                 from ..ops.pallas_search import exact_search_scan_pallas
                 from ..ops.search import domain_weights, exact_refit
 
@@ -152,7 +157,7 @@ def build_encode_core(
                     r_c = rb - r_mean[:, None]
                     score, bidx, bsym = exact_search_scan_pallas(
                         r_c, bankT, d_weight, d_valid,
-                        range_block=min(512, rblk) if rblk % 512 == 0 or rblk < 512 else 256,
+                        range_block=exact_prb,
                         domain_block=dblk,
                         # orientation is host-derived (refit_host), skip
                         # the kernel's per-block winner bookkeeping
@@ -171,7 +176,13 @@ def build_encode_core(
             # visits — 1/stride of the bank (weights are per-row, so this is
             # bit-equal to subsampling full-bank weights)
             cdblk = _pow2_divisor(db // coarse_stride, domain_block)
-            if use_pallas and coarse_topc == 1:
+            prb = 512 if rblk % 512 == 0 else _pow2_divisor(rblk, 512)
+            from ..ops.pallas_search import pallas_blocks_ok
+
+            if (
+                use_pallas and coarse_topc == 1
+                and pallas_blocks_ok(rblk, db // coarse_stride, prb, cdblk)
+            ):
                 # fused Pallas scan for the coarse lobes: keeps score tiles
                 # in VMEM instead of round-tripping them through HBM
                 # (measured 35 vs 87 ms on the 10s bench shapes)
@@ -184,7 +195,6 @@ def build_encode_core(
                 w_sub = domain_weights(sub_mean, sub_denom, n, objective)
                 bank_subT = bank_sub.T
                 v_sub = d_valid.reshape(dc, coarse_stride)[:, 0]
-                prb = 512 if rblk % 512 == 0 else _pow2_divisor(rblk, 512)
 
                 def do_block(rb):
                     r_c = rb - jnp.mean(rb, axis=1, keepdims=True)
@@ -266,6 +276,8 @@ def build_encode_core(
             merge_shard_bests,
         )
 
+        from ..ops.pallas_search import pallas_blocks_ok
+
         j = jax.lax.axis_index(tp_axis)
         dloc = db // tp
         rblk = _pow2_divisor(ranges.shape[0], range_block)
@@ -280,10 +292,11 @@ def build_encode_core(
             v_loc = off + jnp.arange(dloc, dtype=jnp.int32) < n_domains
             d_mean, d_denom = affine_stats(bank_loc)
             ldblk = _pow2_divisor(dloc, domain_block)
+            use_p = use_pallas and pallas_blocks_ok(rblk, dloc, prb, ldblk)
 
             def do_chunk(rb):
                 r_c = rb - jnp.mean(rb, axis=1, keepdims=True)
-                if use_pallas:
+                if use_p:
                     from ..ops.pallas_search import exact_search_scan_pallas
 
                     w = domain_weights(d_mean, d_denom, n, objective)
@@ -330,10 +343,11 @@ def build_encode_core(
             w_sub = domain_weights(sub_mean, sub_denom, n, objective)
             cdblk = _pow2_divisor(dcl, domain_block)
             n_valid = jnp.minimum(jnp.asarray(n_domains, jnp.int32), db)
+            use_p = use_pallas and pallas_blocks_ok(rblk, dcl, prb, cdblk)
 
             def do_chunk(rb):
                 r_c = rb - jnp.mean(rb, axis=1, keepdims=True)
-                if use_pallas:
+                if use_p:
                     from ..ops.pallas_search import exact_search_scan_pallas
 
                     score, lob, _ = exact_search_scan_pallas(

@@ -39,6 +39,20 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = float("-inf")
 
 
+def pallas_blocks_ok(M: int, D: int, range_block: int, domain_block: int) -> bool:
+    """Mosaic's lowering constraint for this kernel's BlockSpecs: the
+    last block dimension must be divisible by 128 (the lane width) or
+    equal the full array dimension, and the second-to-last divisible by 8
+    or equal. Small explicitly-requested banks (e.g. `--search coarse` on
+    a sub-second file, where the subsampled bank has a few hundred rows)
+    can produce conforming-looking pow2 blocks like 32 or 64 that still
+    violate this — callers must fall back to the lax.scan path then."""
+    return (
+        (domain_block % 128 == 0 or domain_block == D)
+        and (range_block % 8 == 0 or range_block == M)
+    )
+
+
 def _search_kernel(
     r_blk, rrev_blk, bankT_blk, w_blk, valid_blk,
     score_out, idx_out, sym_out,

@@ -47,3 +47,37 @@ def test_pallas_scan_all_invalid():
         range_block=128, domain_block=256, interpret=True,
     )
     assert np.all(np.isneginf(np.asarray(s)))
+
+
+def test_pallas_blocks_ok_predicate():
+    # the Mosaic lowering constraint the encode call sites guard on: last
+    # block dim divisible by 128 or equal to D; second-to-last divisible
+    # by 8 or equal to M. The real-chip failure this pins: --search coarse
+    # on a sub-second file gives a 160-row subsampled bank whose pow2
+    # block (32) satisfies neither.
+    from fwav_tpu.ops.pallas_search import pallas_blocks_ok
+
+    assert not pallas_blocks_ok(512, 160, 512, 32)    # the observed crash
+    assert pallas_blocks_ok(512, 160, 512, 160)       # block == D is fine
+    assert pallas_blocks_ok(8192, 20480, 512, 2048)   # the bench shapes
+    assert not pallas_blocks_ok(512, 320, 512, 64)    # tiny exact bank
+    assert pallas_blocks_ok(4, 2048, 4, 2048)         # block == M is fine
+
+
+def test_small_bank_coarse_encode_with_pallas_requested():
+    # forcing search='coarse' + use_pallas on a tiny file must fall back
+    # to the lax.scan path instead of dying in the Mosaic lowering
+    import numpy as np
+
+    from fwav_tpu.models.encode import compress_audio_arrays
+    from fwav_tpu.config import EncoderConfig
+
+    rng = np.random.default_rng(3)
+    t = np.arange(19200) / 16000
+    sig = np.round(
+        (0.4 * np.sin(2 * np.pi * 330 * t) + 0.01 * rng.standard_normal(len(t)))
+        * 16000
+    ).astype(np.float32)
+    cfg = EncoderConfig(tile_size=1024, search="coarse", use_pallas=True)
+    rec, bank, n_ranges, *_ = compress_audio_arrays(sig, 16000, 2, config=cfg)
+    assert (rec["idx"] >= 0).any() and n_ranges > 0
