@@ -121,6 +121,10 @@ def main(argv=None) -> int:
                          "< 0.02 dB SNR cost; decodes with this tool only "
                          "(the reference reads v1 files, which remain the "
                          "default)")
+    pc.add_argument("--resume-dir", default=None, metavar="DIR",
+                    help="shard-level crash recovery for long (streaming) "
+                         "encodes: completed time shards checkpoint here "
+                         "and a rerun recomputes only the missing ones")
     pc.add_argument("--devices", type=int, default=1,
                     help="encode over an N-device mesh (ranges data-parallel"
                          "; output bit-identical to one device)")
@@ -180,6 +184,7 @@ def main(argv=None) -> int:
                 args.input, args.output, args.tile, args.energy_thresh, args.gpu,
                 search=args.search, prune_bank=args.prune_bank,
                 devices=args.devices, tp=args.tp, compact=args.compact,
+                resume_dir=args.resume_dir,
             ))
         if args.output is not None:
             parser.error("Do not provide positional OUTPUT when using "
@@ -199,6 +204,7 @@ def main(argv=None) -> int:
                     f, outp, args.tile, args.energy_thresh, args.gpu,
                     prune_bank=args.prune_bank, search=args.search,
                     devices=args.devices, tp=args.tp, compact=args.compact,
+                    resume_dir=args.resume_dir,
                 ),
                 todo, args.workers,
             )

@@ -53,7 +53,8 @@ def _resolve_out(path, outdir, default_suffix, expected_ext):
 
 def process_file_compress(path, outdir=None, tile=1024, energy_thresh=1e-4,
                           use_gpu=False, prune_bank=False, search="auto",
-                          devices=1, tp=1, compact=False, **kwargs):
+                          devices=1, tp=1, compact=False, resume_dir=None,
+                          **kwargs):
     """prune_bank=True drops unreferenced domain rows from the container
     (models.encode.prune_bank): the file stays format-valid for ANY decoder
     and decodes bit-identically, at a fraction of the size (the full bank is
@@ -91,7 +92,7 @@ def process_file_compress(path, outdir=None, tile=1024, energy_thresh=1e-4,
             ) = compress_audio_streaming(
                 signal, framerate, sampwidth, tile_size=tile,
                 energy_thresh=energy_thresh, search=search, mesh=mesh,
-                **kwargs,
+                resume_dir=resume_dir, **kwargs,
             )
             from ..ops.domains import n_domains_for
 

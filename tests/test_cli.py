@@ -207,3 +207,36 @@ def test_cli_snr_subcommand(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out)
     assert rc == 0 and 20.0 < out["snr_db"] < 60.0
     assert out["compared_samples"] == 8000
+
+
+def test_cli_resume_dir_reaches_streaming(tmp_path, monkeypatch):
+    # --resume-dir threads through to the streaming encoder: shard
+    # checkpoints appear, and a rerun (after losing the output) reuses
+    # them to produce a byte-identical file
+    import numpy as np
+
+    import fwav_tpu.models.codec as codec
+    from fwav_tpu.cli import main as cli_main
+    from fwav_tpu.io.wav import write_wav
+
+    monkeypatch.setattr(codec, "STREAMING_THRESHOLD", 8000)
+    rng = np.random.default_rng(21)
+    t = np.arange(24000) / 16000
+    sig = np.round(
+        (0.4 * np.sin(2 * np.pi * 300 * t) + 0.01 * rng.standard_normal(len(t)))
+        * 16000
+    ).astype(np.float32)
+    wav = tmp_path / "long.wav"
+    write_wav(wav, sig, 16000, 2)
+    out = tmp_path / "long.fwav"
+    rd = tmp_path / "ckpt"
+    rc = cli_main(["compress", str(wav), str(out), "--tile", "128",
+                   "--resume-dir", str(rd)])
+    assert rc == 0
+    ckpts = sorted(rd.glob("shard_*.npy"))
+    assert ckpts, "no shard checkpoints written"
+    first = out.read_bytes()
+    out.unlink()
+    rc = cli_main(["compress", str(wav), str(out), "--tile", "128",
+                   "--resume-dir", str(rd)])
+    assert rc == 0 and out.read_bytes() == first
