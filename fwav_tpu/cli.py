@@ -226,17 +226,24 @@ def main(argv=None) -> int:
                 load_compressed_arrays(args.input, verify_checksum=True)
                 checksum_state = "verified"
             except ValueError as e:
-                if "Checksum mismatch" not in str(e):
-                    raise
-                checksum_state = "FAILED"
+                # every corruption class the loaders raise is a ValueError
+                # (checksum mismatch, truncated/corrupt payload, bad magic/
+                # version/geometry) — report it as a clean FAILED verdict
+                # with exit code 1, never a traceback
+                checksum_state = f"FAILED: {e}"
         # header + match table only — never holds the (possibly multi-GB)
         # domain bank payload in RAM for the report itself
         (range_size, framerate, sampwidth, tile_size, domain_step,
          energy_threshold, n_ranges, n_domains, original_len) = (
             read_header(args.input)
         )
-        rec = read_matches(args.input)
-        sentinels = int(np.sum(rec["idx"] < 0)) if len(rec) else 0
+        try:
+            rec = read_matches(args.input)
+            sentinels = int(np.sum(rec["idx"] < 0)) if len(rec) else 0
+        except ValueError:
+            # compact-v2 match streams live inside the (possibly corrupt)
+            # deflate payload; header info still reports
+            sentinels = None
         info = {
             "file": args.input,
             "version": read_version(args.input),
@@ -255,7 +262,7 @@ def main(argv=None) -> int:
             "checksum": checksum_state,
         }
         print(json.dumps(info, indent=2))
-        return 1 if checksum_state == "FAILED" else 0
+        return 1 if checksum_state.startswith("FAILED") else 0
 
     if args.cmd == "snr":
         from .io.wav import read_wav_mono

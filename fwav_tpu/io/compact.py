@@ -62,7 +62,7 @@ reference raises 'Unsupported FWAV version', fractal.py:1334-1336):
 All bitmaps/bit-streams pack LSB-first (numpy bitorder='little'). The bank
 and o streams carry independent power-of-2 scale exponents (exact: only fp
 exponents change). The bank stays float16 with its peak landed in
-[8192, 16384) — its role is multiplicative, so relative precision is what
+(8192, 16384] — its role is multiplicative, so relative precision is what
 matters. o is int16 FIXED point with its peak landed in (16384, 32768],
 because the default decode's output IS o per range (models/decode.py
 closed form) and uniform absolute error is what minimizes output
@@ -160,7 +160,9 @@ def _unpack_mask(buf: bytes, m: int) -> np.ndarray:
 
 
 def _scale_exp_for(values) -> int:
-    """Exponent k landing max|values| / 2^k in [8192, 16384) — an exact
+    """Exponent k landing max|values| / 2^k in (8192, 16384] (ceil(log2)
+    semantics: an exact power-of-two peak lands ON the upper edge, the same
+    half-open-at-the-bottom window convention as _o_exp_for) — an exact
     power-of-2 rescale (only fp exponents change) that gives every stored
     element full float16 relative precision regardless of content scale.
     Clamped to the int8 ext-header field / normal-float32 scale range:

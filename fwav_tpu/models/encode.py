@@ -589,47 +589,19 @@ def compress_audio_packed(
     for i, sig in enumerate(signals):
         signal = np.ascontiguousarray(np.asarray(sig, dtype=np.float32))
         original_len = len(signal)
-        n_ranges = -(-original_len // range_size) if original_len else 0
-        n_domains = n_domains_for(original_len, cfg.tile_size, domain_step)
-        if n_ranges == 0 or n_domains == 0:
+        try:
+            prep = _prep_signal(signal, cfg)
+        except ValueError as e:
+            raise ValueError(f"signal {i}: {e}") from None
+        if prep is None:
             results[i] = _empty_result(
                 range_size, cfg.tile_size, domain_step, cfg.energy_thresh,
                 original_len, arrays=True,
             )
             continue
-        if n_domains >= 1 << 24:
-            raise ValueError(
-                f"signal {i}: {n_domains} domains exceeds the packed "
-                "encoder's 2^24 index range; encode long files "
-                "individually (compress_audio_streaming)"
-            )
-        nb = bucket(original_len, 4096)
-        lb = bucket(n_ranges, 256) * range_size
-        db = bucket(n_domains, 256)
-        peak = float(np.max(np.abs(signal)))
-        in_i16 = bool(
-            np.isfinite(peak) and peak <= 32767.0
-            and np.array_equal(signal, signal.astype(np.int16))
-        )
-        raw_p = np.zeros(nb, dtype=np.int16 if in_i16 else np.float32)
-        raw_p[:original_len] = signal.astype(np.int16) if in_i16 else signal
-        search_mode, stride = _resolve_search(cfg, range_size, db)
-        use_pallas = cfg.use_pallas
-        if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
-        key = (
-            nb, lb, db, cfg.tile_size, range_size, domain_step, search_mode,
-            cfg.top_k, cfg.emb_dim, cfg.fast_mode, cfg.s_clip,
-            cfg.domain_block, cfg.range_block, cfg.objective, stride,
-            cfg.coarse_topc, bool(use_pallas), "raw", in_i16,
-            float(cfg.energy_thresh),
-        )
+        raw_p, meta, key, n_ranges, n_domains = prep
         groups.setdefault(key, []).append(i)
-        prepped[i] = (
-            signal, raw_p,
-            np.array([original_len, n_ranges, n_domains], np.int32),
-            n_ranges, n_domains, original_len,
-        )
+        prepped[i] = (signal, raw_p, meta, n_ranges, n_domains, original_len)
 
     for key, idxs in groups.items():
         core = _packed_encode_core(*key)
@@ -724,54 +696,13 @@ def _compress_fast(signal: np.ndarray, cfg: EncoderConfig, mesh=None):
     else:
         mesh, dp, tp = None, 1, 1
 
-    n_ranges = -(-original_len // range_size) if original_len else 0
-    n_domains = n_domains_for(original_len, cfg.tile_size, domain_step)
-    if n_ranges == 0 or n_domains == 0:
+    prep = _prep_signal(signal, cfg, dp, tp)
+    if prep is None:
         return _empty_result(
             range_size, cfg.tile_size, domain_step, cfg.energy_thresh,
             original_len, arrays=True,
         )
-    if n_domains >= 1 << 24:
-        raise ValueError(
-            f"{n_domains} domains exceeds the single-shot encoder's 2^24 "
-            "index range; use models.stream.compress_audio_streaming "
-            "(process_file_compress selects it automatically)"
-        )
-
-    nb = bucket(original_len, 4096)
-    # bucket the RANGE COUNT, not the sample count: lb must be an exact
-    # multiple of range_size for the (mb, N) reshape (range_size can have
-    # odd factors, e.g. tile_size=1536 -> range_size=6). Shard-divisibility
-    # padding applies only on real meshes: pad_to with dp=1/tp=1 would
-    # round the quarter-octave bucket values (320/384/...) back up to
-    # 256-multiples and undo the small-shape padding cap.
-    rb = bucket(n_ranges, 256)
-    dbk = bucket(n_domains, 256)
-    lb = (pad_to(rb, dp * 256) if dp > 1 else rb) * range_size
-    db = pad_to(dbk, tp * 256) if tp > 1 else dbk
-
-    # 16-bit PCM content (every real 8/16-bit WAV) crosses host->device as
-    # int16 — half the bytes of float32 on the link that costs ~50 MB/s
-    # through tunneled transports; the device casts back to f32 exactly.
-    peak = float(np.max(np.abs(signal)))
-    in_i16 = False
-    if np.isfinite(peak) and peak <= 32767.0:
-        as_i16 = signal.astype(np.int16)
-        in_i16 = bool(np.array_equal(signal, as_i16))
-    raw_p = np.zeros(nb, dtype=np.int16 if in_i16 else np.float32)
-    raw_p[:original_len] = as_i16 if in_i16 else signal
-
-    search_mode, stride = _resolve_search(cfg, range_size, db)
-    use_pallas = cfg.use_pallas
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
-    check_tp_composition(search_mode, stride, db, tp)
-    key = (
-        nb, lb, db, cfg.tile_size, range_size, domain_step, search_mode,
-        cfg.top_k, cfg.emb_dim, cfg.fast_mode, cfg.s_clip, cfg.domain_block,
-        cfg.range_block, cfg.objective, stride, cfg.coarse_topc,
-        bool(use_pallas), "raw", in_i16, float(cfg.energy_thresh),
-    )
+    raw_p, meta, key, n_ranges, n_domains = prep
     if mesh is not None:
         from ..parallel.mesh import DP_AXIS, TP_AXIS
 
@@ -780,7 +711,6 @@ def _compress_fast(signal: np.ndarray, cfg: EncoderConfig, mesh=None):
         )
     else:
         core = _encode_core(*key)
-    meta = np.array([original_len, n_ranges, n_domains], np.int32)
 
     # single-core hosts (tunnel rigs): the tunnel client shares the CPU with
     # numpy. The fetch runs in its own thread (blocked in C, GIL released,
@@ -887,6 +817,83 @@ def _finalize_encode(c, signal, cfg, range_size, domain_step, n_ranges,
         cfg.energy_thresh,
         original_len,
     )
+
+
+def _as_i16_or_f32(signal: np.ndarray):
+    """The transport's int16 detection rule — the single source of truth for
+    every encode path (single-shot, packed, streaming): 16-bit-exact content
+    (every real 8/16-bit WAV) ships host->device as int16, half the bytes of
+    float32 on tunneled ~50 MB/s links; the device casts back to f32
+    exactly. Returns (src, in_i16)."""
+    peak = float(np.max(np.abs(signal))) if len(signal) else 0.0
+    if np.isfinite(peak) and peak <= 32767.0:
+        as_i16 = signal.astype(np.int16)
+        if np.array_equal(signal, as_i16):
+            return as_i16, True
+    return signal, False
+
+
+def _core_key(cfg: EncoderConfig, nb: int, lb: int, db: int, mode: str,
+              in_i16: bool, tp: int = 1):
+    """The jit-core cache key for one shape bucket — every static argument
+    of build_encode_core in order (minus the trailing mesh args the sharded
+    wrapper appends). Centralized so the single-shot, packed and streaming
+    paths can never drift apart on which knobs select a compiled program.
+    Also runs the tp-composition check (it needs the resolved mode)."""
+    range_size = cfg.range_size
+    search_mode, stride = _resolve_search(cfg, range_size, db)
+    check_tp_composition(search_mode, stride, db, tp)
+    use_pallas = cfg.use_pallas
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    return (
+        nb, lb, db, cfg.tile_size, range_size, cfg.domain_step, search_mode,
+        cfg.top_k, cfg.emb_dim, cfg.fast_mode, cfg.s_clip, cfg.domain_block,
+        cfg.range_block, cfg.objective, stride, cfg.coarse_topc,
+        bool(use_pallas), mode, in_i16, float(cfg.energy_thresh),
+    )
+
+
+def _prep_signal(signal: np.ndarray, cfg: EncoderConfig, dp: int = 1,
+                 tp: int = 1):
+    """Shared host prep for the mode="raw" encode paths (single-shot and
+    packed): derive counts, bucket the shapes (with mesh-divisibility
+    padding on real meshes only — pad_to at dp=1/tp=1 would round the
+    quarter-octave bucket values back up to 256-multiples and undo the
+    small-shape padding cap), probe the int16 transport rule, fill the
+    padded raw buffer and build the jit-core cache key.
+
+    Returns (raw_p, meta, key, n_ranges, n_domains), or None when the
+    signal produces no ranges or no domains (caller emits the empty
+    result). Raises ValueError when the bank exceeds the 3-byte index
+    protocol's 2^24 range."""
+    range_size = cfg.range_size
+    original_len = len(signal)
+    n_ranges = -(-original_len // range_size) if original_len else 0
+    n_domains = n_domains_for(original_len, cfg.tile_size, cfg.domain_step)
+    if n_ranges == 0 or n_domains == 0:
+        return None
+    if n_domains >= 1 << 24:
+        raise ValueError(
+            f"{n_domains} domains exceeds the single-dispatch encoder's "
+            "2^24 index range; encode long files with "
+            "models.stream.compress_audio_streaming "
+            "(process_file_compress selects it automatically)"
+        )
+    nb = bucket(original_len, 4096)
+    # bucket the RANGE COUNT, not the sample count: lb must be an exact
+    # multiple of range_size for the (mb, N) reshape (range_size can have
+    # odd factors, e.g. tile_size=1536 -> range_size=6).
+    rb = bucket(n_ranges, 256)
+    dbk = bucket(n_domains, 256)
+    lb = (pad_to(rb, dp * 256) if dp > 1 else rb) * range_size
+    db = pad_to(dbk, tp * 256) if tp > 1 else dbk
+    src, in_i16 = _as_i16_or_f32(signal)
+    raw_p = np.zeros(nb, dtype=np.int16 if in_i16 else np.float32)
+    raw_p[:original_len] = src
+    key = _core_key(cfg, nb, lb, db, "raw", in_i16, tp)
+    meta = np.array([original_len, n_ranges, n_domains], np.int32)
+    return raw_p, meta, key, n_ranges, n_domains
 
 
 def _resolve_search(cfg: EncoderConfig, range_size: int, db: int):

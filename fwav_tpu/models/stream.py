@@ -47,10 +47,10 @@ from ..ops.vad import voiced_detection
 from ..utils.buckets import bucket, pad_to
 from .encode import (
     DEVICE_LOCK,
+    _as_i16_or_f32,
+    _core_key,
     _encode_core,
-    _resolve_search,
     _sharded_encode_core,
-    check_tp_composition,
 )
 
 #: Encode shard length in samples (~24 s at 44.1 kHz); must stay well under
@@ -104,6 +104,11 @@ def compress_audio_streaming(
     shard's match records are persisted there and skipped on re-run, so a
     crashed multi-hour encode resumes at the last finished shard (the
     analog of the CLI's file-level skip-resume, one level finer).
+    Checkpoints live under a subdirectory named by a fingerprint of the
+    signal content and every record-affecting encode parameter, so one
+    resume_dir is safe to share across concurrent --batch files and across
+    reruns with changed inputs or settings (each combination resumes only
+    its own shards).
 
     mesh: a (dp, tp) jax.sharding.Mesh composes TIME sharding with the
     multi-chip shardings (SURVEY.md §2.5 SP/CP + DP/TP): every time shard's
@@ -162,23 +167,30 @@ def compress_audio_streaming(
     L = len(weighted)
     n_ranges = L // n
 
-    # 16-bit-exact content ships as int16 (half the host->device bytes)
-    peak = float(np.max(np.abs(signal)))
-    in_i16 = False
-    if np.isfinite(peak) and peak <= 32767.0:
-        as_i16 = signal_p.astype(np.int16)
-        in_i16 = bool(np.array_equal(signal_p, as_i16))
-    raw_src = as_i16 if in_i16 else signal_p
+    # 16-bit-exact content ships as int16 (half the host->device bytes);
+    # the probe is models.encode's shared transport rule
+    raw_src, in_i16 = _as_i16_or_f32(signal_p)
 
     shard_samples = max(n, (shard_samples // n) * n)
     bounds = [(a, min(L, a + shard_samples)) for a in range(0, L, shard_samples)]
     slots = [None] * len(bounds)
 
+    if resume_dir:
+        # Namespace checkpoints by input identity + every encode parameter
+        # that can change the emitted records: a shared --resume-dir across
+        # a --batch run (or a rerun on different content / settings) must
+        # NEVER serve another encode's shards — shard index + length alone
+        # cannot distinguish them (every full shard has the same length).
+        import hashlib
+
+        h = hashlib.sha256()
+        h.update(repr((original_len, shard_samples, halo, cfg)).encode())
+        h.update(signal.tobytes())
+        resume_dir = os.path.join(resume_dir, h.hexdigest()[:24])
+        os.makedirs(resume_dir, exist_ok=True)
+
     def _ckpt(k):
         return os.path.join(resume_dir, f"shard_{k:06d}.npy") if resume_dir else None
-
-    if resume_dir:
-        os.makedirs(resume_dir, exist_ok=True)
 
     def _spawn_fetcher(codes):
         # fetch from a thread that blocks in C (GIL released): the host
@@ -275,17 +287,8 @@ def compress_audio_streaming(
         mask_bytes = np.packbits(vbits, bitorder="little")
         meta = np.array([lenw, a - g0, m, n_dom_w], np.int32)
 
-        search_mode, stride = _resolve_search(cfg, n, db)
-        check_tp_composition(search_mode, stride, db, tp)
-        use_pallas = cfg.use_pallas
-        if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
-        key = (
-            nbw, lb, db, tile, n, step, search_mode, cfg.top_k, cfg.emb_dim,
-            cfg.fast_mode, cfg.s_clip, cfg.domain_block, cfg.range_block,
-            cfg.objective, stride, cfg.coarse_topc, bool(use_pallas),
-            "masked", in_i16, float(cfg.energy_thresh),
-        )
+        # shared cache-key builder (also runs the tp-composition check)
+        key = _core_key(cfg, nbw, lb, db, "masked", in_i16, tp)
         if mesh is not None:
             from ..parallel.mesh import DP_AXIS, TP_AXIS
 

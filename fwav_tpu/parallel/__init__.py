@@ -7,7 +7,7 @@ from .mesh import (
     ranges_sharding,
     replicated,
 )
-from .shard import compress_audio_sharded, exact_search_sharded, exact_search_tp
+from .shard import compress_audio_sharded
 
 __all__ = [
     "DP_AXIS",
@@ -17,7 +17,5 @@ __all__ = [
     "ranges_sharding",
     "replicated",
     "compress_audio_sharded",
-    "exact_search_sharded",
-    "exact_search_tp",
     "init_distributed",
 ]

@@ -173,9 +173,35 @@ def test_cli_info_verify_reports_failed_checksum(tmp_path, capsys):
     p.write_bytes(bytes(blob))
     rc = cli_main(["info", str(p), "--verify"])
     out = json.loads(capsys.readouterr().out)
-    assert rc == 1 and out["checksum"] == "FAILED"
+    assert rc == 1 and out["checksum"].startswith("FAILED")
     # header info still reported despite the corrupt payload
     assert out["n_ranges"] == 8
+
+
+def test_cli_info_verify_reports_corrupt_compact_payload(tmp_path, capsys):
+    """A corrupt compact-v2 deflate payload raises 'Corrupt or truncated'
+    rather than 'Checksum mismatch'; info --verify must report it as a clean
+    FAILED verdict with exit code 1, not an uncaught traceback (ADVICE r2)."""
+    import json
+
+    import numpy as np
+
+    from fwav_tpu.cli import main as cli_main
+    from fwav_tpu.io.compact import save_compressed_compact
+    from fwav_tpu.io.container import MATCH_DTYPE
+
+    rec = np.zeros(8, MATCH_DTYPE)
+    rec["idx"] = np.arange(8) % 2
+    rec["s"] = 1.0
+    bank = np.linspace(-1, 1, 8, dtype=np.float32).reshape(2, 4)
+    p = tmp_path / "x.fwav"
+    save_compressed_compact(p, rec, bank, 4, 8000, 2, 1024, 1, 1e-4, 32)
+    blob = bytearray(p.read_bytes())
+    blob[-8] ^= 0xFF  # inside the deflate stream
+    p.write_bytes(bytes(blob))
+    rc = cli_main(["info", str(p), "--verify"])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 1 and out["checksum"].startswith("FAILED")
 
 
 def test_cli_workers_and_tp_validation(tmp_path):
@@ -233,7 +259,7 @@ def test_cli_resume_dir_reaches_streaming(tmp_path, monkeypatch):
     rc = cli_main(["compress", str(wav), str(out), "--tile", "128",
                    "--resume-dir", str(rd)])
     assert rc == 0
-    ckpts = sorted(rd.glob("shard_*.npy"))
+    ckpts = sorted(rd.rglob("shard_*.npy"))
     assert ckpts, "no shard checkpoints written"
     first = out.read_bytes()
     out.unlink()

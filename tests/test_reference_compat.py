@@ -74,8 +74,16 @@ def test_reference_fwav_decodes_with_ours(reference, tone16k, tmp_path):
         reference.decompress_audio(matches, np.asarray(domains), n_ranges,
                                    range_size, original_len=olen)
     )
-    # same matches, same bank -> the two decoders must agree numerically
-    np.testing.assert_allclose(ours, theirs, atol=2e-2)
+    # same matches, same bank -> BIT-IDENTICAL output (VERDICT r2 item 3).
+    # The math: the reference starts recon at zero, so the first-iteration
+    # refit scale is exactly 0 wherever the tile has centered energy and
+    # every later iteration reproduces itself (our closed form,
+    # models/decode.py); its bincount-average runs in float64 but each bin
+    # has count 1, so out[i]/1.0 assigned back into the float32 recon is
+    # exactly the f32 value of s_used*tile + o — the same f32 expression
+    # our closed form evaluates. Exact equality, not a tolerance.
+    assert theirs.dtype == ours.dtype == np.float32
+    np.testing.assert_array_equal(ours, theirs)
     assert compute_snr(sig, ours) > 4.0
 
 

@@ -5,11 +5,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+from jax.sharding import PartitionSpec as P
 
 from fwav_tpu.ops.affine import affine_stats
-from fwav_tpu.ops.search import exact_search_block
+from fwav_tpu.ops.search import (
+    exact_search_block,
+    exact_search_scan,
+    merge_shard_bests,
+)
 from fwav_tpu.parallel.mesh import make_mesh
-from fwav_tpu.parallel.shard import exact_search_sharded
 
 
 def _problem(seed, M=64, D=512, N=4):
@@ -25,33 +29,99 @@ def test_devices_available():
     assert len(jax.devices()) >= 8, jax.devices()
 
 
+def _tp_scan_merge(ranges, bank, valid, mesh, tp, domain_block, objective):
+    """The production tp composition at op granularity, built from the SAME
+    shared kernels models.encode.run_search_tp uses (exact_search_scan with
+    idx_offset + merge_shard_bests) — there is deliberately no standalone
+    sharded-search op to test instead (VERDICT r2 item 4)."""
+    d_local = bank.shape[0] // tp
+
+    def body(r_c, bank_shard, valid_shard):
+        off = jax.lax.axis_index("tp") * d_local
+        d_mean, d_denom = affine_stats(bank_shard)
+        score, idx, sym = exact_search_scan(
+            r_c, bank_shard, d_mean, d_denom, valid_shard, domain_block,
+            objective, idx_offset=off,
+        )
+        return merge_shard_bests(score, idx, sym, "tp")
+
+    fn = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(None, None), P("tp", None), P("tp")),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    ))
+    r_c = ranges - ranges.mean(axis=1, keepdims=True)
+    return [np.asarray(x) for x in fn(
+        jnp.asarray(r_c), jnp.asarray(bank), jnp.asarray(valid)
+    )]
+
+
 @pytest.mark.parametrize("tp", [2, 4, 8])
 @pytest.mark.parametrize("objective", ["balanced", "affine"])
-def test_bank_sharded_search_matches_single_device(tp, objective):
+def test_bank_sharded_scan_merge_matches_single_device(tp, objective):
+    """Per-shard scan + all_gather merge must reproduce the single-device
+    running-best scan bit-for-bit: same winner, same orientation, same
+    selection score, including the masked padded tail rows."""
     ranges, bank, valid = _problem(0)
     mesh = make_mesh(8, dp=8 // tp, tp=tp)
 
     d_mean, d_denom = affine_stats(jnp.asarray(bank))
+    r_c = jnp.asarray(ranges - ranges.mean(axis=1, keepdims=True))
     want = [
         np.asarray(x)
-        for x in exact_search_block(
-            jnp.asarray(ranges), jnp.asarray(bank), d_mean, d_denom,
-            jnp.asarray(valid), domain_block=64, s_clip=16.0,
-            objective=objective,
+        for x in jax.jit(exact_search_scan, static_argnums=(5, 6))(
+            r_c, jnp.asarray(bank), d_mean, d_denom, jnp.asarray(valid),
+            64, objective,
         )
     ]
-    got = [
-        np.asarray(x)
-        for x in exact_search_sharded(
-            jnp.asarray(ranges), jnp.asarray(bank), jnp.asarray(valid),
-            mesh, domain_block=64, s_clip=16.0, objective=objective,
-        )
-    ]
-    np.testing.assert_array_equal(got[0], want[0])          # idx
-    np.testing.assert_array_equal(got[3], want[3])          # sym
-    np.testing.assert_allclose(got[1], want[1], rtol=1e-6)  # s
-    np.testing.assert_allclose(got[2], want[2], rtol=1e-6, atol=1e-6)  # o
-    np.testing.assert_allclose(got[4], want[4], rtol=1e-5, atol=1e-6)  # err
+    got = _tp_scan_merge(ranges, bank, valid, mesh, tp, 64, objective)
+    np.testing.assert_array_equal(got[1], want[1])  # idx
+    np.testing.assert_array_equal(got[2], want[2])  # sym
+    # scores agree to fp rounding only: XLA compiles the sharded and
+    # unsharded programs separately and may contract fma terms differently
+    # (~1 ulp; the CLAUDE.md invariant — which is WHY the production
+    # protocol ships only the selection and refits s/o/err on the host)
+    np.testing.assert_allclose(got[0], want[0], rtol=2e-6)
+
+
+def test_merge_shard_bests_tie_break_order():
+    """The merge's documented tie-break order (max score, then min global
+    idx, then original orientation before mirror) — asserted directly with
+    hand-built per-shard winners."""
+    mesh = make_mesh(8, dp=1, tp=8)
+    M = 4
+
+    # per shard k, candidate triples for each of 4 ranges:
+    # r0: scores strictly increase with k -> shard 7 wins (idx 37)
+    # r1: all shards tie on score; min global idx wins -> idx 5 (shard 0)
+    # r2: score+idx tie impossible across shards (disjoint index spaces) —
+    #     emulate the idx tie via equal idx values: original orientation
+    #     (sym=False, shard 2) must beat mirrored (sym=True, others)
+    # r3: all -inf (no valid candidate anywhere) stays -inf
+    scores = np.full((8, M), -np.inf, np.float32)
+    idxs = np.zeros((8, M), np.int32)
+    syms = np.zeros((8, M), bool)
+    for k in range(8):
+        scores[k, 0] = float(k)
+        idxs[k, 0] = 30 + k
+        scores[k, 1] = 7.0
+        idxs[k, 1] = 5 + k
+        scores[k, 2] = 3.0
+        idxs[k, 2] = 9
+        syms[k, 2] = k != 2
+    fn = jax.jit(jax.shard_map(
+        lambda s, i, y: merge_shard_bests(s[0], i[0], y[0], "tp"),
+        mesh=mesh, in_specs=(P("tp"),) * 3, out_specs=(P(), P(), P()),
+        check_vma=False,
+    ))
+    s, i, y = fn(jnp.asarray(scores)[:, None, :], jnp.asarray(idxs)[:, None, :],
+                 jnp.asarray(syms)[:, None, :])
+    s, i, y = np.asarray(s)[0], np.asarray(i)[0], np.asarray(y)[0]
+    assert (s[0], i[0]) == (7.0, 37)
+    assert (s[1], i[1]) == (7.0, 5)
+    assert (s[2], i[2], bool(y[2])) == (3.0, 9, False)
+    assert np.isinf(s[3]) and s[3] < 0
 
 
 def test_range_dp_encode_matches_single_device():
@@ -81,14 +151,15 @@ def test_range_dp_encode_matches_single_device():
 
 
 def test_sharded_all_invalid_bank():
+    """No valid domain on ANY shard: the merged score must stay -inf for
+    every range (the encode core then emits sentinels)."""
     ranges, bank, valid = _problem(2, M=16, D=64)
     valid[:] = False
     mesh = make_mesh(8, dp=4, tp=2)
-    idx, s, o, sym, err = exact_search_sharded(
-        jnp.asarray(ranges), jnp.asarray(bank), jnp.asarray(valid),
-        mesh, domain_block=32,
+    score, idx, sym = _tp_scan_merge(
+        ranges, bank, valid, mesh, 2, 32, "balanced"
     )
-    assert np.all(np.isinf(np.asarray(err)))
+    assert np.all(np.isinf(score)) and np.all(score < 0)
 
 
 def _noise_fixture():

@@ -106,7 +106,7 @@ def test_streaming_shard_resume(tmp_path):
         sig, sr, 2, tile_size=128, shard_samples=4096, halo=2048,
         resume_dir=str(ck),
     )
-    files = sorted(ck.iterdir())
+    files = sorted(ck.rglob("shard_*.npy"))
     assert len(files) >= 2
 
     # delete the LAST checkpoint and rerun: only that shard recomputes;
@@ -131,6 +131,36 @@ def test_streaming_shard_resume(tmp_path):
         S._encode_core = orig
     assert n_calls == 1  # only the missing shard ran
     np.testing.assert_array_equal(rec1, rec2)
+
+
+def test_shared_resume_dir_isolates_inputs_and_params(tmp_path):
+    """One resume_dir shared by different inputs (same length, same shard
+    grid — the --batch hazard from ADVICE r2) and by different encoder
+    settings must never cross-serve checkpoints: each encode resumes only
+    its own shards and its records match a checkpoint-free encode."""
+    ck = tmp_path / "shared"
+    sig_a, sr = _sig(2.0, seed=3)
+    sig_b, _ = _sig(2.0, seed=4)  # identical length => identical shard grid
+    kw = dict(tile_size=128, shard_samples=4096, halo=2048)
+
+    rec_a, *_ = compress_audio_streaming(sig_a, sr, 2, resume_dir=str(ck), **kw)
+    rec_b, *_ = compress_audio_streaming(sig_b, sr, 2, resume_dir=str(ck), **kw)
+    rec_b_fresh, *_ = compress_audio_streaming(sig_b, sr, 2, **kw)
+    np.testing.assert_array_equal(rec_b, rec_b_fresh)
+    assert not np.array_equal(rec_a, rec_b)
+
+    # same input, changed record-affecting setting: separate namespace too
+    rec_a2, *_ = compress_audio_streaming(
+        sig_a, sr, 2, resume_dir=str(ck), tile_size=128,
+        shard_samples=4096, halo=2048, objective="affine",
+    )
+    rec_a2_fresh, *_ = compress_audio_streaming(
+        sig_a, sr, 2, tile_size=128, shard_samples=4096, halo=2048,
+        objective="affine",
+    )
+    np.testing.assert_array_equal(rec_a2, rec_a2_fresh)
+    # three distinct (input, params) namespaces materialized
+    assert len({p.parent for p in ck.rglob("shard_*.npy")}) == 3
 
 
 def test_short_encodes_interleave_with_streaming(monkeypatch):
