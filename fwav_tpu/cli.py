@@ -101,8 +101,11 @@ def main(argv=None) -> int:
     pc.add_argument("--search", default="auto",
                     choices=["auto", "exact", "coarse", "topk"],
                     help="auto (default: coarse-to-fine for large banks, brute "
-                         "exact otherwise), exact, coarse, or reference-shaped "
-                         "embedding top-k shortlist")
+                         "exact otherwise), exact, or coarse. topk is the "
+                         "reference-shaped embedding-shortlist compatibility "
+                         "mode: auto never picks it and it does not compose "
+                         "with --tp (exact/coarse dominate it in quality and "
+                         "speed)")
     pc.add_argument("--prune-bank", dest="prune_bank", action="store_true",
                     default=True,
                     help="store only referenced domain rows — the default: "
@@ -159,6 +162,14 @@ def main(argv=None) -> int:
                          "decode; exact — ranges are independent)")
     pd.add_argument("--duration", type=float, default=None, metavar="SEC",
                     help="length of the decoded segment (with --start)")
+    pd.add_argument("--devices", type=int, default=1,
+                    help="run the damped (--damping > 0) decode loop "
+                         "range-sharded over an N-device mesh; the default "
+                         "damping=0 decode is a host closed form and "
+                         "ignores this")
+    pd.add_argument("--tp", type=int, default=1,
+                    help="mesh tp axis within --devices (decode shards "
+                         "only over dp = devices // tp)")
 
     args = parser.parse_args(argv)
     if getattr(args, "workers", 1) < 1:
@@ -281,6 +292,11 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "decompress":
+        if args.devices < 1 or args.tp < 1 or args.devices % args.tp:
+            parser.error(
+                f"--tp must divide --devices (got devices={args.devices}, "
+                f"tp={args.tp})"
+            )
         from .models.codec import process_file_decompress
 
         # segment decodes get their own output names: a 1 s excerpt must
@@ -302,7 +318,7 @@ def main(argv=None) -> int:
             return _exit_code(process_file_decompress(
                 args.input, out_file, args.iter, args.eps, args.gpu,
                 s_damping=args.damping, start_s=args.start,
-                duration_s=args.duration,
+                duration_s=args.duration, devices=args.devices, tp=args.tp,
             ))
 
         def run_todo(todo):
@@ -310,7 +326,8 @@ def main(argv=None) -> int:
                 lambda f, outp: process_file_decompress(
                     f, outp, args.iter, args.eps, args.gpu,
                     s_damping=args.damping, start_s=args.start,
-                    duration_s=args.duration,
+                    duration_s=args.duration, devices=args.devices,
+                    tp=args.tp,
                 ),
                 todo, args.workers,
             )

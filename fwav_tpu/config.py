@@ -50,7 +50,12 @@ class EncoderConfig:
     #:   (one blockwise matmul + running argmax; subsumes embeddings + ANN
     #:   + affine re-rank of the reference).
     #: "topk": reference-shaped two-stage search (embedding top-k shortlist
-    #:   then batched mirrored affine solve over the shortlist).
+    #:   then batched mirrored affine solve over the shortlist). This is a
+    #:   COMPATIBILITY MODE kept to mirror the reference's architecture
+    #:   (fractal.py:353-401, 535-552): "auto" never selects it, it has no
+    #:   Pallas kernel, and it refuses tp bank sharding (the exact-family
+    #:   modes dominate it in both match quality and speed — an exact scan
+    #:   is cheaper than embed+shortlist+solve on the MXU).
     #: "coarse": coarse-to-fine exact-family search — stride-subsampled scan
     #:   + top-C window refinement; ~stride-fold cheaper, near-exact because
     #:   adjacent domains are one-sample-shifted box means.

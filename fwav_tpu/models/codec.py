@@ -292,13 +292,22 @@ def process_files_compress_packed(jobs, tile=1024, energy_thresh=1e-4,
 
 def process_file_decompress(path, outdir=None, iterations=8, eps=1e-3,
                             use_gpu=False, s_damping=0.0, start_s=None,
-                            duration_s=None, **kwargs):
+                            duration_s=None, devices=1, tp=1, **kwargs):
     """File-level decode (reference: process_file_decompress,
     fractal.py:1524-1546). Beyond the reference: start_s/duration_s decode
     only the requested time window (models.decode.decompress_segment —
-    exact, per-range independent) and write it as the output WAV."""
+    exact, per-range independent) and write it as the output WAV.
+
+    devices>1 runs the damped (s_damping>0, device while_loop) decode
+    range-sharded over an N-device mesh's dp axis — per-range independent,
+    zero communication (models.decode._decode_core_sharded). The default
+    s_damping=0 decode is a host-side closed form and ignores the mesh."""
     try:
         start = time.time()
+        if devices and devices > 1:
+            from ..parallel.mesh import make_mesh
+
+            kwargs["mesh"] = make_mesh(devices, dp=devices // tp, tp=tp)
         (
             rec, domains, n_ranges, range_size, framerate, sampwidth,
             tile_size, domain_step, energy_threshold, original_len,

@@ -343,3 +343,18 @@ def test_fast_mode_tail_refit_matches_weighted_semantics():
             rec_f[field][-1:], rec_s[field][-1:],
             err_msg=f"tail record field {field}",
         )
+
+
+def test_auto_never_resolves_to_topk():
+    """search='auto' picks only the exact-family modes ('exact'/'coarse');
+    'topk' is the reference-shaped compatibility mode and must be an
+    explicit opt-in (VERDICT r2 item 8) — asserted across bank sizes
+    spanning both sides of every auto threshold."""
+    from fwav_tpu.config import EncoderConfig
+    from fwav_tpu.models.encode import _resolve_search
+
+    for tile in (128, 1024, 4096):
+        cfg = EncoderConfig(tile_size=tile, search="auto")
+        for db in (256, 4096, 32768, 1 << 20, 1 << 23):
+            mode, _ = _resolve_search(cfg, cfg.range_size, db)
+            assert mode in ("exact", "coarse"), (tile, db, mode)
