@@ -124,6 +124,15 @@ def main(argv=None) -> int:
                          "< 0.02 dB SNR cost; decodes with this tool only "
                          "(the reference reads v1 files, which remain the "
                          "default)")
+    pc.add_argument("--profile", default="default",
+                    choices=["default", "damped"],
+                    help="encode profile: 'default' tunes matches for the "
+                         "reference-default decode (s_damping=0); 'damped' "
+                         "tunes them for the damped decoder's fixed point "
+                         "(clip-aware selection; the container is unchanged "
+                         "and any decoder reads it) — decode with "
+                         "'decompress --damping 0.25' for a large quality "
+                         "win at identical rate")
     pc.add_argument("--resume-dir", default=None, metavar="DIR",
                     help="shard-level crash recovery for long (streaming) "
                          "encodes: completed time shards checkpoint here "
@@ -188,6 +197,7 @@ def main(argv=None) -> int:
             )
         from .models.codec import process_file_compress
 
+        objective = "damped" if args.profile == "damped" else "balanced"
         if not args.batch:
             if args.output is None:
                 parser.error("compress requires OUTPUT unless --batch is used")
@@ -195,7 +205,7 @@ def main(argv=None) -> int:
                 args.input, args.output, args.tile, args.energy_thresh, args.gpu,
                 search=args.search, prune_bank=args.prune_bank,
                 devices=args.devices, tp=args.tp, compact=args.compact,
-                resume_dir=args.resume_dir,
+                resume_dir=args.resume_dir, objective=objective,
             ))
         if args.output is not None:
             parser.error("Do not provide positional OUTPUT when using "
@@ -208,14 +218,14 @@ def main(argv=None) -> int:
                 return process_files_compress_packed(
                     todo, tile=args.tile, energy_thresh=args.energy_thresh,
                     search=args.search, prune_bank=args.prune_bank,
-                    compact=args.compact,
+                    compact=args.compact, objective=objective,
                 )
             return _run_jobs(
                 lambda f, outp: process_file_compress(
                     f, outp, args.tile, args.energy_thresh, args.gpu,
                     prune_bank=args.prune_bank, search=args.search,
                     devices=args.devices, tp=args.tp, compact=args.compact,
-                    resume_dir=args.resume_dir,
+                    resume_dir=args.resume_dir, objective=objective,
                 ),
                 todo, args.workers,
             )

@@ -81,7 +81,14 @@ class EncoderConfig:
     #: residual plus the shipped decoder's offset-deviation penalty
     #: N*(s*d_mean)^2 — the s_damping=0 decoder reconstructs exactly the
     #: stored offset (see models.decode), so this optimizes true round-trip
-    #: distortion. "affine" is the reference's plain-L2 argmin.
+    #: distortion. "affine" is the reference's plain-L2 argmin. "damped"
+    #: is the CLIP-AWARE objective matched to the damped decoder
+    #: (s_damping > 0, fractal.py:1445): it minimizes the residual of the
+    #: stored transform clip(s)*d + o that decode converges to — decode
+    #: such files with s_damping > 0 (CLI `decompress --damping 0.25`) to
+    #: realize the quality win (measured +13 to +28 dB over the
+    #: piecewise-constant bound at identical rate; the container is
+    #: unchanged and still decodes fine at the default damping=0).
     objective: str = "balanced"
     #: Domain-block size for the streaming search scan (HBM->VMEM tiles).
     domain_block: int = 2048

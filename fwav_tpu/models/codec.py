@@ -182,7 +182,7 @@ def process_file_compress(path, outdir=None, tile=1024, energy_thresh=1e-4,
 
 def process_files_compress_packed(jobs, tile=1024, energy_thresh=1e-4,
                                   search="auto", prune_bank=False,
-                                  compact=False):
+                                  compact=False, objective="balanced"):
     """Batch compress with PACKED device dispatches (CLI `--batch
     --packed`): all readable inputs encode through
     models.encode.compress_audio_packed — one vmapped dispatch per
@@ -229,6 +229,7 @@ def process_files_compress_packed(jobs, tile=1024, energy_thresh=1e-4,
                 results[k] = process_file_compress(
                     path, outpath, tile, energy_thresh,
                     prune_bank=prune_bank, search=search, compact=compact,
+                    objective=objective,
                 )
                 continue
             if sampwidth == 4:
@@ -240,6 +241,7 @@ def process_files_compress_packed(jobs, tile=1024, energy_thresh=1e-4,
             encoded = compress_audio_packed(
                 [sig for _, sig, _, _ in loaded], 0, 0, tile_size=tile,
                 energy_thresh=energy_thresh, search=search,
+                objective=objective,
             )
         except Exception:  # noqa: BLE001 — resolve blame per file
             logger.exception(
@@ -250,6 +252,7 @@ def process_files_compress_packed(jobs, tile=1024, energy_thresh=1e-4,
                 results[k] = process_file_compress(
                     jobs[k][0], jobs[k][1], tile, energy_thresh,
                     prune_bank=prune_bank, search=search, compact=compact,
+                    objective=objective,
                 )
             continue
         n_packed += len(loaded)

@@ -147,10 +147,15 @@ def build_encode_core(
 
             if use_pallas and pallas_blocks_ok(rblk, db, exact_prb, dblk):
                 from ..ops.pallas_search import exact_search_scan_pallas
-                from ..ops.search import domain_weights, exact_refit
+                from ..ops.search import (
+                    domain_thresh,
+                    domain_weights,
+                    exact_refit,
+                )
 
                 bankT = bank.T
                 d_weight = domain_weights(d_mean, d_denom, n, objective)
+                d_thr = domain_thresh(d_denom, objective, s_clip)
 
                 def do_block(rb):
                     r_mean = jnp.mean(rb, axis=1)
@@ -162,6 +167,7 @@ def build_encode_core(
                         # orientation is host-derived (refit_host), skip
                         # the kernel's per-block winner bookkeeping
                         with_sym=False,
+                        d_thresh=d_thr, s_clip=s_clip,
                     )
                     return (*exact_refit(r_mean, r_c, bank, score, bidx,
                                          bsym, s_clip), score)
@@ -187,12 +193,17 @@ def build_encode_core(
                 # in VMEM instead of round-tripping them through HBM
                 # (measured 35 vs 87 ms on the 10s bench shapes)
                 from ..ops.pallas_search import exact_search_scan_pallas
-                from ..ops.search import domain_weights, refine_from_lobes
+                from ..ops.search import (
+                    domain_thresh,
+                    domain_weights,
+                    refine_from_lobes,
+                )
 
                 dc = db // coarse_stride
                 bank_sub = bank.reshape(dc, coarse_stride, n)[:, 0, :]
                 sub_mean, sub_denom = affine_stats(bank_sub)
                 w_sub = domain_weights(sub_mean, sub_denom, n, objective)
+                t_sub = domain_thresh(sub_denom, objective, s_clip)
                 bank_subT = bank_sub.T
                 v_sub = d_valid.reshape(dc, coarse_stride)[:, 0]
 
@@ -200,7 +211,7 @@ def build_encode_core(
                     r_c = rb - jnp.mean(rb, axis=1, keepdims=True)
                     score, cidx, _ = exact_search_scan_pallas(
                         r_c, bank_subT, w_sub, v_sub, prb, cdblk,
-                        with_sym=False,
+                        with_sym=False, d_thresh=t_sub, s_clip=s_clip,
                     )
                     lobes = jnp.where(jnp.isfinite(score), cidx, -1)[:, None]
                     return refine_from_lobes(
@@ -271,6 +282,7 @@ def build_encode_core(
         all_gather in the single-device tie-break order. Returns
         (idx GLOBAL, sym, ok), replicated over tp."""
         from ..ops.search import (
+            domain_thresh,
             domain_weights,
             exact_search_scan,
             merge_shard_bests,
@@ -300,17 +312,19 @@ def build_encode_core(
                     from ..ops.pallas_search import exact_search_scan_pallas
 
                     w = domain_weights(d_mean, d_denom, n, objective)
+                    t = domain_thresh(d_denom, objective, s_clip)
                     # orientation is host-derived under the idx protocol,
                     # and the cross-shard sym tie-break can never fire
                     # (shard winners live in disjoint index spaces)
                     score, lidx, sym = exact_search_scan_pallas(
-                        r_c, bank_loc.T, w, v_loc, prb, ldblk, with_sym=False
+                        r_c, bank_loc.T, w, v_loc, prb, ldblk,
+                        with_sym=False, d_thresh=t, s_clip=s_clip,
                     )
                     idx = off + lidx
                 else:
                     score, idx, sym = exact_search_scan(
                         r_c, bank_loc, d_mean, d_denom, v_loc, ldblk,
-                        objective, idx_offset=off,
+                        objective, idx_offset=off, s_clip=s_clip,
                     )
                 score, idx, sym = merge_shard_bests(score, idx, sym, tp_axis)
                 return idx, sym, jnp.isfinite(score)
@@ -341,6 +355,7 @@ def build_encode_core(
             ) * coarse_stride < n_domains
             sub_mean, sub_denom = affine_stats(bank_sub)
             w_sub = domain_weights(sub_mean, sub_denom, n, objective)
+            t_sub = domain_thresh(sub_denom, objective, s_clip)
             cdblk = _pow2_divisor(dcl, domain_block)
             n_valid = jnp.minimum(jnp.asarray(n_domains, jnp.int32), db)
             use_p = use_pallas and pallas_blocks_ok(rblk, dcl, prb, cdblk)
@@ -352,12 +367,13 @@ def build_encode_core(
 
                     score, lob, _ = exact_search_scan_pallas(
                         r_c, bank_sub.T, w_sub, v_sub, prb, cdblk,
-                        with_sym=False,
+                        with_sym=False, d_thresh=t_sub, s_clip=s_clip,
                     )
                 else:
                     score, lob, _ = exact_search_scan(
                         r_c, bank_sub, None, None, v_sub, cdblk, objective,
                         d_weight=w_sub, precision=jax.lax.Precision.DEFAULT,
+                        s_clip=s_clip, d_thresh=t_sub,
                     )
                 score, glob, _ = merge_shard_bests(
                     score, j * dcl + lob, jnp.zeros_like(lob, bool), tp_axis
@@ -662,7 +678,8 @@ def _sharded_encode_core(mesh, dp_axis, n_in, *key):
     )
 
 
-def check_tp_composition(search_mode: str, stride: int, db: int, tp: int):
+def check_tp_composition(search_mode: str, stride: int, db: int, tp: int,
+                         objective: str = "balanced"):
     """Validate that a search mode composes with tp bank sharding for a
     bucketed bank of `db` rows (shared by the single-shot and streaming
     encode paths)."""
@@ -671,6 +688,12 @@ def check_tp_composition(search_mode: str, stride: int, db: int, tp: int):
     if search_mode == "topk":
         raise ValueError("search='topk' does not compose with tp bank "
                          "sharding; use 'exact' or 'coarse'")
+    if search_mode == "coarse" and objective == "damped":
+        raise ValueError(
+            "the clip-aware 'damped' objective needs multi-lobe coarse "
+            "refinement, which the tp coarse merge does not carry; use "
+            "search='exact' with tp, or tp=1"
+        )
     if search_mode == "coarse" and db // tp < 4 * stride:
         raise ValueError(
             f"tp={tp} bank shards of {db // tp} rows cannot cover the "
@@ -842,14 +865,21 @@ def _core_key(cfg: EncoderConfig, nb: int, lb: int, db: int, mode: str,
     Also runs the tp-composition check (it needs the resolved mode)."""
     range_size = cfg.range_size
     search_mode, stride = _resolve_search(cfg, range_size, db)
-    check_tp_composition(search_mode, stride, db, tp)
+    check_tp_composition(search_mode, stride, db, tp, cfg.objective)
     use_pallas = cfg.use_pallas
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    # the clip-aware damped objective needs several coarse lobes per range:
+    # the best clip-FEASIBLE domain is often not near the largest
+    # unclipped-gain lobe (measured 29 -> 46 dB from topc 1 -> 4 on the
+    # speechlike fixture); exact/topk searches are unaffected
+    topc = cfg.coarse_topc
+    if cfg.objective == "damped" and search_mode == "coarse":
+        topc = max(topc, 4)
     return (
         nb, lb, db, cfg.tile_size, range_size, cfg.domain_step, search_mode,
         cfg.top_k, cfg.emb_dim, cfg.fast_mode, cfg.s_clip, cfg.domain_block,
-        cfg.range_block, cfg.objective, stride, cfg.coarse_topc,
+        cfg.range_block, cfg.objective, stride, topc,
         bool(use_pallas), mode, in_i16, float(cfg.energy_thresh),
     )
 

@@ -97,7 +97,16 @@ def affine_match_tiles(
     err2 = r_e - 2.0 * s * num + s * s * (denom - _EPS)
     err = jnp.sqrt(jnp.maximum(err2, 0.0))
 
-    score = err2 + N * (s * mean2) ** 2 if objective == "balanced" else err
+    if objective == "balanced":
+        score = err2 + N * (s * mean2) ** 2
+    elif objective == "damped":
+        # clip-aware: the residual actually achievable with the CLIPPED
+        # scale — what the damped decoder's fixed point reconstructs
+        # (ops.search._gain_from_num rationale)
+        s_cl = jnp.clip(s, -abs(s_clip), abs(s_clip))
+        score = r_e - 2.0 * s_cl * num + s_cl * s_cl * (denom - _EPS)
+    else:
+        score = err
     invalid2 = jnp.concatenate([invalid, invalid], axis=1)
     err = jnp.where(invalid2, jnp.inf, err)
     score = jnp.where(invalid2, jnp.inf, score)

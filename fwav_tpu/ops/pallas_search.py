@@ -54,11 +54,18 @@ def pallas_blocks_ok(M: int, D: int, range_block: int, domain_block: int) -> boo
 
 
 def _search_kernel(
-    r_blk, rrev_blk, bankT_blk, w_blk, valid_blk,
-    score_out, idx_out, sym_out,
-    best_score, best_idx, best_sym,
-    *, domain_block: int, with_sym: bool = True,
+    *refs,
+    domain_block: int, with_sym: bool = True, s_clip: float = 0.0,
+    with_thresh: bool = False,
 ):
+    if with_thresh:
+        (r_blk, rrev_blk, bankT_blk, w_blk, valid_blk, t_blk,
+         score_out, idx_out, sym_out,
+         best_score, best_idx, best_sym) = refs
+    else:
+        (r_blk, rrev_blk, bankT_blk, w_blk, valid_blk,
+         score_out, idx_out, sym_out,
+         best_score, best_idx, best_sym) = refs
     j = pl.program_id(1)
     nj = pl.num_programs(1)
 
@@ -74,6 +81,16 @@ def _search_kernel(
     w = w_blk[:]
     s_o = num_o * num_o * w
     s_m = num_m * num_m * w
+    if with_thresh:
+        # clip-aware "damped" gain (ops.search._gain_from_num): linear
+        # branch 2c|num| - c*t where the optimal scale would clip (t =
+        # c*denom rides in as a per-domain vector like the weights)
+        t = t_blk[:]
+        c = s_clip
+        a_o = jnp.abs(num_o)
+        a_m = jnp.abs(num_m)
+        s_o = jnp.where(a_o > t, c * (2.0 * a_o - t), s_o)
+        s_m = jnp.where(a_m > t, c * (2.0 * a_m - t), s_m)
     if with_sym:
         use_m = s_m > s_o  # strict: original orientation wins ties
         score = jnp.where(use_m, s_m, s_o)
@@ -119,13 +136,19 @@ def exact_search_scan_pallas(
     domain_block: int = 2048,
     interpret: bool = False,
     with_sym: bool = True,
+    d_thresh=None,
+    s_clip: float = 0.0,
 ):
     """(best_score, best_idx, best_sym) per range — same contract as
     ops.search.exact_search_scan, as one fused kernel.
 
     with_sym=False drops the per-block winning-orientation bookkeeping
     (orientations folded with max; sym returned all-False) — for callers
-    that re-evaluate orientation downstream, e.g. the coarse lobe scan."""
+    that re-evaluate orientation downstream, e.g. the coarse lobe scan.
+
+    d_thresh + s_clip: the clip-aware "damped" objective's per-domain
+    threshold vector (ops.search.domain_thresh); the kernel then scores
+    with the clipped-scale gain instead of num^2*w."""
     M, N = r_c.shape
     D = bankT.shape[1]
     assert M % range_block == 0 and D % domain_block == 0
@@ -134,19 +157,29 @@ def exact_search_scan_pallas(
     r_rev = r_c[:, ::-1]
     w2 = d_weight.reshape(1, D)
     v2 = d_valid.astype(jnp.int8).reshape(1, D)
+    with_thresh = d_thresh is not None
 
     grid = (ni, nj)
-    kernel = partial(_search_kernel, domain_block=domain_block, with_sym=with_sym)
+    kernel = partial(
+        _search_kernel, domain_block=domain_block, with_sym=with_sym,
+        s_clip=abs(float(s_clip)), with_thresh=with_thresh,
+    )
+    vec_spec = pl.BlockSpec((1, domain_block), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((range_block, N), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((range_block, N), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((N, domain_block), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        vec_spec,
+        vec_spec,
+    ]
+    operands = [r_c, r_rev, bankT, w2, v2]
+    if with_thresh:
+        in_specs.append(vec_spec)
+        operands.append(d_thresh.reshape(1, D))
     score, idx, sym = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((range_block, N), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((range_block, N), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, domain_block), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, domain_block), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, domain_block), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((range_block, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((range_block, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -163,5 +196,5 @@ def exact_search_scan_pallas(
             pltpu.VMEM((range_block, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(r_c, r_rev, bankT, w2, v2)
+    )(*operands)
     return score[:, 0], idx[:, 0], sym[:, 0].astype(bool)

@@ -78,7 +78,8 @@ def exact_search_block(
     """
     r_mean, r_c, r_e = _range_stats(ranges)
     best_score, best_idx, best_sym = exact_search_scan(
-        r_c, bank, d_mean, d_denom, d_valid, domain_block, objective
+        r_c, bank, d_mean, d_denom, d_valid, domain_block, objective,
+        s_clip=s_clip,
     )
     out = exact_refit(
         r_mean, r_c, bank, best_score, best_idx, best_sym, s_clip
@@ -90,11 +91,51 @@ def exact_search_block(
 
 def domain_weights(d_mean, d_denom, n: int, objective: str):
     """Per-domain selection weight w such that the best pair maximizes
-    num^2 * w (see exact_search_block)."""
+    num^2 * w (see exact_search_block). For "damped" the weight is the
+    affine 1/denom — the clip branch rides the separate per-domain
+    threshold vector (domain_thresh + _gain_from_num)."""
     denom_eps = d_denom + _EPS
     if objective == "balanced":
         return (d_denom - n * d_mean * d_mean) / (denom_eps * denom_eps)
     return 1.0 / denom_eps
+
+
+def domain_thresh(d_denom, objective: str, s_clip: float):
+    """Per-domain clip threshold t = s_clip * denom for the clip-aware
+    "damped" objective (None for every other objective): the optimal scale
+    s* = num/denom exceeds the +/-s_clip clip exactly when |num| > t."""
+    if objective != "damped":
+        return None
+    return abs(s_clip) * d_denom
+
+
+def _gain_from_num(num, weight, thresh, s_clip):
+    """Selection gain for ONE orientation from raw dot products `num`
+    against per-domain `weight` (domain_weights) and optional clip
+    threshold `thresh` (domain_thresh), broadcastable against num.
+
+    Without thresh: the quadratic gain num^2 * w (objectives "affine" /
+    "balanced" — maximizing it minimizes their respective residuals).
+
+    With thresh (objective "damped"): the CLIP-AWARE gain — the true
+    residual reduction achievable with s clipped to +/-s_clip, i.e. the
+    stored affine transform the damped decoder (s_damping > 0,
+    fractal.py:1445) converges to:
+        ||r_c||^2 - ||r_c - clip(s*) d_c||^2
+          = num^2/denom                  when |s*| <= c  (|num| <= c*denom)
+          = 2c|num| - c^2*denom          when |s*| >  c
+    (c = s_clip; both branches are monotone in |num| for a fixed domain and
+    agree at the switch point, so orientation selection and the host
+    refit's |num|-magnitude orientation rule remain exact). Plain
+    quadratic gains ignore the clip and chase matches whose optimal scale
+    clips to a far worse fit — measured 24.9 dB vs 52.5 dB
+    stored-transform SNR on the speechlike parity fixture."""
+    g = num * num * weight
+    if thresh is None:
+        return g
+    a = jnp.abs(num)
+    c = abs(s_clip)
+    return jnp.where(a > thresh, c * (2.0 * a - thresh), g)
 
 
 def exact_search_scan(
@@ -108,11 +149,15 @@ def exact_search_scan(
     idx_offset=0,
     d_weight=None,
     precision=None,
+    s_clip=None,
+    d_thresh=None,
 ):
     """The scan stage: running (best_score, best_idx, best_sym) per range
     over domain blocks. `idx_offset` shifts emitted indices — used by the
     bank-sharded search to produce global domain indices per shard.
-    `d_weight` overrides the objective-derived selection weights."""
+    `d_weight` overrides the objective-derived selection weights; for the
+    clip-aware "damped" objective the per-domain clip threshold rides
+    along as `d_thresh` (derived from d_denom + s_clip when omitted)."""
     M, N = r_c.shape
     D = bank.shape[0]
     assert D % domain_block == 0
@@ -122,14 +167,23 @@ def exact_search_scan(
     r_both = jnp.concatenate([r_c, r_c[:, ::-1]], axis=0)
     if d_weight is None:
         d_weight = domain_weights(d_mean, d_denom, N, objective)
+    if d_thresh is None:
+        d_thresh = domain_thresh(d_denom, objective, s_clip)
 
     bank_blocks = bank.reshape(n_blocks, domain_block, N)
     weight_blocks = d_weight.reshape(n_blocks, domain_block)
     valid_blocks = d_valid.reshape(n_blocks, domain_block)
+    thresh_blocks = (
+        None if d_thresh is None else d_thresh.reshape(n_blocks, domain_block)
+    )
 
     def step(carry, xs):
         best_score, best_idx, best_sym = carry
-        blk_i, bank_blk, weight_blk, valid_blk = xs
+        if thresh_blocks is None:
+            blk_i, bank_blk, weight_blk, valid_blk = xs
+            thresh_blk = None
+        else:
+            blk_i, bank_blk, weight_blk, valid_blk, thresh_blk = xs
 
         # num for both orientations: (2M, Db)
         num2 = jax.lax.dot_general(
@@ -139,8 +193,8 @@ def exact_search_scan(
             precision=precision or jax.lax.Precision.HIGHEST,
         )
         num_o, num_m = num2[:M], num2[M:]
-        score_o = num_o * num_o * weight_blk
-        score_m = num_m * num_m * weight_blk
+        score_o = _gain_from_num(num_o, weight_blk, thresh_blk, s_clip)
+        score_m = _gain_from_num(num_m, weight_blk, thresh_blk, s_clip)
 
         use_m = score_m > score_o  # strict: original wins ties
         score = jnp.where(use_m, score_m, score_o)
@@ -166,6 +220,8 @@ def exact_search_scan(
         jnp.arange(n_blocks, dtype=jnp.int32) + idx_offset // domain_block,
         bank_blocks, weight_blocks, valid_blocks,
     )
+    if thresh_blocks is not None:
+        xs = xs + (thresh_blocks,)
     return jax.lax.scan(step, init, xs)[0]
 
 
@@ -237,10 +293,13 @@ def gain_topk_scan(
     d_valid: jnp.ndarray,    # (Dc,)
     top_c: int,
     domain_block: int,
+    d_thresh=None,
+    s_clip=None,
 ):
     """Top-C *gain* candidates per range over a (subsampled) bank —
     orientation folded in with max (the refine stage re-evaluates both).
-    Returns idx (M, C) into the subsampled index space, -1 where invalid."""
+    Returns idx (M, C) into the subsampled index space, -1 where invalid.
+    `d_thresh`/`s_clip`: clip-aware gains for the "damped" objective."""
     M, N = r_c.shape
     Dc = bank_sub.shape[0]
     assert Dc % domain_block == 0
@@ -252,6 +311,7 @@ def gain_topk_scan(
         score, idx, _ = exact_search_scan(
             r_c, bank_sub, None, None, d_valid, domain_block, "",
             d_weight=d_weight, precision=jax.lax.Precision.DEFAULT,
+            s_clip=s_clip, d_thresh=d_thresh,
         )
         return jnp.where(jnp.isfinite(score), idx, -1)[:, None]
 
@@ -259,8 +319,11 @@ def gain_topk_scan(
     bank_blocks = bank_sub.reshape(n_blocks, domain_block, N)
     weight_blocks = d_weight.reshape(n_blocks, domain_block)
     valid_blocks = d_valid.reshape(n_blocks, domain_block)
+    xs_blocks = [bank_blocks, weight_blocks, valid_blocks]
+    if d_thresh is not None:
+        xs_blocks.append(d_thresh.reshape(n_blocks, domain_block))
 
-    def score_block(bank_blk, weight_blk, valid_blk):
+    def score_block(bank_blk, weight_blk, valid_blk, thresh_blk=None):
         # DEFAULT (bf16-pass) precision: this picks coarse lobes only; the
         # refine stage re-scores in full f32 and the refit is exact, so
         # score noise here costs nothing (balanced-objective near-ties are
@@ -271,11 +334,14 @@ def gain_topk_scan(
             preferred_element_type=jnp.float32,
         )
         num_o, num_m = num2[:M], num2[M:]
-        score = jnp.maximum(num_o * num_o, num_m * num_m) * weight_blk
+        score = jnp.maximum(
+            _gain_from_num(num_o, weight_blk, thresh_blk, s_clip),
+            _gain_from_num(num_m, weight_blk, thresh_blk, s_clip),
+        )
         return jnp.where(valid_blk[None, :], score, _NEG)
 
     _, idx = _topk_merge_scan(
-        score_block, (bank_blocks, weight_blocks, valid_blocks),
+        score_block, tuple(xs_blocks),
         M, top_c, domain_block, n_blocks,
     )
     return idx
@@ -324,19 +390,26 @@ def coarse_refine_search(
 
         sub_mean, sub_denom = affine_stats(bank_sub)
         weight_sub = domain_weights(sub_mean, sub_denom, N, objective)
+        thresh_sub = domain_thresh(sub_denom, objective, s_clip)
     else:
         d_weight = domain_weights(d_mean, d_denom, N, objective)
         weight_sub = d_weight.reshape(D // stride, stride)[:, 0]
+        d_thresh = domain_thresh(d_denom, objective, s_clip)
+        thresh_sub = (
+            None if d_thresh is None
+            else d_thresh.reshape(D // stride, stride)[:, 0]
+        )
     valid_sub = d_valid.reshape(D // stride, stride)[:, 0]
 
-    coarse = gain_topk_scan(r_c, bank_sub, weight_sub, valid_sub, top_c, domain_block)
+    coarse = gain_topk_scan(r_c, bank_sub, weight_sub, valid_sub, top_c,
+                            domain_block, d_thresh=thresh_sub, s_clip=s_clip)
     return refine_from_lobes(
         ranges, bank, d_valid, coarse, stride, s_clip, objective,
         return_score=return_score,
     )
 
 
-def _window_gains(r_c, bank_t, cand_t, valid_t, objective):
+def _window_gains(r_c, bank_t, cand_t, valid_t, objective, s_clip=None):
     """Gains (and orientation pick) for per-range candidate positions.
     r_c (N, M) centered-transposed ranges; cand_t (K, M) positions into the
     full bank; returns (score, use_m) each (K, M). Lane-major throughout."""
@@ -352,8 +425,9 @@ def _window_gains(r_c, bank_t, cand_t, valid_t, objective):
         w = (denom - _EPS - N * d_mean * d_mean) / (denom * denom)
     else:
         w = 1.0 / denom
-    score_o = num_o * num_o * w
-    score_m = num_m * num_m * w
+    thresh = domain_thresh(denom - _EPS, objective, s_clip)
+    score_o = _gain_from_num(num_o, w, thresh, s_clip)
+    score_m = _gain_from_num(num_m, w, thresh, s_clip)
     use_m = score_m > score_o                                # orig wins ties
     score = jnp.where(use_m, score_m, score_o)
     return jnp.where(valid_t, score, _NEG), use_m
@@ -451,7 +525,7 @@ def refine_from_lobes(
         v1 = v1 & (mid < n_valid)
         if res is not None:
             v1 = v1 & res
-        s1, _ = _window_gains(r_c, bank_t, mloc, v1, objective)
+        s1, _ = _window_gains(r_c, bank_t, mloc, v1, objective, s_clip)
         center = mid[jnp.argmax(s1, axis=0), cols]
         ok_any = jnp.any(lobe_ok, axis=1)
         for st2 in steps[1:]:
@@ -464,7 +538,7 @@ def refine_from_lobes(
             mloc, res = to_loc(mid)
             if res is not None:
                 vk = vk & res
-            sk, _ = _window_gains(r_c, bank_t, mloc, vk, objective)
+            sk, _ = _window_gains(r_c, bank_t, mloc, vk, objective, s_clip)
             center = mid[jnp.argmax(sk, axis=0), cols]
             st = st2
         # final stage: dense +/- st/2 (+1 margin) around the best sample
@@ -483,7 +557,7 @@ def refine_from_lobes(
     cand_loc, res = to_loc(cand_t)
     if res is not None:
         valid_t = valid_t & res
-    score, use_m = _window_gains(r_c, bank_t, cand_loc, valid_t, objective)
+    score, use_m = _window_gains(r_c, bank_t, cand_loc, valid_t, objective, s_clip)
     pick = jnp.argmax(score, axis=0)                         # (M,) first max
     # emitted indices are GLOBAL; in the non-sharded case clamp exactly as
     # the gather did (only reachable when every candidate is invalid)

@@ -81,3 +81,38 @@ def test_small_bank_coarse_encode_with_pallas_requested():
     cfg = EncoderConfig(tile_size=1024, search="coarse", use_pallas=True)
     rec, bank, n_ranges, *_ = compress_audio_arrays(sig, 16000, 2, config=cfg)
     assert (rec["idx"] >= 0).any() and n_ranges > 0
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pallas_scan_damped_matches_reference(seed):
+    """The clip-aware "damped" objective in the kernel (d_thresh + s_clip
+    branch) must reproduce the lax.scan path's selections exactly."""
+    from fwav_tpu.ops.search import domain_thresh
+
+    rng = np.random.default_rng(seed)
+    M, D, N = 256, 1024, 4
+    s_clip = 2.0  # low clip so the linear branch fires often
+    r = (rng.standard_normal((M, N)) * 0.5).astype(np.float32)
+    bank = (rng.standard_normal((D, N)) * 0.1).astype(np.float32)
+    r_c = jnp.asarray(r - r.mean(1, keepdims=True))
+    dm, dd = affine_stats(jnp.asarray(bank))
+    valid = np.ones(D, bool)
+    valid[-37:] = False
+    w = domain_weights(dm, dd, N, "damped")
+    t = domain_thresh(dd, "damped", s_clip)
+
+    s0, i0, y0 = (np.asarray(x) for x in exact_search_scan(
+        r_c, jnp.asarray(bank), dm, dd, jnp.asarray(valid), 256, "damped",
+        s_clip=s_clip,
+    ))
+    s1, i1, y1 = (np.asarray(x) for x in exact_search_scan_pallas(
+        r_c, jnp.asarray(bank.T.copy()), w, jnp.asarray(valid),
+        range_block=128, domain_block=256, interpret=True,
+        d_thresh=t, s_clip=s_clip,
+    ))
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_array_equal(y0, y1)
+    np.testing.assert_allclose(s0, s1, rtol=1e-6)
+    # the low clip must actually exercise the linear branch somewhere
+    num_max = np.abs(np.asarray(r_c) @ bank.T).max(1)
+    assert (num_max > s_clip * np.asarray(dd)[None, :].max()).any()
