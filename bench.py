@@ -116,6 +116,22 @@ def measure():
     }
 
 
+def _with_spread(results):
+    """Authoritative result line: the best process's measurement plus the
+    honest per-process spread (VERDICT r2: report {value, median, worst}
+    across processes, not just the best)."""
+    vals = sorted(float(r["value"]) for r in results)
+    best = max(results, key=lambda r: float(r["value"]))
+    out = dict(best)
+    out["process_values"] = vals
+    out["median"] = vals[len(vals) // 2] if len(vals) % 2 else round(
+        0.5 * (vals[len(vals) // 2 - 1] + vals[len(vals) // 2]), 2
+    )
+    out["worst"] = vals[0]
+    out["n_processes"] = len(vals)
+    return out
+
+
 def main(argv=None):
     import subprocess
     import sys
@@ -128,41 +144,39 @@ def main(argv=None):
     # Inline measurement FIRST and print it immediately: whatever happens
     # to the retry attempts below (driver timeout, sandboxed subprocesses,
     # slow-phase compiles), a parseable result line is already out. The
-    # driver reads the LAST line, so a better retry result supersedes it.
+    # driver reads the LAST line, so every later line (with more process
+    # samples folded into the spread) supersedes it.
     # Guarded: a transient inline failure (device-init flake, D2H stall
     # raising) must not abort before the subprocess attempts get their try.
-    best, best_value = None, float("-inf")
+    results = []
     try:
-        best = measure()
-        best_value = float(best["value"])
-        print(json.dumps(best), flush=True)
+        results.append(measure())
+        print(json.dumps(_with_spread(results)), flush=True)
     except Exception:
         pass
 
+    # Per-process tunnel phase swings identical code substantially, so the
+    # spread across interpreter launches IS the honest number: sample up to
+    # 3 processes (no early stop on a fast first sample — the spread needs
+    # the samples), bounded in wall clock because compiles are not
+    # persistable across processes on tunneled PJRT plugins and a slow
+    # phase can stretch one compile past 8 minutes. The parent holds an
+    # idle device client while children init their own; dispatch never
+    # overlaps (validated on this rig).
     t0 = time.time()
-    for attempt in range(2 if best is not None else 3):
-        # a fast-phase process is already the capability number; only retry
-        # out of a slow phase, and bound the extra wall clock — compiles
-        # are not persistable across processes on tunneled PJRT plugins
-        # and a slow phase can stretch one compile past 8 minutes. The
-        # parent holds an idle device client while children init their own;
-        # dispatch never overlaps (validated on this rig — children
-        # measured fine alongside the idle parent).
-        if best_value >= 115.0 or (best is not None and time.time() - t0 > 700):
+    for _attempt in range(4):
+        if len(results) >= 3 or (results and time.time() - t0 > 700):
             break
         try:
             out = subprocess.run(
                 [sys.executable, __file__, "--single"],
                 capture_output=True, text=True, timeout=900, check=True,
             ).stdout.strip().splitlines()[-1]
-            res = json.loads(out)
-            value = float(res["value"])
+            results.append(json.loads(out))
+            print(json.dumps(_with_spread(results)), flush=True)
         except Exception:
             continue
-        if value > best_value:
-            best, best_value = res, value
-            print(json.dumps(best), flush=True)
-    if best is None:
+    if not results:
         raise SystemExit("bench: no measurement succeeded")
 
 

@@ -234,12 +234,29 @@ def compress_audio_streaming(
                 np.save(f, rec)
             os.replace(tmp, _ckpt(k))
 
-    # one-deep pipeline: dispatch shard k+1 before pulling shard k's results,
-    # so the device computes while the host waits on the (slow) D2H path.
-    # DEVICE_LOCK is held PER dispatch / collect, not for the whole file, so
-    # batch worker threads encoding short files interleave with a multi-hour
-    # streaming encode instead of starving behind it.
-    pending = None
+    # TWO-DEEP pipeline (VERDICT r2 item 7): shard k's FETCHER is spawned
+    # only after shard k+1's dispatch is enqueued, so the device computes
+    # shard k+1 while the tunnel drains shard k's results — under the same
+    # lock discipline (every dispatch and every fetch still holds
+    # DEVICE_LOCK exclusively; nothing runs concurrently on the tunnel,
+    # the queue is just two shards deep). Shard k-1's host refit/checkpoint
+    # overlap shard k's fetch window as before. DEVICE_LOCK is held PER
+    # dispatch / fetch, not for the whole file, so batch worker threads
+    # encoding short files interleave with a multi-hour streaming encode
+    # instead of starving behind it.
+    dispatched = None  # (k, codes, a, b, g0): enqueued, fetcher not started
+    fetching = None    # (k, fetcher, box, a, b, g0): D2H in flight
+
+    def _advance(next_dispatched):
+        nonlocal dispatched, fetching
+        if dispatched is not None:
+            k0, codes0, a0, b0, g00 = dispatched
+            fetcher, box = _spawn_fetcher(codes0)
+            if fetching is not None:
+                _collect(fetching)
+            fetching = (k0, fetcher, box, a0, b0, g00)
+        dispatched = next_dispatched
+
     for k, (a, b) in enumerate(bounds):
         if resume_dir and os.path.exists(_ckpt(k)):
             try:
@@ -301,13 +318,10 @@ def compress_audio_streaming(
             codes = core(
                 jnp.asarray(raw_p), jnp.asarray(mask_bytes), jnp.asarray(meta)
             )
-        fetcher, box = _spawn_fetcher(codes)
-        if pending is not None:
-            # shard k-1's refit/checkpoint overlap shard k's fetch window
-            _collect(pending)
-        pending = (k, fetcher, box, a, b, g0)
-    if pending is not None:
-        _collect(pending)
+        _advance((k, codes, a, b, g0))
+    _advance(None)  # start the last shard's fetch
+    if fetching is not None:
+        _collect(fetching)
 
     rec = np.concatenate(slots) if slots else np.empty(0, dtype=MATCH_DTYPE)
     assert len(rec) == n_ranges, (len(rec), n_ranges)

@@ -116,3 +116,71 @@ def test_pallas_scan_damped_matches_reference(seed):
     # the low clip must actually exercise the linear branch somewhere
     num_max = np.abs(np.asarray(r_c) @ bank.T).max(1)
     assert (num_max > s_clip * np.asarray(dd)[None, :].max()).any()
+
+
+def test_refine_window_kernel_matches_dense_oracle():
+    """refine_window_pallas (the fused dense-window refine) vs a per-range
+    numpy oracle evaluating the same W-position window with the same f32
+    gain formula — selections must achieve the oracle's best gain
+    (near-ties may legally pick an equal-gain neighbor)."""
+    from fwav_tpu.ops.pallas_search import refine_window_pallas
+
+    rng = np.random.default_rng(0)
+    stride, B, n = 128, 256, 4
+    M, RB = 1024, 512
+    dc = 40
+    n_valid = dc * stride - 700  # invalid tail exercises the position mask
+    sig = rng.standard_normal(dc * stride + n * B + 2048).astype(np.float32)
+    means = np.convolve(sig, np.ones(B) / B, mode="valid").astype(np.float32)
+    W = stride + stride // 4
+    lane0 = stride - W // 2
+    Lslice = -(-(lane0 + (W - 1) + (n - 1) * B + 1) // 128) * 128
+    Lext = -(-(stride + (dc - 1) * stride + Lslice) // 128) * 128
+    ext = np.zeros(Lext, np.float32)
+    k = min(len(means), Lext - stride)
+    ext[stride : stride + k] = means[:k]
+
+    lobes = rng.integers(0, dc, M).astype(np.int32)
+    lobes[::17] = -1  # sentinel lobes stay sentinels
+    ranges = (rng.standard_normal((M, n)) * 0.7).astype(np.float32)
+
+    score, idx = refine_window_pallas(
+        jnp.asarray(ext).reshape(1, -1), jnp.asarray(lobes),
+        jnp.asarray(ranges), n_valid, stride, B, "balanced", RB,
+        interpret=True,
+    )
+    score, idx = np.asarray(score), np.asarray(idx)
+
+    def oracle_best(m):
+        lb = lobes[m]
+        if lb < 0:
+            return -np.inf, 0
+        c = lb * stride
+        best_g, best_p = -np.inf, 0
+        r = ranges[m]
+        rc = r - r.mean(dtype=np.float32)
+        for t in range(W):
+            p = c - W // 2 + t
+            if p < 0 or p >= n_valid:
+                continue
+            row = np.array([means[p + j * B] for j in range(n)], np.float32)
+            mn = row.mean(dtype=np.float32)
+            d_c = row - mn
+            den = np.float32((d_c * d_c).sum()) + np.float32(1e-12)
+            no = np.float32((rc * row).sum())
+            nm = np.float32((rc[::-1] * row).sum())
+            w = (den - n * mn * mn) / (den * den)
+            g = max(no * no, nm * nm) * w
+            if g > best_g:
+                best_g, best_p = g, p
+        return best_g, best_p
+
+    mismatches = 0
+    for m in range(0, M, 7):
+        g, p = oracle_best(m)
+        if not np.isfinite(g):
+            assert not np.isfinite(score[m]), (m, score[m])
+            continue
+        if p != idx[m]:
+            mismatches += 1
+    assert mismatches <= 2, mismatches  # fp near-ties only
