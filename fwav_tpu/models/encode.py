@@ -136,7 +136,7 @@ def build_encode_core(
     assert energy_thresh is not None
     thresh = float(energy_thresh)
 
-    def run_search(ranges, bank, d_valid):
+    def run_search(ranges, bank, d_valid, raw_norm=None, n_domains=None):
         rblk = _pow2_divisor(ranges.shape[0], range_block)
         if search == "exact":
             d_mean, d_denom = affine_stats(bank)
@@ -192,7 +192,11 @@ def build_encode_core(
                 # fused Pallas scan for the coarse lobes: keeps score tiles
                 # in VMEM instead of round-tripping them through HBM
                 # (measured 35 vs 87 ms on the 10s bench shapes)
-                from ..ops.pallas_search import exact_search_scan_pallas
+                from ..ops.pallas_search import (
+                    exact_search_scan_pallas,
+                    refine_blocks_ok,
+                    refine_window_pallas,
+                )
                 from ..ops.search import (
                     domain_thresh,
                     domain_weights,
@@ -200,7 +204,48 @@ def build_encode_core(
                 )
 
                 dc = db // coarse_stride
-                bank_sub = bank.reshape(dc, coarse_stride, n)[:, 0, :]
+                block_len = tile_size // range_size
+                use_refine_kernel = (
+                    raw_norm is not None and n_domains is not None
+                    and refine_blocks_ok(
+                        rblk, 512, coarse_stride, domain_step, coarse_topc,
+                        objective,
+                    )
+                )
+                if use_refine_kernel:
+                    # bank-free coarse path: the lobe scan AND the dense
+                    # window refine both read the box-mean sequence
+                    # directly (bank rows are strided views of it), so the
+                    # (db, n) bank never materializes here
+                    from ..ops.domains import box_sums
+
+                    means = box_sums(raw_norm, block_len) * (1.0 / block_len)
+                    W = coarse_stride + coarse_stride // 4
+                    lane0 = coarse_stride - W // 2
+                    ls = lane0 + (W - 1) + (n - 1) * block_len + 1
+                    Lslice = -(-ls // 128) * 128
+                    Lext = -(-(coarse_stride + (dc - 1) * coarse_stride
+                               + Lslice) // 128) * 128
+                    k = min(means.shape[0], Lext - coarse_stride)
+                    means_ext = jnp.concatenate([
+                        jnp.zeros(coarse_stride, jnp.float32),
+                        means[:k],
+                        jnp.zeros(Lext - coarse_stride - k, jnp.float32),
+                    ]).reshape(1, Lext)
+                    span = (dc - 1) * coarse_stride + 1
+                    mp = (
+                        means if means.shape[0] >= span + (n - 1) * block_len
+                        else means_ext[0, coarse_stride:]
+                    )
+                    bank_sub = jnp.stack([
+                        jax.lax.slice(
+                            mp, (j * block_len,),
+                            (j * block_len + span,), (coarse_stride,),
+                        )
+                        for j in range(n)
+                    ], axis=1)
+                else:
+                    bank_sub = bank.reshape(dc, coarse_stride, n)[:, 0, :]
                 sub_mean, sub_denom = affine_stats(bank_sub)
                 w_sub = domain_weights(sub_mean, sub_denom, n, objective)
                 t_sub = domain_thresh(sub_denom, objective, s_clip)
@@ -213,10 +258,21 @@ def build_encode_core(
                         r_c, bank_subT, w_sub, v_sub, prb, cdblk,
                         with_sym=False, d_thresh=t_sub, s_clip=s_clip,
                     )
-                    lobes = jnp.where(jnp.isfinite(score), cidx, -1)[:, None]
+                    lobes1 = jnp.where(jnp.isfinite(score), cidx, -1)
+                    if use_refine_kernel:
+                        r_score, r_idx = refine_window_pallas(
+                            means_ext, lobes1, rb, n_domains, coarse_stride,
+                            block_len, objective, range_block=512,
+                        )
+                        # only (idx, score) survive the idx-only protocol;
+                        # s/o/sym/err are host-refit (pack_out consumes
+                        # just these two, the rest is DCE'd)
+                        z = jnp.zeros_like(r_score)
+                        return (r_idx, z, z, jnp.zeros_like(r_idx, jnp.uint8),
+                                z, r_score)
                     return refine_from_lobes(
-                        rb, bank, d_valid, lobes, coarse_stride, s_clip,
-                        objective, return_score=True,
+                        rb, bank, d_valid, lobes1[:, None], coarse_stride,
+                        s_clip, objective, return_score=True,
                     )
             else:
                 def do_block(rb):
@@ -417,7 +473,9 @@ def build_encode_core(
                 raw_norm, tile_size, range_size, domain_step, db, n_domains
             )
             d_valid = jnp.arange(db, dtype=jnp.int32) < n_domains
-            idx, _s, _o, _sym, _err, score = run_search(ranges, bank, d_valid)
+            idx, _s, _o, _sym, _err, score = run_search(
+                ranges, bank, d_valid, raw_norm, n_domains
+            )
         return pack_out(ranges, idx, score, n_ranges, thresh * inv * inv, row0)
 
     def _norm(raw):

@@ -127,6 +127,155 @@ def _search_kernel(
             sym_out[:] = jnp.zeros_like(sym_out)
 
 
+def refine_blocks_ok(M: int, range_block: int, stride: int, domain_step: int,
+                     topc: int, objective: str) -> bool:
+    """Geometry gate for refine_window_pallas: the kernel's lane-aligned
+    window slicing needs the default coarse geometry (domain_step 1, one
+    lobe, stride a multiple of the 128-lane width) and whole range blocks.
+    The staged XLA refine (ops.search.refine_from_lobes) is the fallback
+    and the portable oracle."""
+    return (
+        domain_step == 1
+        and topc == 1
+        and stride % 128 == 0
+        and M % range_block == 0
+        and objective in ("balanced", "affine")
+    )
+
+
+def _refine_kernel(
+    lobes_smem, nv_smem, means_ref, lobes_ref, r_ref,
+    score_out, idx_out, win,
+    *, RB: int, W: int, stride: int, block_len: int, n: int,
+    balanced: bool, Lslice: int,
+):
+    i = pl.program_id(0)
+    nv = nv_smem[0]
+
+    # Fill: per range, ONE lane-aligned dynamic slice of the box-mean
+    # sequence covers the whole +/-W/2 refine window AND all n taps (tap j
+    # of window position p reads means[p + j*block_len]); gap positions
+    # come along for free inside the contiguous slice. This replaces the
+    # XLA staged-refine's ~20 gathered positions per range (XLA gather on
+    # TPU moves ~1 element/cycle; aligned vector copies move 128/cycle).
+    def fill(m, carry):
+        lb = jnp.maximum(lobes_smem[i * RB + m], 0)
+        start = pl.multiple_of(lb * stride, stride)
+        win[pl.ds(m, 1), :] = means_ref[:, pl.ds(start, Lslice)]
+        return carry
+
+    jax.lax.fori_loop(0, RB, fill, 0)
+
+    lane0 = stride - W // 2  # window position t lives at lane lane0 + t
+    w_j = [
+        win[:, lane0 + j * block_len : lane0 + j * block_len + W]
+        for j in range(n)
+    ]                                                   # each (RB, W)
+    mean = w_j[0]
+    for wj in w_j[1:]:
+        mean = mean + wj
+    mean = mean * (1.0 / n)
+
+    r = r_ref[:]                                        # (RB, n)
+    r_mean = jnp.mean(r, axis=1, keepdims=True)
+    rc = r - r_mean
+    num_o = rc[:, 0:1] * w_j[0]
+    num_m = rc[:, n - 1 : n] * w_j[0]
+    for j in range(1, n):
+        num_o = num_o + rc[:, j : j + 1] * w_j[j]
+        num_m = num_m + rc[:, n - 1 - j : n - j] * w_j[j]
+    denom = jnp.zeros_like(mean)
+    for wj in w_j:
+        d = wj - mean
+        denom = denom + d * d
+    denom_eps = denom + 1e-12
+    if balanced:
+        wgt = (denom - n * mean * mean) / (denom_eps * denom_eps)
+    else:
+        wgt = 1.0 / denom_eps
+    score = jnp.maximum(num_o * num_o, num_m * num_m) * wgt
+
+    lobe_v = lobes_ref[:]                               # (RB, 1) int32
+    t = jax.lax.broadcasted_iota(jnp.int32, (RB, W), dimension=1)
+    pos = jnp.maximum(lobe_v, 0) * stride - W // 2 + t
+    valid = (pos >= 0) & (pos < nv) & (lobe_v >= 0)
+    score = jnp.where(valid, score, _NEG)
+
+    arg = jnp.argmax(score, axis=1)                     # first max
+    g = jnp.max(score, axis=1)
+    best = jnp.maximum(lobe_v[:, 0], 0) * stride - W // 2 + arg.astype(jnp.int32)
+    idx_out[:, 0] = jnp.clip(best, 0, jnp.maximum(nv - 1, 0))
+    score_out[:, 0] = g
+
+
+def refine_window_pallas(
+    means_ext: jnp.ndarray,   # (1, L) box-mean sequence, stride-sample zero
+                              # lead + zero tail (see models.encode caller)
+    lobes: jnp.ndarray,       # (M,) int32 coarse lobe per range (-1 = none)
+    ranges: jnp.ndarray,      # (M, N) (weighted) ranges
+    n_valid,                  # traced int32: real domain count
+    stride: int,
+    block_len: int,
+    objective: str = "balanced",
+    range_block: int = 512,
+    interpret: bool = False,
+):
+    """Dense window refinement of coarse lobes as one fused kernel: per
+    range, evaluate ALL W = 1.25*stride positions centered on its lobe and
+    return (score, idx) of the best — the idx-only protocol's refine stage
+    (orientation/s/o/err are host-refit). The box-mean sequence stays
+    VMEM-resident across the whole sweep (~4 bytes/sample); each range
+    fetches its window with one aligned vector slice instead of ~20 XLA
+    gathers. Dense evaluation also strictly dominates the staged descent in
+    selection quality (no descent misses). Requires refine_blocks_ok."""
+    M, n = ranges.shape
+    W = stride + stride // 4
+    lane0 = stride - W // 2
+    Lslice = -(-(lane0 + (W - 1) + (n - 1) * block_len + 1) // 128) * 128
+    assert M % range_block == 0
+    assert means_ext.shape[0] == 1 and means_ext.shape[1] % 128 == 0
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(M // range_block,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, means_ext.shape[1]), lambda i, *_: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((range_block, 1), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((range_block, n), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((range_block, 1), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((range_block, 1), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((range_block, Lslice), jnp.float32)],
+    )
+    kernel = partial(
+        _refine_kernel, RB=range_block, W=W, stride=stride,
+        block_len=block_len, n=n, balanced=objective == "balanced",
+        Lslice=Lslice,
+    )
+    score, idx = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((M, 1), jnp.float32),
+            jax.ShapeDtypeStruct((M, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        lobes, jnp.asarray(n_valid, jnp.int32).reshape(1),
+        means_ext, lobes.reshape(M, 1), ranges,
+    )
+    return score[:, 0], idx[:, 0]
+
+
 def exact_search_scan_pallas(
     r_c: jnp.ndarray,      # (M, N) centered ranges
     bankT: jnp.ndarray,    # (N, D) TRANSPOSED bank
