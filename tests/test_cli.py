@@ -301,3 +301,25 @@ def test_cli_resume_dir_reaches_streaming(tmp_path, monkeypatch):
     rc = cli_main(["compress", str(wav), str(out), "--tile", "128",
                    "--resume-dir", str(rd)])
     assert rc == 0 and out.read_bytes() == first
+
+
+def test_bench_spread_reporting():
+    """bench._with_spread folds per-process samples into the authoritative
+    line: value = best process, plus worst/median/process_values (VERDICT
+    r2 item 1 — publish the spread, not just the best)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    rs = [{"metric": "m", "value": v, "unit": "x"} for v in (128.0, 96.5, 150.2)]
+    out = bench._with_spread(rs)
+    assert out["value"] == 150.2
+    assert out["worst"] == 96.5
+    assert out["median"] == 128.0
+    assert out["process_values"] == [96.5, 128.0, 150.2]
+    assert out["n_processes"] == 3
+    one = bench._with_spread(rs[:1])
+    assert one["value"] == one["worst"] == one["median"] == 128.0
+    two = bench._with_spread(rs[:2])
+    assert two["value"] == 128.0 and two["worst"] == 96.5
+    assert two["median"] == round((96.5 + 128.0) / 2, 2)
