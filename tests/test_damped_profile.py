@@ -165,3 +165,31 @@ def test_cli_profile_damped(tmp_path):
     assert main(["decompress", str(f_dmp), "--out", str(o0)]) == 0
     c, _, _ = read_wav_mono(o0)
     assert compute_snr(sig, c) > 4.0
+
+
+def test_damped_profile_survives_compact_container(tmp_path):
+    """The damped decode consumes the STORED s (fp16 in compact v2), so the
+    compact container must not meaningfully dent the profile's quality
+    (measured -0.007 dB on this fixture)."""
+    from fwav_tpu.io.compact import (
+        load_compressed_compact,
+        save_compressed_compact,
+    )
+    from fwav_tpu.models.encode import prune_bank
+
+    sig, sr = _fixture("speechlike")
+    rec, dom, nr, rs, tile, step, thr, olen = compress_audio_arrays(
+        sig, sr, 2, objective="damped"
+    )
+    direct = compute_snr(sig, decompress_audio(
+        rec, dom, nr, rs, original_len=olen, s_damping=0.25
+    ))
+    rec_p, bank_p = prune_bank(rec, dom)
+    p = tmp_path / "d.fwav"
+    save_compressed_compact(p, rec_p, bank_p, rs, sr, 2, tile, step, thr, olen)
+    r2, d2, n2, rs2, *_, ol2 = load_compressed_compact(p)
+    via_v2 = compute_snr(sig, decompress_audio(
+        r2, d2, n2, rs2, original_len=ol2, s_damping=0.25
+    ))
+    assert via_v2 > direct - 0.1, (via_v2, direct)
+    assert via_v2 > 40.0
