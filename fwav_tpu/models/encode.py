@@ -65,6 +65,40 @@ def _pow2_divisor(n: int, cap: int) -> int:
     return p
 
 
+def _means_setup(raw_norm, n: int, block_len: int, stride: int, dc: int):
+    """Box-mean sequence layouts for the bank-free coarse path (shared by
+    the top-1 and multi-lobe refine-kernel branches): the ext layout the
+    window kernel slices (stride-sample zero lead, zero tail) and the
+    subsampled bank rows for the lobe scan — bank rows are strided views
+    of the sequence, so the (db, n) bank never materializes."""
+    from ..ops.domains import box_sums
+
+    means = box_sums(raw_norm, block_len) * (1.0 / block_len)
+    W = stride + stride // 4
+    lane0 = stride - W // 2
+    ls = lane0 + (W - 1) + (n - 1) * block_len + 1
+    Lslice = -(-ls // 128) * 128
+    Lext = -(-(stride + (dc - 1) * stride + Lslice) // 128) * 128
+    k = min(means.shape[0], Lext - stride)
+    means_ext = jnp.concatenate([
+        jnp.zeros(stride, jnp.float32),
+        means[:k],
+        jnp.zeros(Lext - stride - k, jnp.float32),
+    ]).reshape(1, Lext)
+    span = (dc - 1) * stride + 1
+    mp = (
+        means if means.shape[0] >= span + (n - 1) * block_len
+        else means_ext[0, stride:]
+    )
+    bank_sub = jnp.stack([
+        jax.lax.slice(
+            mp, (j * block_len,), (j * block_len + span,), (stride,)
+        )
+        for j in range(n)
+    ], axis=1)
+    return means_ext, bank_sub
+
+
 def build_encode_core(
     nb: int,
     lb: int,
@@ -213,37 +247,9 @@ def build_encode_core(
                     )
                 )
                 if use_refine_kernel:
-                    # bank-free coarse path: the lobe scan AND the dense
-                    # window refine both read the box-mean sequence
-                    # directly (bank rows are strided views of it), so the
-                    # (db, n) bank never materializes here
-                    from ..ops.domains import box_sums
-
-                    means = box_sums(raw_norm, block_len) * (1.0 / block_len)
-                    W = coarse_stride + coarse_stride // 4
-                    lane0 = coarse_stride - W // 2
-                    ls = lane0 + (W - 1) + (n - 1) * block_len + 1
-                    Lslice = -(-ls // 128) * 128
-                    Lext = -(-(coarse_stride + (dc - 1) * coarse_stride
-                               + Lslice) // 128) * 128
-                    k = min(means.shape[0], Lext - coarse_stride)
-                    means_ext = jnp.concatenate([
-                        jnp.zeros(coarse_stride, jnp.float32),
-                        means[:k],
-                        jnp.zeros(Lext - coarse_stride - k, jnp.float32),
-                    ]).reshape(1, Lext)
-                    span = (dc - 1) * coarse_stride + 1
-                    mp = (
-                        means if means.shape[0] >= span + (n - 1) * block_len
-                        else means_ext[0, coarse_stride:]
+                    means_ext, bank_sub = _means_setup(
+                        raw_norm, n, block_len, coarse_stride, dc
                     )
-                    bank_sub = jnp.stack([
-                        jax.lax.slice(
-                            mp, (j * block_len,),
-                            (j * block_len + span,), (coarse_stride,),
-                        )
-                        for j in range(n)
-                    ], axis=1)
                 else:
                     bank_sub = bank.reshape(dc, coarse_stride, n)[:, 0, :]
                 sub_mean, sub_denom = affine_stats(bank_sub)
@@ -263,6 +269,7 @@ def build_encode_core(
                         r_score, r_idx = refine_window_pallas(
                             means_ext, lobes1, rb, n_domains, coarse_stride,
                             block_len, objective, range_block=512,
+                            s_clip=s_clip,
                         )
                         # only (idx, score) survive the idx-only protocol;
                         # s/o/sym/err are host-refit (pack_out consumes
@@ -275,12 +282,84 @@ def build_encode_core(
                         s_clip, objective, return_score=True,
                     )
             else:
-                def do_block(rb):
-                    return coarse_refine_search(
-                        rb, bank, None, None, d_valid, coarse_stride,
-                        coarse_topc, cdblk, s_clip, objective=objective,
-                        return_score=True,
+                from ..ops.pallas_search import (
+                    refine_blocks_ok,
+                    refine_window_pallas,
+                )
+
+                multi_lobe_kernel = (
+                    use_pallas and coarse_topc > 1
+                    and raw_norm is not None and n_domains is not None
+                    and refine_blocks_ok(
+                        rblk, 512, coarse_stride, domain_step, coarse_topc,
+                        objective,
                     )
+                )
+                if multi_lobe_kernel:
+                    # multi-lobe coarse (the damped profile's default):
+                    # lax.scan clip-aware lobe scan over the subsampled
+                    # rows, then ONE window-refine kernel call per lobe
+                    # column merged elementwise — replacing the dense XLA
+                    # refine's C*W gathered positions per range (the
+                    # damped profile's dominant cost)
+                    from ..ops.search import (
+                        domain_thresh,
+                        domain_weights,
+                        gain_topk_scan,
+                    )
+
+                    dc = db // coarse_stride
+                    block_len = tile_size // range_size
+                    means_ext, bank_sub = _means_setup(
+                        raw_norm, n, block_len, coarse_stride, dc
+                    )
+                    sub_mean, sub_denom = affine_stats(bank_sub)
+                    w_sub = domain_weights(sub_mean, sub_denom, n, objective)
+                    t_sub = domain_thresh(sub_denom, objective, s_clip)
+                    v_sub = d_valid.reshape(dc, coarse_stride)[:, 0]
+                    # fused top-C scan when the block geometry allows it:
+                    # the lax.scan lobe path materializes (m, dc) score
+                    # tiles through HBM and dominates the damped profile's
+                    # cost; the kernel keeps them in VMEM
+                    scan_kernel_ok = pallas_blocks_ok(rblk, dc, prb, cdblk)
+                    if scan_kernel_ok:
+                        from ..ops.pallas_search import topc_search_scan_pallas
+
+                        bank_subT = bank_sub.T
+
+                    def do_block(rb):
+                        r_c = rb - jnp.mean(rb, axis=1, keepdims=True)
+                        if scan_kernel_ok:
+                            lobes = topc_search_scan_pallas(
+                                r_c, bank_subT, w_sub, v_sub, coarse_topc,
+                                prb, cdblk, d_thresh=t_sub, s_clip=s_clip,
+                            )
+                        else:
+                            lobes = gain_topk_scan(
+                                r_c, bank_sub, w_sub, v_sub, coarse_topc,
+                                cdblk, d_thresh=t_sub, s_clip=s_clip,
+                            )                                   # (m, C)
+                        best_s = jnp.full(rb.shape[0], -jnp.inf, jnp.float32)
+                        best_i = jnp.zeros(rb.shape[0], jnp.int32)
+                        for c_i in range(coarse_topc):
+                            s_k, i_k = refine_window_pallas(
+                                means_ext, lobes[:, c_i], rb, n_domains,
+                                coarse_stride, block_len, objective,
+                                range_block=512, s_clip=s_clip,
+                            )
+                            take = s_k > best_s  # earlier lobe wins ties
+                            best_s = jnp.where(take, s_k, best_s)
+                            best_i = jnp.where(take, i_k, best_i)
+                        z = jnp.zeros_like(best_s)
+                        return (best_i, z, z,
+                                jnp.zeros_like(best_i, jnp.uint8), z, best_s)
+                else:
+                    def do_block(rb):
+                        return coarse_refine_search(
+                            rb, bank, None, None, d_valid, coarse_stride,
+                            coarse_topc, cdblk, s_clip, objective=objective,
+                            return_score=True,
+                        )
         else:
             bank_emb = multi_head_embedding_batch(
                 bank, tonal_k=emb_dim // 2, transient_k=emb_dim // 2

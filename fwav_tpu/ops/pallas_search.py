@@ -127,19 +127,151 @@ def _search_kernel(
             sym_out[:] = jnp.zeros_like(sym_out)
 
 
+def _topc_kernel(
+    *refs,
+    domain_block: int, C: int, s_clip: float, with_thresh: bool,
+):
+    if with_thresh:
+        (r_blk, rrev_blk, bankT_blk, w_blk, valid_blk, t_blk,
+         score_out, idx_out, best_s, best_i) = refs
+    else:
+        (r_blk, rrev_blk, bankT_blk, w_blk, valid_blk,
+         score_out, idx_out, best_s, best_i) = refs
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        best_s[:] = jnp.full_like(best_s, _NEG)
+        best_i[:] = jnp.zeros_like(best_i)
+
+    num_o = jnp.dot(r_blk[:], bankT_blk[:], preferred_element_type=jnp.float32)
+    num_m = jnp.dot(rrev_blk[:], bankT_blk[:], preferred_element_type=jnp.float32)
+    w = w_blk[:]
+    if with_thresh:
+        # damped: monotone in |num| (w = 1/denom >= 0), orientations fold
+        # with max first
+        a = jnp.maximum(jnp.abs(num_o), jnp.abs(num_m))
+        c = s_clip
+        t = t_blk[:]
+        score = jnp.where(a > t, c * (2.0 * a - t), a * a * w)
+    else:
+        # per-orientation gains BEFORE the max: balanced weights can be
+        # negative (near-constant tiles), where max(no^2, nm^2)*w flips
+        score = jnp.maximum(num_o * num_o * w, num_m * num_m * w)
+    score = jnp.where(valid_blk[:] != 0, score, _NEG)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, score.shape, dimension=1)
+    # C extraction rounds over the VMEM-resident score tile, each inserted
+    # into the sorted carry with a C-step compare/shift cascade. Strict >
+    # everywhere: carried (earlier-block) candidates win ties, and within a
+    # block the first-max argmax keeps the lowest lane — the same stable
+    # order as lax.top_k over [carried, block].
+    for _round in range(C):
+        g = jnp.max(score, axis=1)                       # (RB,)
+        arg = jnp.argmax(score, axis=1)
+        gi = j * domain_block + arg.astype(jnp.int32)
+        score = jnp.where(lane == arg[:, None], _NEG, score)
+        cur_s, cur_i = g, gi
+        for col in range(C):
+            s_col = best_s[:, col]
+            i_col = best_i[:, col]
+            take = cur_s > s_col
+            best_s[:, col] = jnp.where(take, cur_s, s_col)
+            best_i[:, col] = jnp.where(take, cur_i, i_col)
+            cur_s = jnp.where(take, s_col, cur_s)
+            cur_i = jnp.where(take, i_col, cur_i)
+
+    @pl.when(j == nj - 1)
+    def _():
+        score_out[:] = best_s[:]
+        idx_out[:] = best_i[:]
+
+
+def topc_search_scan_pallas(
+    r_c: jnp.ndarray,       # (M, N) centered ranges
+    bankT: jnp.ndarray,     # (N, D) TRANSPOSED (subsampled) bank
+    d_weight: jnp.ndarray,  # (D,)
+    d_valid: jnp.ndarray,   # (D,) bool
+    top_c: int,
+    range_block: int = 512,
+    domain_block: int = 2048,
+    interpret: bool = False,
+    d_thresh=None,
+    s_clip: float = 0.0,
+):
+    """Top-C gain candidates per range as one fused kernel (the multi-lobe
+    analog of exact_search_scan_pallas): orientation folded with max (the
+    refine stage re-evaluates both), running sorted top-C carried in VMEM
+    across the domain sweep — no (M, D) score tensor in HBM, which is what
+    makes the lax.scan top-C path slow. Same contract as
+    ops.search.gain_topk_scan: (M, C) indices, -1 where no finite score.
+    d_thresh/s_clip select the clip-aware damped gain."""
+    M, N = r_c.shape
+    D = bankT.shape[1]
+    assert M % range_block == 0 and D % domain_block == 0
+    ni, nj = M // range_block, D // domain_block
+
+    r_rev = r_c[:, ::-1]
+    w2 = d_weight.reshape(1, D)
+    v2 = d_valid.astype(jnp.int8).reshape(1, D)
+    with_thresh = d_thresh is not None
+
+    kernel = partial(
+        _topc_kernel, domain_block=domain_block, C=top_c,
+        s_clip=abs(float(s_clip)), with_thresh=with_thresh,
+    )
+    vec_spec = pl.BlockSpec((1, domain_block), lambda i, j: (0, j),
+                            memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((range_block, N), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((range_block, N), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((N, domain_block), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        vec_spec,
+        vec_spec,
+    ]
+    operands = [r_c, r_rev, bankT, w2, v2]
+    if with_thresh:
+        in_specs.append(vec_spec)
+        operands.append(d_thresh.reshape(1, D))
+    score, idx = pl.pallas_call(
+        kernel,
+        grid=(ni, nj),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((range_block, top_c), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((range_block, top_c), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((M, top_c), jnp.float32),
+            jax.ShapeDtypeStruct((M, top_c), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((range_block, top_c), jnp.float32),
+            pltpu.VMEM((range_block, top_c), jnp.int32),
+        ],
+        interpret=interpret,
+    )(*operands)
+    return jnp.where(jnp.isfinite(score), idx, -1)
+
+
 def refine_blocks_ok(M: int, range_block: int, stride: int, domain_step: int,
                      topc: int, objective: str) -> bool:
     """Geometry gate for refine_window_pallas: the kernel's lane-aligned
-    window slicing needs the default coarse geometry (domain_step 1, one
-    lobe, stride a multiple of the 128-lane width) and whole range blocks.
-    The staged XLA refine (ops.search.refine_from_lobes) is the fallback
-    and the portable oracle."""
+    window slicing needs the default coarse geometry (domain_step 1,
+    stride a multiple of the 128-lane width) and whole range blocks.
+    Multi-lobe callers run the kernel once per lobe column and merge, so
+    `topc` does not gate it. The staged XLA refine
+    (ops.search.refine_from_lobes) is the fallback and the portable
+    oracle."""
+    del topc
     return (
         domain_step == 1
-        and topc == 1
         and stride % 128 == 0
         and M % range_block == 0
-        and objective in ("balanced", "affine")
+        and objective in ("balanced", "affine", "damped")
     )
 
 
@@ -147,7 +279,7 @@ def _refine_kernel(
     lobes_smem, nv_smem, means_ref, lobes_ref, r_ref,
     score_out, idx_out, win,
     *, RB: int, W: int, stride: int, block_len: int, n: int,
-    balanced: bool, Lslice: int,
+    objective: str, s_clip: float, Lslice: int,
 ):
     i = pl.program_id(0)
     nv = nv_smem[0]
@@ -189,11 +321,18 @@ def _refine_kernel(
         d = wj - mean
         denom = denom + d * d
     denom_eps = denom + 1e-12
-    if balanced:
+    if objective == "balanced":
         wgt = (denom - n * mean * mean) / (denom_eps * denom_eps)
+        score = jnp.maximum(num_o * num_o, num_m * num_m) * wgt
+    elif objective == "damped":
+        # clip-aware gain (ops.search._gain_from_num): monotone in |num|
+        # for a fixed position, so orientations fold with max first
+        a = jnp.maximum(jnp.abs(num_o), jnp.abs(num_m))
+        c = s_clip
+        t = c * denom
+        score = jnp.where(a > t, c * (2.0 * a - t), a * a / denom_eps)
     else:
-        wgt = 1.0 / denom_eps
-    score = jnp.maximum(num_o * num_o, num_m * num_m) * wgt
+        score = jnp.maximum(num_o * num_o, num_m * num_m) / denom_eps
 
     lobe_v = lobes_ref[:]                               # (RB, 1) int32
     t = jax.lax.broadcasted_iota(jnp.int32, (RB, W), dimension=1)
@@ -219,6 +358,7 @@ def refine_window_pallas(
     objective: str = "balanced",
     range_block: int = 512,
     interpret: bool = False,
+    s_clip: float = 16.0,
 ):
     """Dense window refinement of coarse lobes as one fused kernel: per
     range, evaluate ALL W = 1.25*stride positions centered on its lobe and
@@ -258,8 +398,8 @@ def refine_window_pallas(
     )
     kernel = partial(
         _refine_kernel, RB=range_block, W=W, stride=stride,
-        block_len=block_len, n=n, balanced=objective == "balanced",
-        Lslice=Lslice,
+        block_len=block_len, n=n, objective=objective,
+        s_clip=abs(float(s_clip)), Lslice=Lslice,
     )
     score, idx = pl.pallas_call(
         kernel,

@@ -252,15 +252,33 @@ def exact_refit(
     return best_idx, s, o, best_sym.astype(jnp.uint8), err
 
 
+def _extract_topk_iter(score, idx, k):
+    """(M, k) best (score, idx) pairs by k rounds of max-extract-mask —
+    pure VPU reductions, far cheaper than lax.top_k's sort for small k
+    (measured 8 -> ~2 ms per 16k-range chunk at the bench's coarse lobe
+    shapes). First-max argmax keeps the stable earlier-index tie-break."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, score.shape, 1)
+    outs_s, outs_i = [], []
+    for _ in range(k):
+        a = jnp.argmax(score, axis=1)
+        outs_s.append(jnp.max(score, axis=1))
+        outs_i.append(jnp.take_along_axis(idx, a[:, None], axis=1)[:, 0])
+        score = jnp.where(lane == a[:, None], _NEG, score)
+    return jnp.stack(outs_s, axis=1), jnp.stack(outs_i, axis=1)
+
+
 def _topk_merge_scan(score_fn, xs_blocks, M, k, domain_block, n_blocks):
     """Blockwise running best-k merge over domain blocks: each scan step
     scores one block via score_fn(*block_inputs) -> (M, Db) with invalid
-    slots at -inf, then merges into the carried (M, k) best via
-    concat + lax.top_k (stable: earlier/global-lower indices win ties).
-    Shared by the coarse candidate scan (gain scores) and the exact top-k
-    MIPS (embedding scores) so the merge/tie-break semantics live in one
-    place. Returns (scores (M, k) desc, idx (M, k) int32, -1 where no
-    finite score survived)."""
+    slots at -inf, then merges into the carried (M, k) best — via k rounds
+    of max-extraction for small k (the coarse lobe scan), via
+    concat + lax.top_k for large k (the reference-shaped MIPS shortlist);
+    both are stable (earlier/global-lower indices win ties). Shared by the
+    coarse candidate scan (gain scores) and the exact top-k MIPS
+    (embedding scores) so the merge/tie-break semantics live in one place.
+    Returns (scores (M, k) desc, idx (M, k) int32, -1 where no finite
+    score survived)."""
+    iter_extract = k <= 8
 
     def step(carry, xs):
         best_s, best_i = carry
@@ -271,10 +289,18 @@ def _topk_merge_scan(score_fn, xs_blocks, M, k, domain_block, n_blocks):
             + jnp.arange(domain_block, dtype=jnp.int32)[None, :],
             score.shape,
         )
-        merged_s = jnp.concatenate([best_s, score], axis=1)
-        merged_i = jnp.concatenate([best_i, idx], axis=1)
-        top_s, pos = jax.lax.top_k(merged_s, k)
-        top_i = jnp.take_along_axis(merged_i, pos, axis=1)
+        if iter_extract:
+            blk_s, blk_i_top = _extract_topk_iter(score, idx, k)
+            # carried entries FIRST: on exact ties the earlier block's
+            # (lower-index) candidate wins, same as lax.top_k's stability
+            merged_s = jnp.concatenate([best_s, blk_s], axis=1)
+            merged_i = jnp.concatenate([best_i, blk_i_top], axis=1)
+            top_s, top_i = _extract_topk_iter(merged_s, merged_i, k)
+        else:
+            merged_s = jnp.concatenate([best_s, score], axis=1)
+            merged_i = jnp.concatenate([best_i, idx], axis=1)
+            top_s, pos = jax.lax.top_k(merged_s, k)
+            top_i = jnp.take_along_axis(merged_i, pos, axis=1)
         return (top_s, top_i), None
 
     init = (

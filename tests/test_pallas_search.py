@@ -184,3 +184,94 @@ def test_refine_window_kernel_matches_dense_oracle():
         if p != idx[m]:
             mismatches += 1
     assert mismatches <= 2, mismatches  # fp near-ties only
+
+
+def test_refine_window_kernel_damped_objective():
+    """The window kernel's clip-aware branch (objective='damped') vs a
+    numpy oracle with the same clipped-scale gain."""
+    from fwav_tpu.ops.pallas_search import refine_window_pallas
+
+    rng = np.random.default_rng(5)
+    stride, B, n, c = 128, 256, 4, 2.0
+    M, RB = 512, 256
+    dc = 24
+    n_valid = dc * stride
+    sig = (rng.standard_normal(dc * stride + n * B + 2048) * 0.2).astype(np.float32)
+    means = np.convolve(sig, np.ones(B) / B, mode="valid").astype(np.float32)
+    W = stride + stride // 4
+    lane0 = stride - W // 2
+    Lslice = -(-(lane0 + (W - 1) + (n - 1) * B + 1) // 128) * 128
+    Lext = -(-(stride + (dc - 1) * stride + Lslice) // 128) * 128
+    ext = np.zeros(Lext, np.float32)
+    k = min(len(means), Lext - stride)
+    ext[stride : stride + k] = means[:k]
+    lobes = rng.integers(0, dc, M).astype(np.int32)
+    ranges = (rng.standard_normal((M, n)) * 1.5).astype(np.float32)
+
+    score, idx = refine_window_pallas(
+        jnp.asarray(ext).reshape(1, -1), jnp.asarray(lobes),
+        jnp.asarray(ranges), n_valid, stride, B, "damped", RB,
+        interpret=True, s_clip=c,
+    )
+    score, idx = np.asarray(score), np.asarray(idx)
+
+    clip_fired = 0
+    for m in range(0, M, 11):
+        lb = lobes[m]
+        r = ranges[m]
+        rc = (r - r.mean(dtype=np.float32)).astype(np.float64)
+        best_g, best_p = -np.inf, 0
+        for t in range(W):
+            p = lb * stride - W // 2 + t
+            if p < 0 or p >= n_valid:
+                continue
+            row = np.array([means[p + j * B] for j in range(n)], np.float64)
+            d_c = row - row.mean()
+            den = (d_c * d_c).sum()
+            a = max(abs((rc * row).sum()), abs((rc[::-1] * row).sum()))
+            g = c * (2 * a - c * den) if a > c * den else a * a / max(den, 1e-12)
+            if a > c * den:
+                clip_fired += 1
+            if g > best_g:
+                best_g, best_p = g, p
+        # compare achieved f64 gains at the kernel's pick vs the oracle's
+        p2 = idx[m]
+        row = np.array([means[p2 + j * B] for j in range(n)], np.float64)
+        d_c = row - row.mean()
+        den = (d_c * d_c).sum()
+        a = max(abs((rc * row).sum()), abs((rc[::-1] * row).sum()))
+        g2 = c * (2 * a - c * den) if a > c * den else a * a / max(den, 1e-12)
+        np.testing.assert_allclose(g2, best_g, rtol=1e-4)
+    assert clip_fired > 0  # the linear branch was actually exercised
+
+
+@pytest.mark.parametrize("damped", [False, True])
+def test_topc_scan_kernel_matches_lax_scan(damped):
+    """topc_search_scan_pallas vs ops.search.gain_topk_scan: identical
+    lobe sets in identical order (same stable tie-break)."""
+    from fwav_tpu.ops.pallas_search import topc_search_scan_pallas
+    from fwav_tpu.ops.search import domain_thresh, gain_topk_scan
+
+    rng = np.random.default_rng(4)
+    M, D, N, C = 256, 1024, 4, 4
+    s_clip = 2.0
+    r = (rng.standard_normal((M, N)) * 0.5).astype(np.float32)
+    bank = (rng.standard_normal((D, N)) * 0.2).astype(np.float32)
+    r_c = jnp.asarray(r - r.mean(1, keepdims=True))
+    valid = np.ones(D, bool)
+    valid[-57:] = False
+    dm, dd = affine_stats(jnp.asarray(bank))
+    obj = "damped" if damped else "balanced"
+    w = domain_weights(dm, dd, N, obj)
+    t = domain_thresh(dd, obj, s_clip) if damped else None
+
+    want = np.asarray(gain_topk_scan(
+        r_c, jnp.asarray(bank), w, jnp.asarray(valid), C, 256,
+        d_thresh=t, s_clip=s_clip if damped else None,
+    ))
+    got = np.asarray(topc_search_scan_pallas(
+        r_c, jnp.asarray(bank.T.copy()), w, jnp.asarray(valid), C,
+        range_block=128, domain_block=256, interpret=True,
+        d_thresh=t, s_clip=s_clip,
+    ))
+    np.testing.assert_array_equal(got, want)
