@@ -41,10 +41,12 @@ def test_fuzz_round_trip(seed, tmp_path):
     n = int(rng.integers(300, 30000))
     tile = int(rng.choice([128, 256, 1024, 1536]))
     search = str(rng.choice(["auto", "exact", "topk", "coarse"]))
+    objective = str(rng.choice(["balanced", "affine", "damped"]))
     sig = _random_signal(rng, n, sr)
 
     rec, domains, n_ranges, rs, tile_out, step, thr, olen = (
-        compress_audio_arrays(sig, sr, 2, tile_size=tile, search=search)
+        compress_audio_arrays(sig, sr, 2, tile_size=tile, search=search,
+                              objective=objective)
     )
     assert olen == n
     if n_ranges == 0:
@@ -68,8 +70,12 @@ def test_fuzz_round_trip(seed, tmp_path):
     np.testing.assert_array_equal(rec2, rec)
     np.testing.assert_array_equal(dom2, domains)
 
-    # decode within tolerance of the piecewise-constant bound
-    recon = decompress_audio(rec2, dom2, n_ranges, rs, original_len=olen)
+    # decode within tolerance of the piecewise-constant bound (the damped
+    # profile is judged under its matched decoder — its damping=0 offsets
+    # intentionally trade piecewise-constant fidelity for transform fit)
+    damping = 0.25 if objective == "damped" else 0.0
+    recon = decompress_audio(rec2, dom2, n_ranges, rs, original_len=olen,
+                             s_damping=damping)
     assert recon.shape == (n,)
     assert np.all(np.isfinite(recon))
     L = (n // rs) * rs
@@ -77,5 +83,10 @@ def test_fuzz_round_trip(seed, tmp_path):
         bound = compute_snr(sig[:L], np.repeat(sig[:L].reshape(-1, rs).mean(1), rs))
         got = compute_snr(sig, recon)
         # silent-range pruning + search approximation cost at most ~3 dB vs
-        # the oracle bound on adversarial content
-        assert got > bound - 3.0, (seed, got, bound)
+        # the oracle bound on adversarial content for the DEFAULT objective
+        # (which optimizes exactly that distance). affine/damped optimize
+        # the stored-transform residual instead, so their piecewise-
+        # constant-relative floor is looser (their own wins are asserted in
+        # test_damped_profile.py / test_e2e.py)
+        margin = 3.0 if objective == "balanced" else 4.5
+        assert got > bound - margin, (seed, objective, got, bound)

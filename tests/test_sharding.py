@@ -289,3 +289,31 @@ def test_init_distributed_single_process():
         env={**__import__('os').environ, "JAX_PLATFORMS": "cpu"},
     )
     assert "distributed-ok" in out.stdout, (out.stdout, out.stderr)
+
+
+def test_damped_objective_tp_composition(_single_device_records):
+    """objective='damped' composes with tp bank sharding via search='exact'
+    (bit-equal records: idx-only protocol + host refit), and refuses the
+    tp+coarse combination with a clear error (its refine merge is
+    single-lobe)."""
+    from fwav_tpu.parallel.shard import compress_audio_sharded
+
+    sig, sr, _ = _single_device_records
+    from fwav_tpu.models.encode import compress_audio_arrays
+
+    rec_1, dom_1, n1, rs1, *_ = compress_audio_arrays(
+        sig, sr, 2, search="exact", objective="damped"
+    )
+    rec_8, _, n8, rs8, *_ = compress_audio_sharded(
+        sig, sr, 2, mesh=make_mesh(8, dp=2, tp=4), search="exact",
+        objective="damped",
+    )
+    assert (n8, rs8) == (n1, rs1)
+    for f in ("idx", "s", "o", "sym", "err"):
+        np.testing.assert_array_equal(rec_8[f], rec_1[f], err_msg=f)
+
+    with pytest.raises(ValueError, match="damped"):
+        compress_audio_sharded(
+            sig, sr, 2, mesh=make_mesh(8, dp=2, tp=4), search="coarse",
+            objective="damped",
+        )
