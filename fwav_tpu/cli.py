@@ -138,8 +138,10 @@ def main(argv=None) -> int:
                          "encodes: completed time shards checkpoint here "
                          "and a rerun recomputes only the missing ones")
     pc.add_argument("--devices", type=int, default=1,
-                    help="encode over an N-device mesh (ranges data-parallel"
-                         "; output bit-identical to one device)")
+                    help="encode over an N-device mesh (ranges data-"
+                         "parallel; bit-identical to one device for "
+                         "search=exact — coarse on TPU may pick equally-"
+                         "scored matches differently at tp>1)")
     pc.add_argument("--tp", type=int, default=1,
                     help="bank tensor-parallel shards within --devices "
                          "(dp = devices // tp)")
@@ -254,10 +256,19 @@ def main(argv=None) -> int:
                 checksum_state = f"FAILED: {e}"
         # header + match table only — never holds the (possibly multi-GB)
         # domain bank payload in RAM for the report itself
-        (range_size, framerate, sampwidth, tile_size, domain_step,
-         energy_threshold, n_ranges, n_domains, original_len) = (
-            read_header(args.input)
-        )
+        try:
+            (range_size, framerate, sampwidth, tile_size, domain_step,
+             energy_threshold, n_ranges, n_domains, original_len) = (
+                read_header(args.input)
+            )
+        except (ValueError, OSError) as e:
+            # header-level corruption (bad magic/version, truncated header):
+            # still a clean JSON verdict + exit 1, never a traceback
+            print(json.dumps({
+                "file": args.input, "error": str(e),
+                "checksum": checksum_state if args.verify else "not checked",
+            }, indent=2))
+            return 1
         try:
             rec = read_matches(args.input)
             sentinels = int(np.sum(rec["idx"] < 0)) if len(rec) else 0

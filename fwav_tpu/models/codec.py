@@ -307,7 +307,10 @@ def process_file_decompress(path, outdir=None, iterations=8, eps=1e-3,
     s_damping=0 decode is a host-side closed form and ignores the mesh."""
     try:
         start = time.time()
-        if devices and devices > 1:
+        if devices and devices > 1 and s_damping > 0:
+            # the default s_damping=0 decode is a host-side closed form and
+            # ignores the mesh (see the CLI help) — don't even build one,
+            # so --devices N stays harmless on smaller hosts
             from ..parallel.mesh import make_mesh
 
             kwargs["mesh"] = make_mesh(devices, dp=devices // tp, tp=tp)

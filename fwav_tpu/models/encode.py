@@ -239,11 +239,15 @@ def build_encode_core(
 
                 dc = db // coarse_stride
                 block_len = tile_size // range_size
+                # refine-kernel range block adapts to the (possibly
+                # dp-sliced) slab so a mesh cannot flip the gate on/off
+                # relative to single-device (slabs keep pow2 factors)
+                rb_rk = _pow2_divisor(rblk, 512)
                 use_refine_kernel = (
                     raw_norm is not None and n_domains is not None
                     and refine_blocks_ok(
-                        rblk, 512, coarse_stride, domain_step, coarse_topc,
-                        objective,
+                        rblk, rb_rk, coarse_stride, domain_step,
+                        coarse_topc, objective, db,
                     )
                 )
                 if use_refine_kernel:
@@ -268,7 +272,7 @@ def build_encode_core(
                     if use_refine_kernel:
                         r_score, r_idx = refine_window_pallas(
                             means_ext, lobes1, rb, n_domains, coarse_stride,
-                            block_len, objective, range_block=512,
+                            block_len, objective, range_block=rb_rk,
                             s_clip=s_clip,
                         )
                         # only (idx, score) survive the idx-only protocol;
@@ -287,12 +291,13 @@ def build_encode_core(
                     refine_window_pallas,
                 )
 
+                rb_rk = _pow2_divisor(rblk, 512)
                 multi_lobe_kernel = (
                     use_pallas and coarse_topc > 1
                     and raw_norm is not None and n_domains is not None
                     and refine_blocks_ok(
-                        rblk, 512, coarse_stride, domain_step, coarse_topc,
-                        objective,
+                        rblk, rb_rk, coarse_stride, domain_step,
+                        coarse_topc, objective, db,
                     )
                 )
                 if multi_lobe_kernel:
@@ -345,7 +350,7 @@ def build_encode_core(
                             s_k, i_k = refine_window_pallas(
                                 means_ext, lobes[:, c_i], rb, n_domains,
                                 coarse_stride, block_len, objective,
-                                range_block=512, s_clip=s_clip,
+                                range_block=rb_rk, s_clip=s_clip,
                             )
                             take = s_k > best_s  # earlier lobe wins ties
                             best_s = jnp.where(take, s_k, best_s)

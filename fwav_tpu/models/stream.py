@@ -184,7 +184,11 @@ def compress_audio_streaming(
         import hashlib
 
         h = hashlib.sha256()
-        h.update(repr((original_len, shard_samples, halo, cfg)).encode())
+        # (dp, tp) is in the fingerprint: the host refit makes s/o/err/sym
+        # deterministic given selections, but on TPU the coarse SELECTIONS
+        # may come from different (kernel vs staged) refine paths per mesh
+        # shape — never splice shards from different configurations
+        h.update(repr((original_len, shard_samples, halo, dp, tp, cfg)).encode())
         h.update(signal.tobytes())
         resume_dir = os.path.join(resume_dir, h.hexdigest()[:24])
         os.makedirs(resume_dir, exist_ok=True)

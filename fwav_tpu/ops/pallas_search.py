@@ -257,13 +257,23 @@ def topc_search_scan_pallas(
     return jnp.where(jnp.isfinite(score), idx, -1)
 
 
+#: VMEM budget for refine_window_pallas's resident box-mean sequence:
+#: means_ext (4*db bytes) + the (RB, Lslice) window scratch (~2 MB) + the
+#: small operand blocks must fit a ~16 MB VMEM core with headroom. Banks
+#: beyond this (single-shot files over ~50 s at 44.1 kHz) take the XLA
+#: staged-refine fallback; streaming shards stay far below it.
+_REFINE_VMEM_MEANS_BYTES = 9 << 20
+
+
 def refine_blocks_ok(M: int, range_block: int, stride: int, domain_step: int,
-                     topc: int, objective: str) -> bool:
-    """Geometry gate for refine_window_pallas: the kernel's lane-aligned
-    window slicing needs the default coarse geometry (domain_step 1,
-    stride a multiple of the 128-lane width) and whole range blocks.
-    Multi-lobe callers run the kernel once per lobe column and merge, so
-    `topc` does not gate it. The staged XLA refine
+                     topc: int, objective: str, db: int = 0) -> bool:
+    """Geometry + size gate for refine_window_pallas: the kernel's
+    lane-aligned window slicing needs the default coarse geometry
+    (domain_step 1, stride a multiple of the 128-lane width), whole range
+    blocks, and a box-mean sequence that fits the VMEM budget (`db` =
+    bucketed bank rows; 0 skips the size check for callers that bound it
+    themselves). Multi-lobe callers run the kernel once per lobe column
+    and merge, so `topc` does not gate it. The staged XLA refine
     (ops.search.refine_from_lobes) is the fallback and the portable
     oracle."""
     del topc
@@ -271,7 +281,9 @@ def refine_blocks_ok(M: int, range_block: int, stride: int, domain_step: int,
         domain_step == 1
         and stride % 128 == 0
         and M % range_block == 0
+        and range_block % 8 == 0
         and objective in ("balanced", "affine", "damped")
+        and db * 4 <= _REFINE_VMEM_MEANS_BYTES
     )
 
 

@@ -117,7 +117,7 @@ def _gain_from_num(num, weight, thresh, s_clip):
     Without thresh: the quadratic gain num^2 * w (objectives "affine" /
     "balanced" — maximizing it minimizes their respective residuals).
 
-    With thresh (objective "damped"): the CLIP-AWARE gain — the true
+    With thresh (objective "damped"): the CLIP-AWARE gain — the centered
     residual reduction achievable with s clipped to +/-s_clip, i.e. the
     stored affine transform the damped decoder (s_damping > 0,
     fractal.py:1445) converges to:
@@ -129,7 +129,15 @@ def _gain_from_num(num, weight, thresh, s_clip):
     refit's |num|-magnitude orientation rule remain exact). Plain
     quadratic gains ignore the clip and chase matches whose optimal scale
     clips to a far worse fit — measured 24.9 dB vs 52.5 dB
-    stored-transform SNR on the speechlike parity fixture."""
+    stored-transform SNR on the speechlike parity fixture.
+
+    Known approximation: the stored offset pairs with the UNCLIPPED scale
+    (reference refit semantics, fractal.py:802-805 — o = mean(r) -
+    s*mean(d) before the clip), so the decode's mean error adds an
+    N*((s*-c)*d_mean)^2 term this gain omits when the clip fires.
+    Measured cost vs a clip-consistent-offset oracle: < 0.1 dB on the
+    parity fixtures (the linear branch already penalizes hard-clipping
+    candidates, so surviving winners barely clip)."""
     g = num * num * weight
     if thresh is None:
         return g

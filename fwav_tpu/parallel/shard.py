@@ -18,8 +18,12 @@ drift from it (VERDICT r2 item 4; the round-1 `_dp_encode_core` lesson):
 
 Because only the SELECTION leaves the device (3-byte idx protocol) and the
 stored s/o/err/orientation come from the host refit against the serialized
-bank, sharded output is bit-equal to single-device output by construction
-(tests/test_sharding.py).
+bank, sharded output is bit-equal to single-device output whenever both
+run the same refine path: always on the CPU mesh / use_pallas=False
+(tests/test_sharding.py) and for search="exact" on TPU. TPU coarse mode
+refines tp>1 shards with the staged XLA path while tp=1 uses the dense
+window kernel, so selections may differ between those configurations
+(deterministic per config; see CLAUDE.md).
 """
 
 from __future__ import annotations

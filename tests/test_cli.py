@@ -323,3 +323,38 @@ def test_bench_spread_reporting():
     two = bench._with_spread(rs[:2])
     assert two["value"] == 128.0 and two["worst"] == 96.5
     assert two["median"] == round((96.5 + 128.0) / 2, 2)
+
+
+def test_cli_info_verify_header_corruption_clean_verdict(tmp_path, capsys):
+    """Header-level corruption (bad magic) must produce a clean JSON error
+    report with exit code 1, not a traceback (round-3 review)."""
+    from fwav_tpu.cli import main as cli_main
+
+    p = tmp_path / "junk.fwav"
+    p.write_bytes(b"NOPE" + b"\x00" * 80)
+    rc = cli_main(["info", str(p), "--verify"])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 1 and "error" in out
+
+
+def test_decompress_devices_ignored_at_zero_damping(tmp_path, wav_dir,
+                                                    monkeypatch):
+    """--devices N with the default damping=0 must not even build a mesh
+    (the closed-form decode ignores it) — so it stays harmless on hosts
+    with fewer devices (round-3 review)."""
+    import fwav_tpu.parallel.mesh as pm
+    from fwav_tpu.cli import main as cli_main
+
+    d, sig, sr = wav_dir
+    fwav = tmp_path / "a.fwav"
+    assert cli_main(["compress", str(d / "a.wav"), str(fwav),
+                     "--tile", "128"]) == 0
+
+    def boom(*a, **k):
+        raise AssertionError("make_mesh must not be called at damping=0")
+
+    monkeypatch.setattr(pm, "make_mesh", boom)
+    out = tmp_path / "r.wav"
+    assert cli_main(["decompress", str(fwav), "--out", str(out),
+                     "--devices", "64"]) == 0
+    assert out.exists()
