@@ -130,9 +130,10 @@ def main(argv=None) -> int:
                          "reference-default decode (s_damping=0); 'damped' "
                          "tunes them for the damped decoder's fixed point "
                          "(clip-aware selection; the container is unchanged "
-                         "and any decoder reads it) — decode with "
-                         "'decompress --damping 0.25' for a large quality "
-                         "win at identical rate")
+                         "and any decoder reads it) — ALWAYS decode such "
+                         "files with 'decompress --damping 0.25' (large "
+                         "quality win at identical rate; at damping=0 they "
+                         "can land below the default profile)")
     pc.add_argument("--resume-dir", default=None, metavar="DIR",
                     help="shard-level crash recovery for long (streaming) "
                          "encodes: completed time shards checkpoint here "

@@ -88,7 +88,10 @@ class EncoderConfig:
     #: such files with s_damping > 0 (CLI `decompress --damping 0.25`) to
     #: realize the quality win (measured +13 to +28 dB over the
     #: piecewise-constant bound at identical rate; the container is
-    #: unchanged and still decodes fine at the default damping=0).
+    #: unchanged and any decoder reads it). Damped-profile files are MEANT
+    #: for the damped decoder: decoding them at the default damping=0 can
+    #: land well below the default profile on some content (the stored
+    #: offsets serve the transform fit, not the piecewise-constant decode).
     objective: str = "balanced"
     #: Domain-block size for the streaming search scan (HBM->VMEM tiles).
     domain_block: int = 2048
