@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--full-bank", dest="prune_bank", action="store_false",
                     default=True)
     ap.add_argument("--compact", action="store_true")
+    ap.add_argument("--profile", default="default",
+                    choices=["default", "damped"],
+                    help="'damped': clip-aware selection + damped decode — "
+                         "a large quality win at identical rate")
     ap.add_argument("--seconds", type=float, default=3.0)
     ap.add_argument("--sr", type=int, default=44100)
     args = ap.parse_args()
@@ -40,11 +44,16 @@ def main():
     wav = os.path.join(d, "in.wav")
     write_wav(wav, sig, args.sr, 2)
 
+    damped = args.profile == "damped"
     m = process_file_compress(wav, os.path.join(d, "out"),
                               prune_bank=args.prune_bank,
-                              compact=args.compact)
+                              compact=args.compact,
+                              objective="damped" if damped else "balanced")
     print("compress:", m)
-    r = process_file_decompress(m["output"], os.path.join(d, "rec"))
+    # damped-profile files are decoded with their matched damping (the
+    # container is unchanged; this is purely a decoder knob)
+    r = process_file_decompress(m["output"], os.path.join(d, "rec"),
+                                s_damping=0.25 if damped else 0.0)
     print("decompress:", r)
 
     recon, _, _ = read_wav_mono(r["output"])
