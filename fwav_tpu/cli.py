@@ -103,9 +103,8 @@ def main(argv=None) -> int:
                     help="auto (default: coarse-to-fine for large banks, brute "
                          "exact otherwise), exact, or coarse. topk is the "
                          "reference-shaped embedding-shortlist compatibility "
-                         "mode: auto never picks it and it does not compose "
-                         "with --tp (exact/coarse dominate it in quality and "
-                         "speed)")
+                         "mode: auto never picks it (exact/coarse dominate "
+                         "it in quality and speed)")
     pc.add_argument("--prune-bank", dest="prune_bank", action="store_true",
                     default=True,
                     help="store only referenced domain rows — the default: "

@@ -52,10 +52,13 @@ class EncoderConfig:
     #: "topk": reference-shaped two-stage search (embedding top-k shortlist
     #:   then batched mirrored affine solve over the shortlist). This is a
     #:   COMPATIBILITY MODE kept to mirror the reference's architecture
-    #:   (fractal.py:353-401, 535-552): "auto" never selects it, it has no
-    #:   Pallas kernel, and it refuses tp bank sharding (the exact-family
-    #:   modes dominate it in both match quality and speed — an exact scan
-    #:   is cheaper than embed+shortlist+solve on the MXU).
+    #:   (fractal.py:353-401, 535-552): "auto" never selects it and it has
+    #:   no Pallas kernel (the MIPS stage is one MXU matmul + top_k, which
+    #:   XLA already fuses well; the exact-family modes dominate it in both
+    #:   match quality and speed — an exact scan is cheaper than
+    #:   embed+shortlist+solve on the MXU). It composes with tp bank
+    #:   sharding: per-shard shortlists merge into the exact global top-k,
+    #:   bit-equal to the single-device pick (models.encode.run_search_tp).
     #: "coarse": coarse-to-fine exact-family search — stride-subsampled scan
     #:   + top-C window refinement; ~stride-fold cheaper, near-exact because
     #:   adjacent domains are one-sample-shifted box means.

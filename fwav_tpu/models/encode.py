@@ -407,7 +407,7 @@ def build_encode_core(
         )
 
     if tp > 1:
-        assert search in ("exact", "coarse"), search
+        assert search in ("exact", "coarse", "topk"), search
         if search == "coarse":
             assert db // tp >= 4 * coarse_stride, (
                 "tp bank shards must cover the refine halo; lower tp or "
@@ -468,6 +468,65 @@ def build_encode_core(
                     )
                 score, idx, sym = merge_shard_bests(score, idx, sym, tp_axis)
                 return idx, sym, jnp.isfinite(score)
+
+        elif search == "topk":
+            # reference-shaped two-stage search under tp: each shard runs
+            # the exact top-k MIPS over its own bank rows, the per-shard
+            # shortlists all_gather into the EXACT global top-k (multi-key
+            # sort by (score desc, idx asc) — the same total order
+            # _topk_merge_scan's lower-index-stable merge realizes on one
+            # device), then each shard solves the affine pick for the
+            # candidates IT owns and the winners merge keyed on the argmin
+            # position, replicating the single-device slot-order tie-break
+            # bit-for-bit (fractal.py:353-381,535-552 parallelized).
+            from ..ops.affine import batched_affine_match
+            from ..ops.search import topk_scores_block
+
+            off = j * dloc
+            bank_loc = build_bank_jax(
+                raw_norm, tile_size, range_size, domain_step, db, n_domains,
+                row_offset=off, d_rows=dloc,
+            )
+            v_loc = off + jnp.arange(dloc, dtype=jnp.int32) < n_domains
+            bank_emb_loc = multi_head_embedding_batch(
+                bank_loc, tonal_k=emb_dim // 2, transient_k=emb_dim // 2
+            )
+            ldblk = _pow2_divisor(dloc, domain_block)
+            imax = jnp.iinfo(jnp.int32).max
+
+            def do_chunk(rb):
+                q = multi_head_embedding_batch(
+                    rb, tonal_k=emb_dim // 2, transient_k=emb_dim // 2
+                )
+                sc, lidx = topk_scores_block(
+                    q, bank_emb_loc, v_loc, top_k, ldblk
+                )                                             # (m, k) each
+                key = jnp.where(lidx >= 0, off + lidx, imax)  # idx asc key
+                sc_all = jax.lax.all_gather(sc, tp_axis, axis=1, tiled=True)
+                key_all = jax.lax.all_gather(key, tp_axis, axis=1, tiled=True)
+                _, key_sorted = jax.lax.sort(
+                    (-sc_all, key_all), num_keys=2
+                )                                             # (m, S*k)
+                cand_g = jnp.where(
+                    key_sorted == imax, -1, key_sorted
+                )[:, :top_k]                                  # global top-k
+                own = (cand_g >= off) & (cand_g < off + dloc)
+                cand_loc = jnp.where(own, cand_g - off, -1)
+                _i, _s, _o, _y, _e, sel, pick = batched_affine_match(
+                    rb, cand_loc, bank_loc, s_clip=s_clip,
+                    objective=objective, return_score=True,
+                )
+                # cross-shard merge on (-sel, argmin position): slots are
+                # owned by exactly one shard, so equal positions never tie
+                score_m, pick_m, _ = merge_shard_bests(
+                    jnp.where(jnp.isfinite(sel), -sel, -jnp.inf), pick,
+                    jnp.zeros_like(pick, bool), tp_axis,
+                )
+                slot = jnp.where(pick_m >= top_k, pick_m - top_k, pick_m)
+                sym = pick_m >= top_k
+                rows = jnp.arange(rb.shape[0])
+                idx = cand_g[rows, slot]
+                return idx, sym, jnp.isfinite(score_m) & (idx >= 0)
 
         else:
             # coarse: scan own subsampled rows, merge lobes, refine on the
@@ -827,9 +886,6 @@ def check_tp_composition(search_mode: str, stride: int, db: int, tp: int,
     encode paths)."""
     if tp <= 1:
         return
-    if search_mode == "topk":
-        raise ValueError("search='topk' does not compose with tp bank "
-                         "sharding; use 'exact' or 'coarse'")
     if search_mode == "coarse" and objective == "damped":
         raise ValueError(
             "the clip-aware 'damped' objective needs multi-lobe coarse "

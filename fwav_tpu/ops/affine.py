@@ -43,6 +43,7 @@ def batched_affine_match(
     bank: jnp.ndarray,        # (D, N) float32
     s_clip: float = 16.0,
     objective: str = "affine",
+    return_score: bool = False,
 ):
     """Pick the best (domain, orientation) per range from its candidate list.
 
@@ -54,11 +55,17 @@ def batched_affine_match(
 
     Returns (idx, s, o, sym, err) each (B,). For a range whose candidates are
     all -1 the err is +inf and idx is the clamped slot-0 domain — callers
-    decide sentinel policy (see models.encode)."""
+    decide sentinel policy (see models.encode). With return_score=True two
+    extra outputs are appended: the winner's selection score (minimized;
+    +inf when every slot is invalid) and its argmin position in the
+    originals-then-mirrors arrangement (sym*K + slot) — the tp shortlist
+    merge keys its cross-shard tie-break on that position so the sharded
+    pick replicates this function's slot-order tie-break exactly."""
     safe = jnp.maximum(cand_idx, 0)
     tiles = bank[safe]  # (B, K, N)
     return affine_match_tiles(
-        ranges, tiles, safe, cand_idx < 0, s_clip=s_clip, objective=objective
+        ranges, tiles, safe, cand_idx < 0, s_clip=s_clip, objective=objective,
+        return_score=return_score,
     )
 
 
@@ -70,6 +77,7 @@ def affine_match_tiles(
     s_clip: float = 16.0,
     objective: str = "affine",
     selection_precision=None,
+    return_score: bool = False,
 ):
     """Core of batched_affine_match for callers that already hold the tiles
     (e.g. the coarse-to-fine refiner). `selection_precision` controls only
@@ -132,7 +140,10 @@ def affine_match_tiles(
     best_err = jnp.sqrt(jnp.sum(resid * resid, axis=1))
     best_err = jnp.where(jnp.isinf(err[rows, pick]), jnp.inf, best_err)
     best_s = jnp.clip(best_s, -abs(s_clip), abs(s_clip))
-    return best_idx.astype(jnp.int32), best_s, best_o, best_sym, best_err
+    out = (best_idx.astype(jnp.int32), best_s, best_o, best_sym, best_err)
+    if return_score:
+        out = (*out, score[rows, pick], pick.astype(jnp.int32))
+    return out
 
 
 def find_best_domain_affine(range_block, domains, candidate_idxs, range_size=None,

@@ -317,3 +317,29 @@ def test_damped_objective_tp_composition(_single_device_records):
             sig, sr, 2, mesh=make_mesh(8, dp=2, tp=4), search="coarse",
             objective="damped",
         )
+
+
+@pytest.mark.parametrize("dp,tp", [(2, 4), (1, 8)])
+def test_compress_audio_sharded_bit_equal_topk(dp, tp, _single_device_records):
+    """search='topk' under tp bank sharding: per-shard exact top-k MIPS
+    shortlists all_gather into the exact global top-k (multi-key sort in
+    _topk_merge_scan's (score desc, idx asc) total order), each shard
+    solves the affine pick for its owned candidates, and the winners merge
+    keyed on the argmin position — so the sharded selection replicates the
+    single-device slot-order tie-break bit-for-bit on a tie-free fixture
+    (fractal.py:353-381,535-552 parallelized)."""
+    from fwav_tpu.models.encode import compress_audio_arrays
+    from fwav_tpu.parallel.shard import compress_audio_sharded
+
+    sig, sr, _ = _single_device_records
+    rec_1, dom_1, n1, rs1, *_ = compress_audio_arrays(
+        sig, sr, 2, search="topk"
+    )
+    rec_8, dom_8, n8, rs8, *_ = compress_audio_sharded(
+        sig, sr, 2, mesh=make_mesh(8, dp=dp, tp=tp), search="topk"
+    )
+    assert (n8, rs8) == (n1, rs1)
+    np.testing.assert_array_equal(dom_8, dom_1)
+    for f in ("idx", "s", "o", "sym", "err"):
+        np.testing.assert_array_equal(rec_8[f], rec_1[f], err_msg=f)
+    assert (rec_1["idx"] == -1).sum() > 0  # sentinel rows exercised
