@@ -90,3 +90,41 @@ def test_fuzz_round_trip(seed, tmp_path):
         # test_damped_profile.py / test_e2e.py)
         margin = 3.0 if objective == "balanced" else 4.5
         assert got > bound - margin, (seed, objective, got, bound)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_sharded_bit_equal(seed):
+    """Random (dp, tp) x search x objective x content: the sharded encode
+    must either refuse the combination with a clear ValueError (documented
+    non-composing combos: damped+coarse under tp, coarse halo under-
+    coverage) or produce records BIT-EQUAL to the single-device encoder —
+    the CPU mesh always runs the same refine path on both sides
+    (CLAUDE.md invariant scope)."""
+    import jax
+
+    from fwav_tpu.parallel.mesh import make_mesh
+    from fwav_tpu.parallel.shard import compress_audio_sharded
+
+    rng = np.random.default_rng(1000 + seed)
+    sr = int(rng.choice([8000, 16000, 44100]))
+    n = int(rng.integers(2000, 14000))
+    tile = int(rng.choice([128, 1024]))
+    search = str(rng.choice(["auto", "exact", "topk", "coarse"]))
+    objective = str(rng.choice(["balanced", "affine", "damped"]))
+    dp, tp = [(8, 1), (4, 2), (2, 4), (1, 8)][int(rng.integers(0, 4))]
+    sig = _random_signal(rng, n, sr)
+
+    kw = dict(tile_size=tile, search=search, objective=objective)
+    mesh = make_mesh(len(jax.devices()), dp=dp, tp=tp)
+    try:
+        rec_n, dom_n, nn, rsn, *_ = compress_audio_sharded(
+            sig, sr, 2, mesh=mesh, **kw
+        )
+    except ValueError as e:
+        assert tp > 1 and ("damped" in str(e) or "halo" in str(e)), e
+        return
+    rec_1, dom_1, n1, rs1, *_ = compress_audio_arrays(sig, sr, 2, **kw)
+    assert (nn, rsn) == (n1, rs1)
+    np.testing.assert_array_equal(dom_n, dom_1)
+    for f in ("idx", "s", "o", "sym", "err"):
+        np.testing.assert_array_equal(rec_n[f], rec_1[f], err_msg=f)
