@@ -174,3 +174,41 @@ def test_pad_and_dense_candidate_helpers():
     got = range_candidates_from_embedding_emb(q, embs, top_k=5)
     want = np.argsort(embs @ q)[::-1][:5]
     np.testing.assert_array_equal(got, want)
+
+
+def test_batched_affine_match_return_score_contract():
+    """return_score=True appends (selection score at the winner, argmin
+    position in the originals-then-mirrors arrangement) without changing
+    the first five outputs; the position decodes back to (slot, sym) and
+    an all-invalid row reports +inf score. The tp shortlist merge keys its
+    cross-shard tie-break on this position."""
+    rng = np.random.default_rng(7)
+    B, K, D, N = 32, 6, 64, 8
+    ranges = rng.standard_normal((B, N)).astype(np.float32)
+    bank = rng.standard_normal((D, N)).astype(np.float32)
+    cand = rng.integers(0, D, (B, K)).astype(np.int32)
+    cand[0, :] = -1                     # all-invalid row
+    cand[1, 3:] = -1                    # partially padded row
+
+    base = batched_affine_match(jnp.asarray(ranges), jnp.asarray(cand),
+                                jnp.asarray(bank), objective="balanced")
+    idx, s, o, sym, err, sel, pick = batched_affine_match(
+        jnp.asarray(ranges), jnp.asarray(cand), jnp.asarray(bank),
+        objective="balanced", return_score=True,
+    )
+    for a, b in zip((idx, s, o, sym, err), base):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    pick = np.asarray(pick)
+    sel = np.asarray(sel)
+    idx = np.asarray(idx)
+    sym = np.asarray(sym)
+    assert np.isinf(sel[0]) and np.isinf(np.asarray(err)[0])
+    live = ~np.isinf(sel)
+    slot = np.where(pick >= K, pick - K, pick)
+    # position decodes to the winning (candidate slot, orientation)
+    safe = np.where(cand < 0, 0, cand)
+    np.testing.assert_array_equal(idx[live], safe[np.arange(B), slot][live])
+    np.testing.assert_array_equal(sym[live], (pick >= K).astype(np.uint8)[live])
+    # the winner's slot is a valid (non-padded) candidate
+    assert np.all(cand[np.arange(B), slot][live] >= 0)
