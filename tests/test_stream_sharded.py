@@ -85,3 +85,15 @@ def test_streaming_file_level_with_devices(tmp_path, monkeypatch):
     assert "error" not in r2, r2
     recon, _, _ = read_wav_mono(r2["output"])
     assert compute_snr(sig, recon) > 8.0
+
+
+def test_streaming_sharded_topk_bit_equal(_single_device_stream):
+    """topk + tp under streaming: every time shard's per-shard MIPS
+    shortlists merge into the exact global top-k (same core as the
+    single-shot path), bit-equal to single-device streaming topk."""
+    sig, sr, _, _ = _single_device_stream
+    kw = dict(search="topk", **KW)
+    want, *_ = compress_audio_streaming(sig, sr, 2, **kw)
+    mesh = make_mesh(8, dp=2, tp=4)
+    got, *_ = compress_audio_streaming(sig, sr, 2, mesh=mesh, **kw)
+    np.testing.assert_array_equal(got, want)
