@@ -371,12 +371,14 @@ def build_encode_core(
             )
 
             def do_block(rb):
-                out = topk_search_block(
+                idx, s, o, sym, err, sel, _pick = topk_search_block(
                     rb, bank, bank_emb, d_valid, top_k, dblk, s_clip, emb_dim,
-                    objective=objective,
+                    objective=objective, return_score=True,
                 )
-                # validity stand-in: finite err <=> a real candidate won
-                return (*out, jnp.where(jnp.isfinite(out[4]), 0.0, -jnp.inf))
+                # the true selection score (negated: callers treat larger
+                # as better, +inf marks no-valid-candidate rows)
+                return (idx, s, o, sym, err,
+                        jnp.where(jnp.isfinite(sel), -sel, -jnp.inf))
 
         m = ranges.shape[0]
         outs = jax.lax.map(do_block, ranges.reshape(m // rblk, rblk, n))

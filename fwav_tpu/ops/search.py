@@ -689,14 +689,17 @@ def topk_search_block(
     s_clip: float,
     emb_dim: int = 16,
     objective: str = "affine",
+    return_score: bool = False,
 ):
     """Reference-shaped two-stage search for one range block: true range
     embeddings (fixing the reference's range/domain embedding swap,
     fractal.py:1190-1195) -> blockwise top-k MIPS -> batched mirrored affine
-    solve over the shortlist."""
+    solve over the shortlist. return_score appends the winner's selection
+    score and argmin position (see ops.affine.batched_affine_match)."""
     q = multi_head_embedding_batch(ranges, tonal_k=emb_dim // 2, transient_k=emb_dim // 2)
     _, cand = topk_scores_block(q, bank_emb, d_valid, top_k, domain_block)
-    return batched_affine_match(ranges, cand, bank, s_clip=s_clip, objective=objective)
+    return batched_affine_match(ranges, cand, bank, s_clip=s_clip,
+                                objective=objective, return_score=return_score)
 
 
 def range_candidates_from_embedding(range_block, domain_embs, emb_dim: int = 16,
