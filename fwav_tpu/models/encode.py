@@ -437,15 +437,19 @@ def build_encode_core(
         rblk = _pow2_divisor(ranges.shape[0], range_block)
         prb = _pow2_divisor(rblk, 512)
 
-        if search == "exact":
+        if search in ("exact", "topk"):
+            # shared non-halo shard-bank setup: each device owns a
+            # contiguous, disjoint slice of dloc bank rows
             off = j * dloc
             bank_loc = build_bank_jax(
                 raw_norm, tile_size, range_size, domain_step, db, n_domains,
                 row_offset=off, d_rows=dloc,
             )
             v_loc = off + jnp.arange(dloc, dtype=jnp.int32) < n_domains
-            d_mean, d_denom = affine_stats(bank_loc)
             ldblk = _pow2_divisor(dloc, domain_block)
+
+        if search == "exact":
+            d_mean, d_denom = affine_stats(bank_loc)
             use_p = use_pallas and pallas_blocks_ok(rblk, dloc, prb, ldblk)
 
             def do_chunk(rb):
@@ -484,16 +488,9 @@ def build_encode_core(
             from ..ops.affine import batched_affine_match
             from ..ops.search import topk_scores_block
 
-            off = j * dloc
-            bank_loc = build_bank_jax(
-                raw_norm, tile_size, range_size, domain_step, db, n_domains,
-                row_offset=off, d_rows=dloc,
-            )
-            v_loc = off + jnp.arange(dloc, dtype=jnp.int32) < n_domains
             bank_emb_loc = multi_head_embedding_batch(
                 bank_loc, tonal_k=emb_dim // 2, transient_k=emb_dim // 2
             )
-            ldblk = _pow2_divisor(dloc, domain_block)
             imax = jnp.iinfo(jnp.int32).max
 
             def do_chunk(rb):
