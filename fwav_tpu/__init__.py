@@ -10,8 +10,11 @@ from .io import (
     MATCH_DTYPE,
     load_compressed,
     load_compressed_arrays,
+    load_compressed_multi,
+    read_wav,
     read_wav_mono,
     save_compressed,
+    save_compressed_multi,
     write_wav,
 )
 from .models import (
@@ -39,7 +42,8 @@ __all__ = [
     "EMBED_K", "FWAV_VERSION", "TOP_K",
     "DecoderConfig", "EncoderConfig", "VADConfig",
     "MATCH_DTYPE", "load_compressed", "load_compressed_arrays",
-    "read_wav_mono", "save_compressed", "write_wav",
+    "load_compressed_multi", "save_compressed_multi",
+    "read_wav", "read_wav_mono", "save_compressed", "write_wav",
     "compress_audio", "compress_audio_arrays", "compress_audio_packed",
     "compress_audio_streaming",
     "decompress_audio", "decompress_segment",

@@ -74,6 +74,60 @@ def _run_batch(in_dir, out_dir, ext, out_name, run_todo, metrics_name, verb):
     return _exit_code(results)
 
 
+def _info_multichannel(path, verify) -> int:
+    """`info` report for a v3 multichannel container: outer header plus the
+    shared per-channel geometry and per-channel sentinel counts. v3 banks
+    are compact blobs (bounded by the range count), so parsing them whole
+    stays small however long the audio is."""
+    from .io.multich import TRANSFORM_MS, load_compressed_multi
+
+    checksum_state = "not checked"
+    try:
+        channels, transform = load_compressed_multi(
+            path, verify_checksum=bool(verify)
+        )
+        if verify:
+            checksum_state = "verified"
+    except ValueError as e:
+        if verify:
+            # same clean-verdict contract as the mono info path: every
+            # corruption class is a ValueError, never a traceback
+            print(json.dumps({
+                "file": path, "error": str(e), "checksum": f"FAILED: {e}",
+            }, indent=2))
+            return 1
+        print(json.dumps({"file": path, "error": str(e)}, indent=2))
+        return 1
+    (
+        rec0, _domains0, n_ranges, range_size, framerate, sampwidth,
+        tile_size, domain_step, energy_threshold, original_len,
+    ) = channels[0]
+    info = {
+        "file": path,
+        "version": 3,
+        "n_channels": len(channels),
+        "channel_transform": "mid_side" if transform == TRANSFORM_MS
+        else "direct",
+        "n_ranges": int(n_ranges),
+        "n_domains_per_channel": [int(len(c[1])) for c in channels],
+        "range_size": int(range_size),
+        "tile_size": int(tile_size),
+        "domain_step": int(domain_step),
+        "framerate": int(framerate),
+        "sampwidth": int(sampwidth),
+        "energy_threshold": float(energy_threshold),
+        "original_len": int(original_len),
+        "duration_s": round(original_len / framerate, 3) if framerate else None,
+        "silent_sentinel_ranges": [
+            int(np.sum(c[0]["idx"] < 0)) for c in channels
+        ],
+        "file_bytes": os.path.getsize(path),
+        "checksum": checksum_state,
+    }
+    print(json.dumps(info, indent=2))
+    return 0
+
+
 def main(argv=None) -> int:
     configure_cli_logging()
     parser = argparse.ArgumentParser(
@@ -133,6 +187,19 @@ def main(argv=None) -> int:
                          "files with 'decompress --damping 0.25' (large "
                          "quality win at identical rate; at damping=0 they "
                          "can land below the default profile)")
+    pc.add_argument("--channels", default="fold",
+                    choices=["fold", "keep", "ms"],
+                    help="multichannel policy: 'fold' (default) averages to "
+                         "mono like the reference; 'keep' encodes every "
+                         "channel (all channels of a file share one vmapped "
+                         "device dispatch) into the v3 multichannel "
+                         "container; 'ms' stores stereo as mid/side — wins "
+                         "rate when the channels nearly coincide (the side "
+                         "channel falls under the silence gate) but can "
+                         "lose on decorrelated stereo; stereo input only. "
+                         "keep/ms always write pruned compact per-channel "
+                         "blobs; decompress auto-detects and writes a "
+                         "multichannel WAV")
     pc.add_argument("--resume-dir", default=None, metavar="DIR",
                     help="shard-level crash recovery for long (streaming) "
                          "encodes: completed time shards checkpoint here "
@@ -197,6 +264,19 @@ def main(argv=None) -> int:
                 f"--tp must divide --devices (got devices={args.devices}, "
                 f"tp={args.tp})"
             )
+        if args.channels != "fold":
+            if not args.prune_bank:
+                parser.error("--full-bank only applies to mono containers; "
+                             "--channels keep/ms always store pruned "
+                             "compact per-channel blobs")
+            if args.packed:
+                parser.error("--packed batches same-bucket FILES; "
+                             "--channels keep/ms already packs a file's "
+                             "channels — use the thread-pool batch mode")
+            if args.resume_dir:
+                parser.error("--resume-dir is not supported with "
+                             "--channels keep/ms (per-channel shard "
+                             "checkpoints of one file would collide)")
         from .models.codec import process_file_compress
 
         objective = "damped" if args.profile == "damped" else "balanced"
@@ -208,6 +288,7 @@ def main(argv=None) -> int:
                 search=args.search, prune_bank=args.prune_bank,
                 devices=args.devices, tp=args.tp, compact=args.compact,
                 resume_dir=args.resume_dir, objective=objective,
+                channels=args.channels,
             ))
         if args.output is not None:
             parser.error("Do not provide positional OUTPUT when using "
@@ -228,6 +309,7 @@ def main(argv=None) -> int:
                     prune_bank=args.prune_bank, search=args.search,
                     devices=args.devices, tp=args.tp, compact=args.compact,
                     resume_dir=args.resume_dir, objective=objective,
+                    channels=args.channels,
                 ),
                 todo, args.workers,
             )
@@ -240,6 +322,13 @@ def main(argv=None) -> int:
 
     if args.cmd == "info":
         from .io.container import read_header, read_matches, read_version
+
+        try:
+            if read_version(args.input) == 3:
+                return _info_multichannel(args.input, args.verify)
+        except (ValueError, OSError) as e:
+            print(json.dumps({"file": args.input, "error": str(e)}, indent=2))
+            return 1
 
         checksum_state = "not checked"
         if args.verify:
@@ -297,19 +386,42 @@ def main(argv=None) -> int:
         return 1 if checksum_state.startswith("FAILED") else 0
 
     if args.cmd == "snr":
-        from .io.wav import read_wav_mono
+        from .io.wav import read_wav, read_wav_mono
         from .utils.metrics import compute_snr
 
-        a, sr_a, _ = read_wav_mono(args.original)
-        b, sr_b, _ = read_wav_mono(args.reconstruction)
+        a, sr_a, _ = read_wav(args.original)
+        b, sr_b, _ = read_wav(args.reconstruction)
         if sr_a != sr_b:
             logger.warning("sample rates differ: %d vs %d", sr_a, sr_b)
-        print(json.dumps({
+        report = {
             "original": args.original,
             "reconstruction": args.reconstruction,
-            "snr_db": round(compute_snr(a, b), 4),
-            "compared_samples": int(min(len(a), len(b))),
-        }, indent=2))
+        }
+        if a.shape[1] == b.shape[1]:
+            # same channel count: overall SNR over all samples, plus the
+            # per-channel split when multichannel (a collapsed side channel
+            # must not hide behind a clean mid)
+            report["snr_db"] = round(compute_snr(a.reshape(-1), b.reshape(-1)), 4)
+            if a.shape[1] > 1:
+                n = min(len(a), len(b))
+                report["channels"] = a.shape[1]
+                report["snr_db_per_channel"] = [
+                    round(compute_snr(a[:n, c], b[:n, c]), 4)
+                    for c in range(a.shape[1])
+                ]
+        else:
+            # channel counts differ (e.g. stereo original vs the default
+            # mono-fold round trip): compare the reference's mono folds
+            logger.warning(
+                "channel counts differ (%d vs %d): comparing mono folds",
+                a.shape[1], b.shape[1],
+            )
+            a, _, _ = read_wav_mono(args.original)
+            b, _, _ = read_wav_mono(args.reconstruction)
+            report["snr_db"] = round(compute_snr(a, b), 4)
+            report["compared"] = "mono_fold"
+        report["compared_samples"] = int(min(len(a), len(b)))
+        print(json.dumps(report, indent=2))
         return 0
 
     if args.cmd == "decompress":

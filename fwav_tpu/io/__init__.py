@@ -6,7 +6,8 @@ from .container import (
     save_compressed,
     struct_to_matches,
 )
-from .wav import read_wav_mono, write_wav
+from .multich import load_compressed_multi, save_compressed_multi
+from .wav import read_wav, read_wav_mono, write_wav
 
 __all__ = [
     "MATCH_DTYPE",
@@ -15,6 +16,9 @@ __all__ = [
     "matches_to_struct",
     "save_compressed",
     "struct_to_matches",
+    "load_compressed_multi",
+    "save_compressed_multi",
+    "read_wav",
     "read_wav_mono",
     "write_wav",
 ]

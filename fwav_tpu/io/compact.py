@@ -246,6 +246,29 @@ def save_compressed_compact(
     io.container.save_compressed; callers normally prune the bank first
     (models.encode.prune_bank) — idx_bits is derived from the stored bank,
     so an unpruned bank only costs width, never correctness."""
+    blob = compact_bytes(
+        matches, domains_array, range_size, framerate, sampwidth,
+        tile_size, domain_step, energy_threshold, original_len,
+    )
+    with open(filepath, "wb") as f:
+        f.write(blob)
+
+
+def compact_bytes(
+    matches,
+    domains_array,
+    range_size,
+    framerate,
+    sampwidth,
+    tile_size,
+    domain_step,
+    energy_threshold,
+    original_len,
+) -> bytes:
+    """Encode one channel's decode inputs as a complete, self-checking v2
+    container blob (header + SHA-256 + ext + payload). save_compressed_compact
+    writes exactly these bytes; the v3 multichannel container (io.multich)
+    embeds one such blob per stored channel."""
     rec = matches_to_struct(matches)
     domains = np.ascontiguousarray(np.asarray(domains_array, dtype=np.float32))
     n_ranges = len(rec)
@@ -315,11 +338,7 @@ def save_compressed_compact(
     sha = hashlib.sha256()
     sha.update(ext)
     sha.update(payload)
-    with open(filepath, "wb") as f:
-        f.write(header)
-        f.write(sha.digest())
-        f.write(ext)
-        f.write(payload)
+    return header + sha.digest() + ext + payload
 
 
 def load_compressed_compact(filepath, verify_checksum: bool = True):
@@ -327,8 +346,15 @@ def load_compressed_compact(filepath, verify_checksum: bool = True):
     io.container.load_compressed_arrays (err is 0 — not stored, see module
     docstring)."""
     with open(filepath, "rb") as f:
-        head = f.read(_EXT_OFFSET)
-        body = f.read()
+        return parse_compact_bytes(f.read(), verify_checksum=verify_checksum)
+
+
+def parse_compact_bytes(data: bytes, verify_checksum: bool = True):
+    """Parse one v2 container blob (the bytes compact_bytes produces) into
+    the load_compressed_arrays 10-tuple. Shared by the file loader and the
+    v3 multichannel container's per-channel sections."""
+    head = data[:_EXT_OFFSET]
+    body = data[_EXT_OFFSET:]
     if len(head) < _EXT_OFFSET:
         raise ValueError("Not a FWAV file" if head[:4] != MAGIC
                          else "Truncated FWAV payload")

@@ -218,7 +218,8 @@ def save_compressed_streaming(
 
 
 def read_version(filepath) -> int:
-    """Magic check + version byte (1 = reference layout, 2 = compact)."""
+    """Magic check + version byte (1 = reference layout, 2 = compact,
+    3 = multichannel — per-channel v2 blobs, io.multich)."""
     with open(filepath, "rb") as f:
         head = f.read(5)
     if len(head) < 5 or head[:4] != MAGIC:
@@ -246,7 +247,13 @@ def read_matches(filepath) -> np.ndarray:
     """Read only the match record table, seeking past the domain bank —
     O(n_ranges) I/O however large the bank is. Compact v2 banks are bounded
     by the range count, so the full loader is the same complexity there."""
-    if read_version(filepath) == 2:
+    version = read_version(filepath)
+    if version == 3:
+        raise ValueError(
+            "Multichannel FWAV container — load via "
+            "io.multich.load_compressed_multi (CLI decompress handles it)"
+        )
+    if version == 2:
         from .compact import load_compressed_compact
 
         return load_compressed_compact(filepath, verify_checksum=False)[0]
@@ -270,8 +277,17 @@ def load_compressed_arrays(filepath, verify_checksum: bool = True):
 
     Routes by the container's version byte: compact v2 files
     (io.compact, CLI --compact) load through load_compressed_compact and
-    return the identical tuple shape."""
-    if read_version(filepath) == 2:
+    return the identical tuple shape. Multichannel v3 files carry one
+    record set PER CHANNEL and cannot flatten into this mono tuple —
+    they fail loudly here and load via io.multich.load_compressed_multi
+    (the CLI decompress/info surfaces route v3 automatically)."""
+    version = read_version(filepath)
+    if version == 3:
+        raise ValueError(
+            "Multichannel FWAV container — load via "
+            "io.multich.load_compressed_multi (CLI decompress handles it)"
+        )
+    if version == 2:
         from .compact import load_compressed_compact
 
         return load_compressed_compact(filepath, verify_checksum=verify_checksum)

@@ -3,8 +3,11 @@
 
 Supported sample widths: 8-bit unsigned (stored as int16-128), 16-bit signed,
 24-bit signed (manual little-endian pack + sign extension), 32-bit float.
-Multichannel input is folded to mono by mean. Output is always mono at the
-original sample width.
+read_wav_mono folds multichannel input to mono by mean (the reference's only
+behavior); read_wav preserves channels as an (n_frames, n_channels) array
+for the multichannel codec path (beyond the reference — it has no
+channel-preserving mode). write_wav accepts (n,) mono or (n, ch)
+frame-major data and writes the matching channel count.
 
 All conversions are vectorized numpy — this is host-side ingest, the TPU
 pipeline receives float32.
@@ -17,9 +20,9 @@ import wave
 import numpy as np
 
 
-def read_wav_mono(path):
-    """Read a WAV file, fold to mono, return (float32 signal, framerate,
-    sampwidth). Raises on compressed WAV (comptype != 'NONE')."""
+def _read_frames(path):
+    """Shared WAV decode: returns (interleaved 1-D sample array in the
+    width's native numeric type, n_channels, framerate, sampwidth)."""
     with wave.open(str(path), "rb") as w:
         nchan = w.getnchannels()
         sampwidth = w.getsampwidth()
@@ -41,29 +44,51 @@ def read_wav_mono(path):
         data = np.frombuffer(raw, dtype=np.float32)
     else:
         raise ValueError(f"Unsupported sample width: {sampwidth}")
+    return data, nchan, framerate, sampwidth
 
+
+def read_wav_mono(path):
+    """Read a WAV file, fold to mono, return (float32 signal, framerate,
+    sampwidth). Raises on compressed WAV (comptype != 'NONE')."""
+    data, nchan, framerate, sampwidth = _read_frames(path)
     if nchan > 1:
         data = data.reshape(-1, nchan).mean(axis=1)
     return data.astype(np.float32), framerate, sampwidth
 
 
+def read_wav(path):
+    """Read a WAV file preserving channels: returns (float32 array of shape
+    (n_frames, n_channels), framerate, sampwidth). Mono files come back as
+    (n, 1). The mean over axis 1 equals read_wav_mono's fold up to float32
+    rounding (the fold averages in the integer-sourced float64)."""
+    data, nchan, framerate, sampwidth = _read_frames(path)
+    return (
+        data.reshape(-1, nchan).astype(np.float32),
+        framerate,
+        sampwidth,
+    )
+
+
 def write_wav(path, data, framerate: int, sampwidth: int) -> None:
-    """Write mono WAV at the given sample width, with the inverse conversions
-    of read_wav_mono (including 24-bit byte packing)."""
+    """Write a WAV at the given sample width, with the inverse conversions
+    of read_wav_mono/read_wav (including 24-bit byte packing). data is (n,)
+    for mono or (n_frames, n_channels) frame-major for multichannel."""
     data = np.asarray(data)
+    nchan = 1 if data.ndim == 1 else int(data.shape[1])
+    flat = data.reshape(-1)  # frame-major rows interleave naturally
     if sampwidth == 1:
-        out = (data + 128).clip(0, 255).astype(np.uint8)
+        out = (flat + 128).clip(0, 255).astype(np.uint8)
     elif sampwidth == 2:
-        out = data.clip(-32768, 32767).astype(np.int16)
+        out = flat.clip(-32768, 32767).astype(np.int16)
     elif sampwidth == 3:
-        out = _pack_int24(data)
+        out = _pack_int24(flat)
     elif sampwidth == 4:
-        out = data.astype(np.float32)
+        out = flat.astype(np.float32)
     else:
         raise ValueError(f"Unsupported sample width: {sampwidth}")
 
     with wave.open(str(path), "wb") as w:
-        w.setnchannels(1)
+        w.setnchannels(nchan)
         w.setsampwidth(sampwidth)
         w.setframerate(framerate)
         w.writeframes(out.tobytes())

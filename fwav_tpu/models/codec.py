@@ -54,7 +54,7 @@ def _resolve_out(path, outdir, default_suffix, expected_ext):
 def process_file_compress(path, outdir=None, tile=1024, energy_thresh=1e-4,
                           use_gpu=False, prune_bank=False, search="auto",
                           devices=1, tp=1, compact=False, resume_dir=None,
-                          **kwargs):
+                          channels="fold", **kwargs):
     """prune_bank=True drops unreferenced domain rows from the container
     (models.encode.prune_bank): the file stays format-valid for ANY decoder
     and decodes bit-identically, at a fraction of the size (the full bank is
@@ -66,7 +66,35 @@ def process_file_compress(path, outdir=None, tile=1024, energy_thresh=1e-4,
 
     devices>1 runs the encode over a (dp=devices//tp, tp) device mesh
     (parallel.shard.compress_audio_sharded — ranges data-parallel, bank
-    tensor-sharded) producing bit-identical output to a single device."""
+    tensor-sharded) producing bit-identical output to a single device.
+
+    channels selects the multichannel policy (beyond the reference, which
+    only ever folds — fractal.py:81-113): "fold" (default) averages to mono
+    and writes the usual container; "keep" encodes every channel and writes
+    the v3 multichannel container (io.multich — per-channel compact blobs;
+    all channels of a short file share ONE vmapped device dispatch);
+    "ms" additionally stores stereo as mid/side, shrinking correlated
+    content. Mono inputs under keep/ms fall back to the normal mono path."""
+    if channels not in ("fold", "keep", "ms"):
+        return {
+            "input": path,
+            "error": f"Unknown channels mode: {channels!r}",
+        }
+    if channels != "fold":
+        from ..io.wav import read_wav
+
+        try:
+            ch_data = read_wav(path)[0]
+        except Exception as e:  # noqa: BLE001 — per-file isolation
+            logger.exception("Compression failed for %s", path)
+            return {"input": path, "error": str(e)}
+        if ch_data.shape[1] > 1:
+            return _process_file_compress_multi(
+                path, outdir, tile, energy_thresh, search=search,
+                devices=devices, tp=tp, mid_side=(channels == "ms"),
+                **kwargs,
+            )
+        # mono input: keep/ms degrade to the standard mono container
     if compact:
         from ..io.compact import save_compressed_compact as _save
         prune_bank = True
@@ -178,6 +206,132 @@ def process_file_compress(path, outdir=None, tile=1024, energy_thresh=1e-4,
     except Exception as e:  # noqa: BLE001 — per-file isolation, like the reference
         logger.exception("Compression failed for %s", path)
         return {"input": path, "error": str(e)}
+
+
+def _process_file_compress_multi(path, outdir, tile, energy_thresh,
+                                 search="auto", devices=1, tp=1,
+                                 mid_side=False, **kwargs):
+    """Channel-preserving compress (process_file_compress channels="keep"/
+    "ms"): each channel encodes independently through the production core —
+    one PACKED vmapped dispatch for all channels of a short file (same
+    length means same shape bucket), per-channel streaming for long files,
+    per-channel sharded encode under a (dp, tp) mesh — then the pruned
+    per-channel records write as one v3 container (io.multich)."""
+    from ..io.multich import (
+        TRANSFORM_DIRECT,
+        TRANSFORM_MS,
+        ms_forward,
+        save_compressed_multi,
+    )
+    from ..io.wav import read_wav
+    from .encode import prune_bank as _prune
+
+    try:
+        start = time.time()
+        ch_data, framerate, sampwidth = read_wav(path)
+        if sampwidth == 4:
+            ch_data = np.clip(ch_data.astype(np.float32), -1.0, 1.0)
+        transform = TRANSFORM_DIRECT
+        if mid_side:
+            if ch_data.shape[1] != 2:
+                raise ValueError(
+                    "channels='ms' requires stereo input "
+                    f"({ch_data.shape[1]} channels found)"
+                )
+            ch_data = ms_forward(ch_data)
+            transform = TRANSFORM_MS
+        signals = [np.ascontiguousarray(ch_data[:, c])
+                   for c in range(ch_data.shape[1])]
+
+        if len(signals[0]) > STREAMING_THRESHOLD:
+            encoded = [
+                _streamed_pruned(sig, framerate, sampwidth, tile,
+                                 energy_thresh, search, devices, tp, **kwargs)
+                for sig in signals
+            ]
+        elif devices and devices > 1:
+            from ..parallel.mesh import make_mesh
+            from ..parallel.shard import compress_audio_sharded
+
+            mesh = make_mesh(devices, dp=devices // tp, tp=tp)
+            encoded = [
+                _prune_tuple(_prune, compress_audio_sharded(
+                    sig, framerate, sampwidth, mesh=mesh, tile_size=tile,
+                    energy_thresh=energy_thresh, search=search, **kwargs,
+                ), framerate, sampwidth)
+                for sig in signals
+            ]
+        else:
+            from .encode import compress_audio_packed
+
+            encoded = [
+                _prune_tuple(_prune, enc, framerate, sampwidth)
+                for enc in compress_audio_packed(
+                    signals, framerate, sampwidth, tile_size=tile,
+                    energy_thresh=energy_thresh, search=search, **kwargs,
+                )
+            ]
+
+        outpath = _resolve_out(path, outdir, ".fwav", ".fwav")
+        save_compressed_multi(outpath, encoded, transform=transform)
+        elapsed = time.time() - start
+        in_size = os.path.getsize(path)
+        out_size = os.path.getsize(outpath)
+        original_len = len(signals[0])
+        ratio = compression_ratio(in_size, out_size)
+        xrt = x_realtime(original_len, framerate, elapsed)
+        logger.info(
+            "Compressed %s (%d ch) -> %s  time=%.2fs  ratio=%.2f  "
+            "x_realtime=%.1f", path, len(signals), outpath, elapsed, ratio,
+            xrt,
+        )
+        return {
+            "input": path, "output": outpath, "time_s": elapsed,
+            "ratio": ratio, "x_realtime": xrt, "channels": len(signals),
+        }
+    except Exception as e:  # noqa: BLE001 — per-file isolation
+        logger.exception("Compression failed for %s", path)
+        return {"input": path, "error": str(e)}
+
+
+def _prune_tuple(prune, enc, framerate, sampwidth):
+    """(rec, domains, ...) 8-tuple -> pruned compact_bytes 9-tuple."""
+    (rec, domains, _n_ranges, range_size, tile_size, domain_step,
+     energy_threshold, original_len) = enc
+    rec, domains = prune(rec, domains)
+    return (rec, domains, range_size, framerate, sampwidth, tile_size,
+            domain_step, energy_threshold, original_len)
+
+
+def _streamed_pruned(signal, framerate, sampwidth, tile, energy_thresh,
+                     search, devices, tp, **kwargs):
+    """One channel through the streaming encoder + host bank prune; returns
+    the compact_bytes 9-tuple (same prune-from-signal recipe as the mono
+    streaming branch of process_file_compress)."""
+    from ..ops.domains import bank_rows_host
+    from .encode import remap_matches
+
+    mesh = None
+    if devices and devices > 1:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(devices, dp=devices // tp, tp=tp)
+    (
+        rec, _, _n_ranges, range_size, tile_size, domain_step,
+        energy_threshold, original_len,
+    ) = compress_audio_streaming(
+        signal, framerate, sampwidth, tile_size=tile,
+        energy_thresh=energy_thresh, search=search, mesh=mesh, **kwargs,
+    )
+    used = np.unique(rec["idx"][rec["idx"] >= 0])
+    if used.size == 0:
+        bank = np.zeros((1, range_size), np.float32)
+    else:
+        bank = bank_rows_host(signal, tile_size, range_size, domain_step,
+                              used)
+        rec = remap_matches(rec, used)
+    return (rec, bank, range_size, framerate, sampwidth, tile_size,
+            domain_step, energy_threshold, original_len)
 
 
 def process_files_compress_packed(jobs, tile=1024, energy_thresh=1e-4,
@@ -304,7 +458,12 @@ def process_file_decompress(path, outdir=None, iterations=8, eps=1e-3,
     devices>1 runs the damped (s_damping>0, device while_loop) decode
     range-sharded over an N-device mesh's dp axis — per-range independent,
     zero communication (models.decode._decode_core_sharded). The default
-    s_damping=0 decode is a host-side closed form and ignores the mesh."""
+    s_damping=0 decode is a host-side closed form and ignores the mesh.
+
+    Multichannel v3 containers (compress channels="keep"/"ms") decode every
+    stored channel with the identical per-channel semantics, undo a
+    mid/side transform, and write a multichannel WAV — detected from the
+    version byte, no caller opt-in needed."""
     try:
         start = time.time()
         if devices and devices > 1 and s_damping > 0:
@@ -314,6 +473,14 @@ def process_file_decompress(path, outdir=None, iterations=8, eps=1e-3,
             from ..parallel.mesh import make_mesh
 
             kwargs["mesh"] = make_mesh(devices, dp=devices // tp, tp=tp)
+        from ..io.container import read_version
+
+        if read_version(path) == 3:
+            return _process_file_decompress_multi(
+                path, outdir, start, iterations=iterations, eps=eps,
+                use_gpu=use_gpu, s_damping=s_damping, start_s=start_s,
+                duration_s=duration_s, **kwargs,
+            )
         (
             rec, domains, n_ranges, range_size, framerate, sampwidth,
             tile_size, domain_step, energy_threshold, original_len,
@@ -352,3 +519,58 @@ def process_file_decompress(path, outdir=None, iterations=8, eps=1e-3,
     except Exception as e:  # noqa: BLE001
         logger.exception("Decompression failed for %s", path)
         return {"input": path, "error": str(e)}
+
+
+def _process_file_decompress_multi(path, outdir, start, iterations=8,
+                                   eps=1e-3, use_gpu=False, s_damping=0.0,
+                                   start_s=None, duration_s=None, **kwargs):
+    """Decode a v3 multichannel container: every stored channel runs the
+    same decoder (closed form / damped / segment) as the mono path, a
+    mid/side transform is inverted, and the channels write as one
+    frame-major WAV. Caller (process_file_decompress) owns the error dict."""
+    from ..io.multich import TRANSFORM_MS, load_compressed_multi, ms_inverse
+
+    channels, transform = load_compressed_multi(path)
+    recons = []
+    for (
+        rec, domains, n_ranges, range_size, framerate, sampwidth,
+        _tile_size, _domain_step, _energy_threshold, original_len,
+    ) in channels:
+        if start_s is not None or duration_s is not None:
+            from .decode import decompress_segment
+
+            a = int(round((start_s or 0.0) * framerate))
+            b = (
+                a + int(round(duration_s * framerate))
+                if duration_s is not None else int(original_len)
+            )
+            recon = decompress_segment(
+                rec, domains, n_ranges, range_size, a, b,
+                original_len=original_len, iterations=iterations,
+                convergence_eps=eps, use_gpu=use_gpu, s_damping=s_damping,
+                **kwargs,
+            )
+        else:
+            recon = decompress_audio(
+                rec, domains, n_ranges, range_size, iterations=iterations,
+                convergence_eps=eps, use_gpu=use_gpu,
+                original_len=original_len, s_damping=s_damping, **kwargs,
+            )
+        recons.append(np.asarray(recon))
+    out = np.stack(recons, axis=1)
+    if transform == TRANSFORM_MS:
+        out = ms_inverse(out)
+    if sampwidth == 4:
+        out = np.clip(out, -1.0, 1.0)
+    outpath = _resolve_out(path, outdir, "_recon.wav", ".wav")
+    write_wav(outpath, out, framerate, sampwidth)
+    elapsed = time.time() - start
+    xrt = x_realtime(len(out), framerate, elapsed)
+    logger.info(
+        "Decompressed %s (%d ch) -> %s  time=%.2fs  x_realtime=%.1f",
+        path, out.shape[1], outpath, elapsed, xrt,
+    )
+    return {
+        "input": path, "output": outpath, "time_s": elapsed,
+        "x_realtime": xrt, "channels": int(out.shape[1]),
+    }
