@@ -418,3 +418,77 @@ def test_ms_wins_on_near_identical_channels(tmp_path):
     recon, _, _ = read_wav(tmp_path / "ms_recon.wav")
     for c in range(2):
         assert compute_snr(ch[:, c], recon[:, c]) > 4.0
+
+
+# ------------------------------------------------- composition coverage
+
+def test_keep_composes_with_mesh(tmp_path):
+    """Stereo keep under a (dp, tp) mesh encodes each channel through
+    compress_audio_sharded — records bit-equal to the single-device path
+    (same contract as the mono sharded encode)."""
+    ch, sr = _stereo(seed=11)
+    wav = tmp_path / "st.wav"
+    write_wav(wav, ch, sr, 2)
+    out1 = process_file_compress(str(wav), str(tmp_path / "d1.fwav"),
+                                 channels="keep")
+    out8 = process_file_compress(str(wav), str(tmp_path / "d8.fwav"),
+                                 channels="keep", devices=8, tp=2)
+    assert "error" not in out1 and "error" not in out8, (out1, out8)
+    a, ta = load_compressed_multi(tmp_path / "d1.fwav")
+    b, tb = load_compressed_multi(tmp_path / "d8.fwav")
+    assert ta == tb
+    for ca, cb in zip(a, b):
+        np.testing.assert_array_equal(ca[0]["idx"], cb[0]["idx"])
+        np.testing.assert_array_equal(ca[0]["sym"], cb[0]["sym"])
+        np.testing.assert_array_equal(ca[0]["s"], cb[0]["s"])
+        np.testing.assert_array_equal(ca[0]["o"], cb[0]["o"])
+
+
+def test_keep_composes_with_damped_profile(tmp_path):
+    """channels=keep + objective='damped' + decompress --damping: the
+    quality profile applies per channel exactly as in mono."""
+    ch, sr = _stereo(seed=2)
+    wav = tmp_path / "st.wav"
+    write_wav(wav, ch, sr, 2)
+    out = process_file_compress(str(wav), str(tmp_path / "d.fwav"),
+                                channels="keep", objective="damped")
+    assert "error" not in out, out
+    base = process_file_compress(str(wav), str(tmp_path / "b.fwav"),
+                                 channels="keep")
+    assert "error" not in base, base
+    dec = process_file_decompress(str(tmp_path / "d.fwav"),
+                                  str(tmp_path / "d_recon.wav"),
+                                  s_damping=0.25)
+    assert "error" not in dec, dec
+    dec0 = process_file_decompress(str(tmp_path / "b.fwav"),
+                                   str(tmp_path / "b_recon.wav"))
+    assert "error" not in dec0, dec0
+    damped, _, _ = read_wav(tmp_path / "d_recon.wav")
+    plain, _, _ = read_wav(tmp_path / "b_recon.wav")
+    for c in range(2):
+        snr_damped = compute_snr(ch[:, c], damped[:, c])
+        snr_plain = compute_snr(ch[:, c], plain[:, c])
+        assert snr_damped > snr_plain + 10.0, (c, snr_damped, snr_plain)
+
+
+def test_keep_streaming_path_matches_single_shot(tmp_path, monkeypatch):
+    """Long multichannel files stream per channel (_streamed_pruned);
+    the records must match the single-shot packed encode exactly."""
+    from fwav_tpu.models import codec
+
+    ch, sr = _stereo(seed=4)
+    wav = tmp_path / "st.wav"
+    write_wav(wav, ch, sr, 2)
+    out1 = process_file_compress(str(wav), str(tmp_path / "one.fwav"),
+                                 channels="keep")
+    monkeypatch.setattr(codec, "STREAMING_THRESHOLD", 8000)
+    out2 = process_file_compress(str(wav), str(tmp_path / "str.fwav"),
+                                 channels="keep")
+    assert "error" not in out1 and "error" not in out2, (out1, out2)
+    a, _ = load_compressed_multi(tmp_path / "one.fwav")
+    b, _ = load_compressed_multi(tmp_path / "str.fwav")
+    for ca, cb in zip(a, b):
+        np.testing.assert_array_equal(ca[0]["idx"], cb[0]["idx"])
+        np.testing.assert_array_equal(ca[0]["sym"], cb[0]["sym"])
+        np.testing.assert_array_equal(ca[0]["s"], cb[0]["s"])
+        np.testing.assert_array_equal(ca[0]["o"], cb[0]["o"])
