@@ -492,3 +492,33 @@ def test_keep_streaming_path_matches_single_shot(tmp_path, monkeypatch):
         np.testing.assert_array_equal(ca[0]["sym"], cb[0]["sym"])
         np.testing.assert_array_equal(ca[0]["s"], cb[0]["s"])
         np.testing.assert_array_equal(ca[0]["o"], cb[0]["o"])
+
+
+def test_cli_batch_composes_with_channels_keep(tmp_path, capsys):
+    """--batch x --channels keep: a mixed directory (stereo + mono) encodes
+    per file through the thread pool, stereo lands in a v3 container, mono
+    degrades to its mono container (batch naming convention: base.wav.fwav,
+    same as the mono batch path), and batch decompress restores each file's
+    channel shape. The metrics JSON records every file."""
+    ch, sr = _stereo()
+    write_wav(tmp_path / "st.wav", ch, sr, 2)
+    write_wav(tmp_path / "mono.wav", ch[:, 0], sr, 2)
+    outdir = tmp_path / "out"
+    assert cli_main(["compress", str(tmp_path), "--batch", "--workers", "2",
+                     "--channels", "keep", "--out", str(outdir)]) == 0
+    from fwav_tpu.io.container import read_version
+
+    assert read_version(outdir / "st.wav.fwav") == 3
+    assert read_version(outdir / "mono.wav.fwav") != 3
+    metrics = json.loads((outdir / "compression_metrics.json").read_text())
+    by_input = {os.path.basename(m["input"]): m for m in metrics}
+    assert by_input["st.wav"]["channels"] == 2
+    assert "error" not in by_input["mono.wav"]
+
+    recdir = tmp_path / "rec"
+    assert cli_main(["decompress", str(outdir), "--batch",
+                     "--out", str(recdir)]) == 0
+    st, _, _ = read_wav(recdir / "st.wav_recon.wav")
+    mono, _, _ = read_wav(recdir / "mono.wav_recon.wav")
+    assert st.shape == ch.shape
+    assert mono.shape == (len(ch), 1)
