@@ -485,6 +485,9 @@ def process_file_decompress(path, outdir=None, iterations=8, eps=1e-3,
             rec, domains, n_ranges, range_size, framerate, sampwidth,
             tile_size, domain_step, energy_threshold, original_len,
         ) = load_compressed_arrays(path)
+        # convergence observability (fractal.py:1464-1466): decode fills
+        # iterations/final_delta/converged, surfaced in the metrics dict
+        dec_stats = kwargs.setdefault("stats", {})
         if start_s is not None or duration_s is not None:
             from .decode import decompress_segment
 
@@ -515,7 +518,13 @@ def process_file_decompress(path, outdir=None, iterations=8, eps=1e-3,
             "Decompressed %s -> %s  time=%.2fs  x_realtime=%.1f",
             path, outpath, elapsed, xrt,
         )
-        return {"input": path, "output": outpath, "time_s": elapsed, "x_realtime": xrt}
+        out = {"input": path, "output": outpath, "time_s": elapsed,
+               "x_realtime": xrt}
+        if dec_stats:
+            out["decode_iterations"] = dec_stats["iterations"]
+            out["decode_final_delta"] = dec_stats["final_delta"]
+            out["decode_converged"] = dec_stats["converged"]
+        return out
     except Exception as e:  # noqa: BLE001
         logger.exception("Decompression failed for %s", path)
         return {"input": path, "error": str(e)}

@@ -31,8 +31,31 @@ import numpy as np
 
 from ..io.container import matches_to_struct
 from ..utils.buckets import bucket
+from ..utils.logging import logger
 
 _DENOM_EPS = 1e-12  # fractal.py:1409
+
+
+def _report_convergence(stats, iterations_run, final_delta, eps):
+    """Convergence observability (fractal.py:1464-1466 logs the
+    per-iteration delta at DEBUG and convergence at INFO): fill the caller's
+    `stats` dict and log at matching levels. For chunked/sharded decodes the
+    counters describe the worst chunk/shard."""
+    converged = final_delta < eps
+    if stats is not None:
+        stats["iterations"] = int(iterations_run)
+        stats["final_delta"] = float(final_delta)
+        stats["converged"] = bool(converged)
+    if converged:
+        logger.info(
+            "Converged after %d iterations (delta=%.3e)", iterations_run,
+            final_delta,
+        )
+    else:
+        logger.info(
+            "Stopped at the %d-iteration cap (delta=%.3e >= eps)",
+            iterations_run, final_delta,
+        )
 
 
 def build_decode_core(
@@ -120,8 +143,10 @@ def _decode_core_sharded(mesh, mb, db, range_size, iterations, s_clip,
     )
 
     def core(idx, s, o, sym, bank_t, eps):
-        recon_t, _it, _delta = inner(idx, s, o, sym, bank_t, eps)
-        return recon_t
+        recon_t, it, delta = inner(idx, s, o, sym, bank_t, eps)
+        # per-shard convergence counters ride out as (dp,) vectors so the
+        # host can report the worst shard (fractal.py:1464-1466 parity)
+        return recon_t, it[None], delta[None]
 
     return jax.jit(
         jax.shard_map(
@@ -131,7 +156,7 @@ def _decode_core_sharded(mesh, mb, db, range_size, iterations, s_clip,
                 P(DP_AXIS), P(DP_AXIS), P(DP_AXIS), P(DP_AXIS),
                 P(None, None), P(),
             ),
-            out_specs=P(None, DP_AXIS),
+            out_specs=(P(None, DP_AXIS), P(DP_AXIS), P(DP_AXIS)),
             check_vma=False,
         )
     )
@@ -191,6 +216,7 @@ def decompress_audio(
     s_damping: float = 0.0,
     config=None,
     mesh=None,
+    stats=None,
 ):
     """Reference-shaped decode (fractal.py:1378 signature). `matches` may be
     a tuple list, a dict of arrays, or a packed record array; `use_gpu` is
@@ -200,7 +226,15 @@ def decompress_audio(
     `mesh`: run the damped (device-loop) decode range-sharded over the
     mesh's dp axis — per-range independent, zero communication
     (_decode_core_sharded). The default s_damping=0 decode is a host-side
-    closed form and ignores the mesh."""
+    closed form and ignores the mesh.
+
+    `stats`: optional dict the caller passes in to receive convergence
+    observability (fractal.py:1464-1466 logs these at DEBUG/INFO):
+    'iterations' (body executions of the worst chunk/shard), 'final_delta'
+    (its last relative delta), 'converged' (final_delta < eps). The closed
+    form fills the analytic equivalents: starting from zeros, iteration 1
+    lands on the fixed point with delta = ||recon|| (prev_norm 0 is treated
+    as 1), iteration 2 reproduces it with delta = 0."""
     del use_gpu
     if config is not None:
         iterations = config.iterations
@@ -211,6 +245,7 @@ def decompress_audio(
     range_size = int(range_size)
     if n_ranges == 0:
         out_len = int(original_len) if original_len is not None else 0
+        _report_convergence(stats, 0, 0.0, convergence_eps)
         return np.zeros(out_len, dtype=np.float32)
 
     rec = matches_to_struct(matches)
@@ -229,6 +264,12 @@ def decompress_audio(
         # and to the reference decoder, with zero device work — verified by
         # the golden-loop and reference cross-decode tests.
         recon = _decode_fixed_point_np(rec, domains, n_ranges, range_size, s_clip)
+        # analytic convergence counters for the closed form (see docstring)
+        delta1 = float(np.linalg.norm(recon))
+        if delta1 < convergence_eps or iterations == 1:
+            _report_convergence(stats, 1, delta1, convergence_eps)
+        else:
+            _report_convergence(stats, 2, 0.0, convergence_eps)
         if original_len is not None:
             recon = recon[: int(original_len)]
         return recon
@@ -246,6 +287,7 @@ def decompress_audio(
         dp = mesh.shape[DP_AXIS]
 
     pieces = []
+    its_max, delta_max = 0, 0.0
     # DEVICE_LOCK is held PER CHUNK (one dispatch + fetch), not across the
     # whole file: a multi-hour damped decode must not starve concurrent
     # batch threads' short decodes (the same scope fix streaming encode
@@ -279,22 +321,31 @@ def decompress_audio(
                     mesh, mb, db, range_size, int(iterations),
                     float(s_clip), float(s_damping),
                 )
-                recon_t = core(
+                recon_t, it, delta = core(
                     jnp.asarray(idx), jnp.asarray(s), jnp.asarray(o),
                     jnp.asarray(sym), bank_dev, jnp.float32(convergence_eps),
                 )
+                it, delta = int(np.max(it)), float(np.max(delta))
             else:
                 core = _decode_core(
                     mb, db, range_size, int(iterations), float(s_clip),
                     float(s_damping),
                 )
-                recon_t, _, _ = core(
+                recon_t, it, delta = core(
                     jnp.asarray(idx), jnp.asarray(s), jnp.asarray(o),
                     jnp.asarray(sym), bank_dev, jnp.float32(convergence_eps),
                 )
+                it, delta = int(it), float(delta)
+            its_max = max(its_max, it)
+            delta_max = max(delta_max, delta)
+            logger.debug(
+                "Decode chunk %d..%d: %d iterations, delta=%.6e", a, b, it,
+                delta,
+            )
             # (n, mb) -> host -> interleave back to sample order
             piece = np.asarray(jax.device_get(recon_t)).T[:m].reshape(-1)
         pieces.append(piece)
+    _report_convergence(stats, its_max, delta_max, convergence_eps)
     recon = pieces[0] if len(pieces) == 1 else np.concatenate(pieces)
     if original_len is not None:
         recon = recon[: int(original_len)]

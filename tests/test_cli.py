@@ -92,6 +92,10 @@ def test_cli_batch_with_skip_resume_and_metrics(tmp_path, wav_dir):
     for m in dm:
         recon, _, _ = read_wav_mono(m["output"])
         assert len(recon) == len(sig)
+        # decode convergence observability (fractal.py:1464-1466 parity)
+        assert m["decode_converged"]
+        assert m["decode_iterations"] >= 1
+        assert m["decode_final_delta"] < 1e-3
 
 
 def test_cli_compress_requires_output(wav_dir):

@@ -219,3 +219,46 @@ def test_long_damped_decode_does_not_block_short_decodes(monkeypatch):
         "short decodes should finish while the many-chunk decode is still "
         f"in flight; completion order: {done}"
     )
+
+
+def test_convergence_stats_closed_form():
+    """Observability parity with fractal.py:1464-1466: the s_damping=0
+    closed form reports the analytic loop counters — iteration 1 lands on
+    the fixed point (delta = ||recon||, prev_norm 0 treated as 1),
+    iteration 2 reproduces it (delta = 0)."""
+    matches, domains = _fixture()
+    stats = {}
+    recon = decompress_audio(matches, domains, len(matches), 4,
+                             iterations=8, s_damping=0.0, stats=stats)
+    assert stats == {
+        "iterations": 2, "final_delta": 0.0, "converged": True,
+    }
+    # an eps above ||recon|| converges at the first iteration
+    stats = {}
+    decompress_audio(matches, domains, len(matches), 4, iterations=8,
+                     s_damping=0.0, stats=stats,
+                     convergence_eps=float(np.linalg.norm(recon)) * 2)
+    assert stats["iterations"] == 1
+    assert stats["converged"]
+    assert stats["final_delta"] == pytest.approx(float(np.linalg.norm(recon)))
+    # zero ranges: nothing ran
+    stats = {}
+    decompress_audio(np.zeros(0, MATCH_DTYPE), domains, 0, 4,
+                     original_len=0, stats=stats)
+    assert stats["iterations"] == 0
+
+
+def test_convergence_stats_damped_loop():
+    matches, domains = _fixture()
+    stats = {}
+    decompress_audio(matches, domains, len(matches), 4, iterations=11,
+                     s_damping=0.3, convergence_eps=0.0, stats=stats)
+    assert stats["iterations"] == 11  # eps=0 never converges: runs the cap
+    assert not stats["converged"]
+    assert stats["final_delta"] > 0.0
+    stats = {}
+    decompress_audio(matches, domains, len(matches), 4, iterations=50,
+                     s_damping=0.5, convergence_eps=1e-3, stats=stats)
+    assert stats["converged"]
+    assert 1 <= stats["iterations"] < 50
+    assert stats["final_delta"] < 1e-3
