@@ -166,7 +166,10 @@ def build_encode_core(
     mb = lb // n
     dblk = _pow2_divisor(db, domain_block)
     assert mode in ("raw", "masked")
-    assert mb % dp == 0 and db % tp == 0 and nb % 8 == 0
+    # coarse's tp sharding splits RANGES (see finish below), so the range
+    # axis must divide dp*tp ways there; exact/topk shard bank rows instead
+    rsplit = dp * (tp if (tp > 1 and search == "coarse") else 1)
+    assert mb % rsplit == 0 and db % tp == 0 and nb % 8 == 0
     assert energy_thresh is not None
     thresh = float(energy_thresh)
 
@@ -410,19 +413,15 @@ def build_encode_core(
 
     if tp > 1:
         assert search in ("exact", "coarse", "topk"), search
-        if search == "coarse":
-            assert db // tp >= 4 * coarse_stride, (
-                "tp bank shards must cover the refine halo; lower tp or "
-                "use search='exact'"
-            )
 
     def run_search_tp(ranges, raw_norm, n_domains):
-        """Bank tensor-sharded search (runs inside shard_map over
-        `tp_axis`): each device builds + scans only its contiguous bank
-        row-shard (coarse shards carry a 2*stride halo so every owned
-        lobe's refine window is resident); per-shard winners merge with one
-        all_gather in the single-device tie-break order. Returns
-        (idx GLOBAL, sym, ok), replicated over tp."""
+        """Bank tensor-sharded search for exact/topk (runs inside shard_map
+        over `tp_axis`): each device builds + scans only its contiguous
+        bank row-shard; per-shard winners merge with one all_gather in the
+        single-device tie-break order. Returns (idx GLOBAL, sym, ok),
+        replicated over tp. (Coarse tp sharding splits ranges instead —
+        see finish.)"""
+        assert search in ("exact", "topk"), search
         from ..ops.search import (
             domain_thresh,
             domain_weights,
@@ -437,16 +436,15 @@ def build_encode_core(
         rblk = _pow2_divisor(ranges.shape[0], range_block)
         prb = _pow2_divisor(rblk, 512)
 
-        if search in ("exact", "topk"):
-            # shared non-halo shard-bank setup: each device owns a
-            # contiguous, disjoint slice of dloc bank rows
-            off = j * dloc
-            bank_loc = build_bank_jax(
-                raw_norm, tile_size, range_size, domain_step, db, n_domains,
-                row_offset=off, d_rows=dloc,
-            )
-            v_loc = off + jnp.arange(dloc, dtype=jnp.int32) < n_domains
-            ldblk = _pow2_divisor(dloc, domain_block)
+        # shared shard-bank setup: each device owns a contiguous, disjoint
+        # slice of dloc bank rows
+        off = j * dloc
+        bank_loc = build_bank_jax(
+            raw_norm, tile_size, range_size, domain_step, db, n_domains,
+            row_offset=off, d_rows=dloc,
+        )
+        v_loc = off + jnp.arange(dloc, dtype=jnp.int32) < n_domains
+        ldblk = _pow2_divisor(dloc, domain_block)
 
         if search == "exact":
             d_mean, d_denom = affine_stats(bank_loc)
@@ -475,7 +473,7 @@ def build_encode_core(
                 score, idx, sym = merge_shard_bests(score, idx, sym, tp_axis)
                 return idx, sym, jnp.isfinite(score)
 
-        elif search == "topk":
+        else:  # topk
             # reference-shaped two-stage search under tp: each shard runs
             # the exact top-k MIPS over its own bank rows, the per-shard
             # shortlists all_gather into the EXACT global top-k (multi-key
@@ -527,67 +525,6 @@ def build_encode_core(
                 idx = cand_g[rows, slot]
                 return idx, sym, jnp.isfinite(score_m) & (idx >= 0)
 
-        else:
-            # coarse: scan own subsampled rows, merge lobes, refine on the
-            # OWNING shard only (its halo makes the whole window resident,
-            # so its staged descent is identical to single-device; a
-            # neighbor's partially-masked view could greedily descend into
-            # a different basin), merge the refinements
-            from ..ops.search import refine_from_lobes
-
-            halo = 2 * coarse_stride
-            dl = dloc + 2 * halo
-            off = jnp.clip(j * dloc - halo, 0, db - dl)
-            bank_loc = build_bank_jax(
-                raw_norm, tile_size, range_size, domain_step, db, n_domains,
-                row_offset=off, d_rows=dl,
-            )
-            own0 = j * dloc - off
-            dcl = dloc // coarse_stride
-            bank_own = jax.lax.dynamic_slice(
-                bank_loc, (own0, jnp.int32(0)), (dloc, n)
-            )
-            bank_sub = bank_own.reshape(dcl, coarse_stride, n)[:, 0, :]
-            v_sub = (
-                j * dcl + jnp.arange(dcl, dtype=jnp.int32)
-            ) * coarse_stride < n_domains
-            sub_mean, sub_denom = affine_stats(bank_sub)
-            w_sub = domain_weights(sub_mean, sub_denom, n, objective)
-            t_sub = domain_thresh(sub_denom, objective, s_clip)
-            cdblk = _pow2_divisor(dcl, domain_block)
-            n_valid = jnp.minimum(jnp.asarray(n_domains, jnp.int32), db)
-            use_p = use_pallas and pallas_blocks_ok(rblk, dcl, prb, cdblk)
-
-            def do_chunk(rb):
-                r_c = rb - jnp.mean(rb, axis=1, keepdims=True)
-                if use_p:
-                    from ..ops.pallas_search import exact_search_scan_pallas
-
-                    score, lob, _ = exact_search_scan_pallas(
-                        r_c, bank_sub.T, w_sub, v_sub, prb, cdblk,
-                        with_sym=False, d_thresh=t_sub, s_clip=s_clip,
-                    )
-                else:
-                    score, lob, _ = exact_search_scan(
-                        r_c, bank_sub, None, None, v_sub, cdblk, objective,
-                        d_weight=w_sub, precision=jax.lax.Precision.DEFAULT,
-                        s_clip=s_clip, d_thresh=t_sub,
-                    )
-                score, glob, _ = merge_shard_bests(
-                    score, j * dcl + lob, jnp.zeros_like(lob, bool), tp_axis
-                )
-                own = (glob >= j * dcl) & (glob < (j + 1) * dcl)
-                lobes = jnp.where(jnp.isfinite(score) & own, glob, -1)[:, None]
-                idx, _s, _o, sym_u8, _err, r_score = refine_from_lobes(
-                    rb, bank_loc, None, lobes, coarse_stride, s_clip,
-                    objective, bank_offset=off, n_valid=n_valid,
-                    return_score=True,
-                )
-                r_score, idx, sym = merge_shard_bests(
-                    r_score, idx, sym_u8.astype(bool), tp_axis
-                )
-                return idx, sym, jnp.isfinite(r_score)
-
         # same lax.map range chunking as the unsharded run_search, so the
         # compiled score/refine programs see identically-shaped tensors
         m = ranges.shape[0]
@@ -607,7 +544,35 @@ def build_encode_core(
         else:
             row0 = 0
 
-        if tp > 1:
+        if tp > 1 and search == "coarse":
+            # Coarse under tp shards RANGES, not bank rows (VERDICT r3
+            # item 3, replacing the halo-staged refine that diverged from
+            # the tp=1 dense window kernel): the coarse stage's "bank" is a
+            # strided view of the box-mean sequence, which every device
+            # derives from the replicated raw signal — there is no bank to
+            # shard. Each tp shard runs the IDENTICAL single-device
+            # per-range program (same scan/refine kernels, same gates — all
+            # shape predicates agree because the sub-slab stays a
+            # 256-multiple) on its range sub-slab, so tp>1 selections are
+            # bit-equal to tp=1 by construction; one tiled all_gather
+            # reassembles the dp slab. The full-bank build below feeds only
+            # the non-kernel fallback paths and is dead code (DCE'd by XLA)
+            # when the window kernels are active.
+            t = jax.lax.axis_index(tp_axis)
+            msub = ranges.shape[0] // tp
+            ranges_t = jax.lax.dynamic_slice(
+                ranges, (t * msub, jnp.int32(0)), (msub, n)
+            )
+            bank = build_bank_jax(
+                raw_norm, tile_size, range_size, domain_step, db, n_domains
+            )
+            d_valid = jnp.arange(db, dtype=jnp.int32) < n_domains
+            idx_t, _s, _o, _sym, _err, score_t = run_search(
+                ranges_t, bank, d_valid, raw_norm, n_domains
+            )
+            idx = jax.lax.all_gather(idx_t, tp_axis, axis=0, tiled=True)
+            score = jax.lax.all_gather(score_t, tp_axis, axis=0, tiled=True)
+        elif tp > 1:
             idx, sym, ok = run_search_tp(ranges, raw_norm, n_domains)
             score = jnp.where(ok, 0.0, -jnp.inf)
         else:
@@ -878,25 +843,19 @@ def _sharded_encode_core(mesh, dp_axis, n_in, *key):
     )
 
 
-def check_tp_composition(search_mode: str, stride: int, db: int, tp: int,
-                         objective: str = "balanced"):
-    """Validate that a search mode composes with tp bank sharding for a
-    bucketed bank of `db` rows (shared by the single-shot and streaming
-    encode paths)."""
-    if tp <= 1:
-        return
-    if search_mode == "coarse" and objective == "damped":
-        raise ValueError(
-            "the clip-aware 'damped' objective needs multi-lobe coarse "
-            "refinement, which the tp coarse merge does not carry; use "
-            "search='exact' with tp, or tp=1"
-        )
-    if search_mode == "coarse" and db // tp < 4 * stride:
-        raise ValueError(
-            f"tp={tp} bank shards of {db // tp} rows cannot cover the "
-            f"coarse refine halo (needs >= {4 * stride}); lower tp or "
-            "use search='exact'"
-        )
+def _range_split_factor(cfg: EncoderConfig, range_size: int, db: int,
+                        dp: int, tp: int) -> int:
+    """How many ways the range axis splits across the mesh — dp always;
+    times tp when the search resolves to "coarse", whose tp sharding splits
+    RANGES rather than bank rows (see build_encode_core: the coarse stage's
+    bank is a strided view of the box-mean sequence every device derives
+    from the replicated raw signal, so running the single-device per-range
+    program on range sub-slabs is what makes tp>1 selections bit-equal to
+    tp=1 by construction). Shared by _prep_signal and the streaming path so
+    their bucket padding can never disagree with the core's slab split."""
+    if tp > 1 and _resolve_search(cfg, range_size, db)[0] == "coarse":
+        return dp * tp
+    return dp
 
 
 def _compress_fast(signal: np.ndarray, cfg: EncoderConfig, mesh=None):
@@ -1062,7 +1021,6 @@ def _core_key(cfg: EncoderConfig, nb: int, lb: int, db: int, mode: str,
     Also runs the tp-composition check (it needs the resolved mode)."""
     range_size = cfg.range_size
     search_mode, stride = _resolve_search(cfg, range_size, db)
-    check_tp_composition(search_mode, stride, db, tp, cfg.objective)
     use_pallas = cfg.use_pallas
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
@@ -1113,8 +1071,9 @@ def _prep_signal(signal: np.ndarray, cfg: EncoderConfig, dp: int = 1,
     # odd factors, e.g. tile_size=1536 -> range_size=6).
     rb = bucket(n_ranges, 256)
     dbk = bucket(n_domains, 256)
-    lb = (pad_to(rb, dp * 256) if dp > 1 else rb) * range_size
     db = pad_to(dbk, tp * 256) if tp > 1 else dbk
+    rsplit = _range_split_factor(cfg, range_size, db, dp, tp)
+    lb = (pad_to(rb, rsplit * 256) if rsplit > 1 else rb) * range_size
     src, in_i16 = _as_i16_or_f32(signal)
     raw_p = np.zeros(nb, dtype=np.int16 if in_i16 else np.float32)
     raw_p[:original_len] = src

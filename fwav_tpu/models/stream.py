@@ -50,6 +50,7 @@ from .encode import (
     _as_i16_or_f32,
     _core_key,
     _encode_core,
+    _range_split_factor,
     _sharded_encode_core,
 )
 
@@ -184,10 +185,10 @@ def compress_audio_streaming(
         import hashlib
 
         h = hashlib.sha256()
-        # (dp, tp) is in the fingerprint: the host refit makes s/o/err/sym
-        # deterministic given selections, but on TPU the coarse SELECTIONS
-        # may come from different (kernel vs staged) refine paths per mesh
-        # shape — never splice shards from different configurations
+        # (dp, tp) stays in the fingerprint as defense in depth: every
+        # (dp, tp) is bit-equal by design since round 4, but splicing
+        # checkpoints across configurations would silently mask any future
+        # regression of that property
         h.update(repr((original_len, shard_samples, halo, dp, tp, cfg)).encode())
         h.update(signal.tobytes())
         resume_dir = os.path.join(resume_dir, h.hexdigest()[:24])
@@ -295,12 +296,14 @@ def compress_audio_streaming(
         lenw = g1p - g0
         # shard-divisibility padding only on real meshes (see
         # models/encode.py: pad_to at dp=1/tp=1 would undo the
-        # quarter-octave buckets' small-shape padding cap)
+        # quarter-octave buckets' small-shape padding cap); coarse's tp
+        # sharding splits the RANGE axis (encode._range_split_factor)
         rbw = bucket(m, 256)
         dbw = bucket(n_dom_w, 256)
-        lb = (pad_to(rbw, dp * 256) if dp > 1 else rbw) * n
-        nbw = bucket(max(lenw, (a - g0) + lb), 4096)
         db = pad_to(dbw, tp * 256) if tp > 1 else dbw
+        rsplit = _range_split_factor(cfg, n, db, dp, tp)
+        lb = (pad_to(rbw, rsplit * 256) if rsplit > 1 else rbw) * n
+        nbw = bucket(max(lenw, (a - g0) + lb), 4096)
         raw_p = np.zeros(nbw, dtype=raw_src.dtype)
         raw_p[:lenw] = raw_src[g0:g1p]
         vbits = np.zeros(nbw, np.uint8)

@@ -39,6 +39,17 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = float("-inf")
 
 
+def _resolve_interpret(interpret):
+    """Kernel wrappers take interpret=None to mean "auto": compiled Mosaic
+    on TPU, interpret mode elsewhere — so forcing config.use_pallas=True on
+    the virtual CPU mesh drives the REAL encode kernel paths (shard_map and
+    all) through the interpreter instead of failing to lower
+    (tests/test_sharding.py's Pallas-forced mesh tests; VERDICT r3 item 4)."""
+    if interpret is None:
+        return jax.default_backend() != "tpu"
+    return interpret
+
+
 def pallas_blocks_ok(M: int, D: int, range_block: int, domain_block: int) -> bool:
     """Mosaic's lowering constraint for this kernel's BlockSpecs: the
     last block dimension must be divisible by 128 (the lane width) or
@@ -196,7 +207,7 @@ def topc_search_scan_pallas(
     top_c: int,
     range_block: int = 512,
     domain_block: int = 2048,
-    interpret: bool = False,
+    interpret: bool | None = None,
     d_thresh=None,
     s_clip: float = 0.0,
 ):
@@ -252,7 +263,7 @@ def topc_search_scan_pallas(
             pltpu.VMEM((range_block, top_c), jnp.float32),
             pltpu.VMEM((range_block, top_c), jnp.int32),
         ],
-        interpret=interpret,
+        interpret=_resolve_interpret(interpret),
     )(*operands)
     return jnp.where(jnp.isfinite(score), idx, -1)
 
@@ -369,7 +380,7 @@ def refine_window_pallas(
     block_len: int,
     objective: str = "balanced",
     range_block: int = 512,
-    interpret: bool = False,
+    interpret: bool | None = None,
     s_clip: float = 16.0,
 ):
     """Dense window refinement of coarse lobes as one fused kernel: per
@@ -420,7 +431,7 @@ def refine_window_pallas(
             jax.ShapeDtypeStruct((M, 1), jnp.float32),
             jax.ShapeDtypeStruct((M, 1), jnp.int32),
         ],
-        interpret=interpret,
+        interpret=_resolve_interpret(interpret),
     )(
         lobes, jnp.asarray(n_valid, jnp.int32).reshape(1),
         means_ext, lobes.reshape(M, 1), ranges,
@@ -435,7 +446,7 @@ def exact_search_scan_pallas(
     d_valid: jnp.ndarray,   # (D,) bool
     range_block: int = 1024,
     domain_block: int = 2048,
-    interpret: bool = False,
+    interpret: bool | None = None,
     with_sym: bool = True,
     d_thresh=None,
     s_clip: float = 0.0,
@@ -496,6 +507,6 @@ def exact_search_scan_pallas(
             pltpu.VMEM((range_block, 1), jnp.int32),
             pltpu.VMEM((range_block, 1), jnp.int32),
         ],
-        interpret=interpret,
+        interpret=_resolve_interpret(interpret),
     )(*operands)
     return score[:, 0], idx[:, 0], sym[:, 0].astype(bool)

@@ -10,20 +10,21 @@ drift from it (VERDICT r2 item 4; the round-1 `_dp_encode_core` lesson):
    the reference's np.array_split over CPU worker processes
    (fractal.py:1180-1207).
 
-2. Bank tensor-parallelism (tp): when the domain bank outgrows one chip,
-   each chip builds + scans only its bank row-shard (coarse shards carry a
-   refine halo), and the per-shard winners merge with one all_gather in the
-   single-device tie-break order (ops.search.merge_shard_bests: max score,
-   then min global domain idx, then original orientation first).
+2. Bank tensor-parallelism (tp): for exact/topk each chip builds + scans
+   only its bank row-shard, and the per-shard winners merge with one
+   all_gather in the single-device tie-break order
+   (ops.search.merge_shard_bests: max score, then min global domain idx,
+   then original orientation first). For "coarse" the tp axis splits
+   RANGES instead — the coarse bank is a strided view of the box-mean
+   sequence every device already derives from the replicated raw signal,
+   so each tp shard runs the identical single-device per-range program on
+   a range sub-slab (models.encode.build_encode_core finish()).
 
-Because only the SELECTION leaves the device (3-byte idx protocol) and the
+Because only the SELECTION leaves the device (3-byte idx protocol), the
 stored s/o/err/orientation come from the host refit against the serialized
-bank, sharded output is bit-equal to single-device output whenever both
-run the same refine path: always on the CPU mesh / use_pallas=False
-(tests/test_sharding.py) and for search="exact" on TPU. TPU coarse mode
-refines tp>1 shards with the staged XLA path while tp=1 uses the dense
-window kernel, so selections may differ between those configurations
-(deterministic per config; see CLAUDE.md).
+bank, and every search mode runs the same per-range math at every (dp, tp),
+sharded output is bit-equal to single-device output for all combinations
+(tests/test_sharding.py, tests/test_pallas_sharded.py; CLAUDE.md).
 """
 
 from __future__ import annotations

@@ -94,12 +94,10 @@ def test_fuzz_round_trip(seed, tmp_path):
 
 @pytest.mark.parametrize("seed", range(6))
 def test_fuzz_sharded_bit_equal(seed):
-    """Random (dp, tp) x search x objective x content: the sharded encode
-    must either refuse the combination with a clear ValueError (documented
-    non-composing combos: damped+coarse under tp, coarse halo under-
-    coverage) or produce records BIT-EQUAL to the single-device encoder —
-    the CPU mesh always runs the same refine path on both sides
-    (CLAUDE.md invariant scope)."""
+    """Random (dp, tp) x search x objective x content: EVERY combination
+    composes since the round-4 coarse tp-range-split unification (no
+    refused combos remain) and must produce records BIT-EQUAL to the
+    single-device encoder."""
     import jax
 
     from fwav_tpu.parallel.mesh import make_mesh
@@ -116,13 +114,9 @@ def test_fuzz_sharded_bit_equal(seed):
 
     kw = dict(tile_size=tile, search=search, objective=objective)
     mesh = make_mesh(len(jax.devices()), dp=dp, tp=tp)
-    try:
-        rec_n, dom_n, nn, rsn, *_ = compress_audio_sharded(
-            sig, sr, 2, mesh=mesh, **kw
-        )
-    except ValueError as e:
-        assert tp > 1 and ("damped" in str(e) or "halo" in str(e)), e
-        return
+    rec_n, dom_n, nn, rsn, *_ = compress_audio_sharded(
+        sig, sr, 2, mesh=mesh, **kw
+    )
     rec_1, dom_1, n1, rs1, *_ = compress_audio_arrays(sig, sr, 2, **kw)
     assert (nn, rsn) == (n1, rs1)
     np.testing.assert_array_equal(dom_n, dom_1)

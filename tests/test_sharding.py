@@ -191,7 +191,8 @@ def _single_device_records():
 @pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2), (2, 4), (1, 8)])
 def test_compress_audio_sharded_bit_equal_coarse(dp, tp, _single_device_records):
     """Full multi-chip encode — the SAME fused core under shard_map, ranges
-    dp-sharded, bank tp-sharded (halo'd coarse refine) — must produce
+    dp-sharded (and further tp-range-split: coarse's tp sharding divides
+    ranges, not bank rows) — must produce
     BIT-EQUAL records to the single-device encoder on a tie-free fixture:
     only the selection leaves the device and s/o/err come from the shared
     host refit (VERDICT r1 item 4)."""
@@ -291,32 +292,27 @@ def test_init_distributed_single_process():
     assert "distributed-ok" in out.stdout, (out.stdout, out.stderr)
 
 
-def test_damped_objective_tp_composition(_single_device_records):
-    """objective='damped' composes with tp bank sharding via search='exact'
-    (bit-equal records: idx-only protocol + host refit), and refuses the
-    tp+coarse combination with a clear error (its refine merge is
-    single-lobe)."""
+@pytest.mark.parametrize("search", ["exact", "coarse"])
+def test_damped_objective_tp_composition(search, _single_device_records):
+    """objective='damped' composes with tp for BOTH exact (bank-sharded
+    MIPS-free scan, merged winners) and coarse (range-split multi-lobe
+    refine — round-4 unification; previously refused): records bit-equal to
+    single device via the idx-only protocol + host refit."""
     from fwav_tpu.parallel.shard import compress_audio_sharded
 
     sig, sr, _ = _single_device_records
     from fwav_tpu.models.encode import compress_audio_arrays
 
     rec_1, dom_1, n1, rs1, *_ = compress_audio_arrays(
-        sig, sr, 2, search="exact", objective="damped"
+        sig, sr, 2, search=search, objective="damped"
     )
     rec_8, _, n8, rs8, *_ = compress_audio_sharded(
-        sig, sr, 2, mesh=make_mesh(8, dp=2, tp=4), search="exact",
+        sig, sr, 2, mesh=make_mesh(8, dp=2, tp=4), search=search,
         objective="damped",
     )
     assert (n8, rs8) == (n1, rs1)
     for f in ("idx", "s", "o", "sym", "err"):
         np.testing.assert_array_equal(rec_8[f], rec_1[f], err_msg=f)
-
-    with pytest.raises(ValueError, match="damped"):
-        compress_audio_sharded(
-            sig, sr, 2, mesh=make_mesh(8, dp=2, tp=4), search="coarse",
-            objective="damped",
-        )
 
 
 @pytest.mark.parametrize("dp,tp", [(2, 4), (1, 8)])

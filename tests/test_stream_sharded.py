@@ -52,8 +52,8 @@ def test_streaming_sharded_bit_equal(dp, tp, _single_device_stream):
 
 
 def test_streaming_sharded_coarse_bit_equal(_single_device_stream):
-    # coarse + tp: shard windows must carry the refine halo; use a longer
-    # signal so the per-shard bank clears the tp halo requirement
+    # coarse + tp under streaming: the tp axis range-splits each time
+    # shard's slab (encode._range_split_factor pads the range bucket)
     sig, sr = _noise_sig(seconds=4.0, seed=9)
     kw = dict(tile_size=512, shard_samples=16384, halo=8192, search="coarse")
     want, *_ = compress_audio_streaming(sig, sr, 2, **kw)
