@@ -19,14 +19,15 @@ decode inputs:
   decompress_audio reads only idx/s/o/sym, fractal.py:1391-1449); loaders
   return err=0.
 
-Measured on the 10 s / 44.1 kHz bench fixture: 0.46 MB vs the 0.88 MB
-input WAV (ratio 1.93) vs 1.9 MB for v1-pruned (0.47) and ~8.9 MB for the
-reference's full-bank layout (0.10) — the only layout of the three that
-actually compresses (the lossless entropy stage below is worth ~23% on
-top of the raw v2 streams, at ~64 ms for this file). Selection
-(idx/sym/live) is preserved bit-exactly; s/bank quantize to float16
-(~0.05% relative) and o to int16 fixed point (half an LSB of its pow2
-scale), measured < 0.02 dB of round-trip SNR on every fixture
+Measured on the 10 s / 44.1 kHz bench fixture: 0.33 MB vs the 0.88 MB
+input WAV (ratio 2.65 with the round-4 FLAG_ENTROPY layout; 1.93 for the
+round-3 deflate layout) vs 1.9 MB for v1-pruned (0.47) and ~8.9 MB for
+the reference's full-bank layout (0.10) — the only layout that actually
+compresses. Selection (idx/sym/live) is preserved bit-exactly; s/bank
+quantize to float16 and o to int16 fixed point, with the entropy layout
+additionally applying DISTORTION-BOUNDED extra quantization (see
+FLAG_ENTROPY / _QUANT_GAMMA) — measured < 0.01 dB of round-trip SNR cost
+on every fixture including a high-SNR damped-profile decode
 (tests/test_compact.py).
 
 Layout (little-endian; first 66 bytes shaped exactly like v1 with
@@ -58,6 +59,30 @@ reference raises 'Unsupported FWAV version', fractal.py:1334-1336):
                           stored = round(value * 2^-o_scale_exp),
                           saturated to [-32767, 32767]; float16
                           (* 2^-o_scale_exp) when the flag is clear
+
+With FLAG_ENTROPY (the round-4 layout; the writer picks whichever encoding
+is smallest), a 28-byte ext2 header follows the ext header —
+
+    ext2:   o_shift u8 (extra pow2 offset-quantization shift),
+            s_drop u8 (fp16 mantissa bits rounded off s, informational),
+            idx_enc u8 (1 = symbol rANS, 0 = plain packed at idx_bits),
+            reserved u8, z_len u32, idx_len u32, s_hi_len u32,
+            s_lo_len u32, o_hi_len u32, o_lo_len u32
+
+— and the payload is: one zlib section of z_len bytes (inflating to
+raw_payload_len = bank planes + live bitmap + sym bitmap + the rANS
+frequency tables: dense u16 x n_domains for idx when idx_enc=1, then
+256-entry u16 tables for s_hi/s_lo/o_hi/o_lo), followed by the five
+streams at their ext2 lengths. s is stored as quantized fp16 bit patterns
+split into lo/hi byte planes, each a lane-interleaved rANS stream
+(io.rans); o as zigzag(round(o16 / 2^o_shift)) byte planes likewise; idx
+as one symbol-level rANS stream over the bank alphabet (or the legacy
+bit packing when the bank exceeds the table budget). o_shift and the s
+mantissa drop are chosen per file so each adds less than _QUANT_GAMMA of
+the encoder's own residual energy (rec['err']) to any decoder's output —
+the entropy layout trusts err as the residual scale, which holds for
+every file this encoder writes (err=0 tables get zero extra
+quantization).
 
 All bitmaps/bit-streams pack LSB-first (numpy bitorder='little'). The bank
 and o streams carry independent power-of-2 scale exponents (exact: only fp
@@ -107,6 +132,13 @@ _EXT_OFFSET = 66
 FLAG_DEFLATE = 1
 FLAG_IDX_DELTA = 2
 FLAG_O_INT16 = 4
+#: ENTROPY: the round-4 rate layout — an ext2 header follows the ext
+#: header, streams are rANS entropy-coded per byte plane (io.rans) with
+#: per-file frequency tables, and o/s carry DISTORTION-BOUNDED quantization
+#: (o_shift dropped offset LSBs, s_drop dropped fp16 mantissa bits) chosen
+#: by the writer so the added noise stays under _QUANT_GAMMA of the
+#: encoder's own measured residual — see _pick_o_shift/_pick_s_drop.
+FLAG_ENTROPY = 8
 
 
 #: Values per bit-packing chunk. Must be a multiple of 8 so every full
@@ -230,6 +262,144 @@ def _idx_delta_decode(zz: np.ndarray) -> np.ndarray:
     return np.cumsum(_unzigzag(zz.astype(np.int64))).astype(np.int64)
 
 
+# --- round-4 entropy layout (FLAG_ENTROPY) --------------------------------
+
+#: ext2 header appended after the 16-byte ext when FLAG_ENTROPY is set:
+#: o_shift u8, s_drop u8, idx_enc u8 (1 = symbol rANS, 0 = plain packed),
+#: reserved u8, then u32 lengths: deflated header section, idx stream,
+#: s hi/lo planes, o hi/lo planes.
+_EXT2 = struct.Struct("<BBBBIIIIII")
+
+#: Quantization budget: the added decode noise from o_shift and from s_drop
+#: must EACH stay under this fraction of the encoder's measured residual
+#: energy (sum err^2 — a LOWER bound on every decoder's distortion, since
+#: err^2 = ||r_c||^2 - gain <= ||r - o||^2 and <= the stored-transform
+#: residual). Both together bound the round-trip SNR cost at
+#: 10*log10(1 + 2*gamma) ~ 0.026 dB; measured < 0.01 dB on every fixture
+#: (tests/test_compact.py::test_entropy_quantization_cost).
+_QUANT_GAMMA = 0.003
+
+#: Symbol-level rANS for the idx stream needs the dense frequency table to
+#: stay small and the observed alphabet under the 2^PROB_BITS cap.
+_IDX_RANS_MAX_DOMAINS = 1 << 16
+
+
+def _pick_o_shift(o16: np.ndarray, o_exp: int, range_size: int,
+                  anchor: float) -> int:
+    """Largest power-of-2 offset quantization step whose added decode noise
+    (exact: the default decode's output IS o per sample, and the damped
+    decode adds the same per-sample offset error) fits the budget."""
+    if anchor <= 0 or not np.isfinite(anchor) or len(o16) == 0:
+        return 0
+    budget = _QUANT_GAMMA * anchor
+    scale2 = float(_pow2(o_exp)) ** 2
+    best = 0
+    for k in range(1, 13):
+        q = np.rint(o16 * (1.0 / (1 << k)))
+        e = o16 - q * (1 << k)
+        added = range_size * float(np.dot(e, e)) * scale2
+        if added <= budget:
+            best = k
+        else:
+            break
+    return best
+
+
+def _quant_s_u16(s_u16: np.ndarray, drop: int) -> np.ndarray:
+    """Round `drop` low mantissa bits off fp16 bit patterns (sign-magnitude:
+    magnitude rounding may carry into the exponent, which is valid IEEE —
+    clamped below inf)."""
+    if drop == 0:
+        return s_u16
+    mag = (s_u16 & 0x7FFF).astype(np.int64)
+    mag = ((mag + (1 << (drop - 1))) >> drop) << drop
+    mag = np.minimum(mag, 0x7BFF)  # largest finite fp16
+    return ((s_u16 & 0x8000) | mag.astype(np.uint16)).astype(np.uint16)
+
+
+def _pick_s_drop(s_u16: np.ndarray, s_f32: np.ndarray, d_energy: np.ndarray,
+                 anchor: float) -> int:
+    """Largest fp16 mantissa drop for the scale stream whose added
+    stored-transform decode noise sum((s - s_hat)^2 * ||d||^2) fits the
+    budget (||d||^2 uncentered covers the default decoder's degenerate-tile
+    use of stored s as well)."""
+    if anchor <= 0 or not np.isfinite(anchor) or len(s_u16) == 0:
+        return 0
+    budget = _QUANT_GAMMA * anchor
+    best = 0
+    for d in range(1, 11):
+        s_hat = np.frombuffer(
+            _quant_s_u16(s_u16, d).tobytes(), np.float16
+        ).astype(np.float64)
+        e = s_f32.astype(np.float64) - s_hat
+        if float(np.dot(e * e, d_energy)) <= budget:
+            best = d
+        else:
+            break
+    return best
+
+
+def _entropy_variant(rec, live, n_live, idx, o16, bq, bank_b, live_b, sym_b,
+                     o_exp, range_size, n_domains):
+    """Assemble the FLAG_ENTROPY (ext2 + rANS streams) encoding, or None
+    when it does not apply (no live matches). Returns (flags, ext2, payload)
+    with sizes the caller compares against the legacy variants."""
+    from . import rans
+
+    if n_live == 0:
+        return None
+    err = rec["err"][live].astype(np.float64)
+    err = err[np.isfinite(err)]
+    anchor = float(np.dot(err, err)) if len(err) else 0.0
+
+    o_shift = _pick_o_shift(o16, o_exp, range_size, anchor)
+    oq = np.rint(o16 * (1.0 / (1 << o_shift))).astype(np.int64)
+    ozz = _zigzag(oq)
+
+    s_u16 = np.frombuffer(
+        rec["s"][live].astype(np.float16).tobytes(), np.uint16
+    )
+    rows = rec["idx"][live].astype(np.int64)
+    d_energy = (bq[rows].astype(np.float64) ** 2).sum(axis=1)
+    s_drop = _pick_s_drop(s_u16, rec["s"][live], d_energy, anchor)
+    s_q = _quant_s_u16(s_u16, s_drop).astype(np.int64)
+
+    def plane_streams(vals):
+        out = []
+        for plane in (vals & 0xFF, (vals >> 8) & 0xFF):
+            f = rans.quantize_freqs(np.bincount(plane, minlength=256))
+            out.append((rans.serialize_freqs(f), rans.encode(plane, f)))
+        return out
+
+    (s_lo_t, s_lo), (s_hi_t, s_hi) = plane_streams(s_q)
+    (o_lo_t, o_lo), (o_hi_t, o_hi) = plane_streams(ozz)
+
+    idx_enc = 0
+    idx_tab = b""
+    if n_domains <= _IDX_RANS_MAX_DOMAINS and len(np.unique(idx)) <= (
+        1 << rans.PROB_BITS
+    ):
+        f_idx = rans.quantize_freqs(np.bincount(idx, minlength=n_domains))
+        idx_tab = rans.serialize_freqs(f_idx)
+        idx_stream = rans.encode(idx, f_idx)
+        idx_enc = 1
+    else:
+        idx_bits = max(1, int(max(n_domains - 1, 1)).bit_length())
+        idx_stream = _pack_bits(idx, idx_bits)
+
+    zsec_raw = (
+        _byteplane(bank_b) + live_b + sym_b
+        + idx_tab + s_hi_t + s_lo_t + o_hi_t + o_lo_t
+    )
+    zsec = zlib.compress(zsec_raw, 6)
+    ext2 = _EXT2.pack(
+        o_shift, s_drop, idx_enc, 0, len(zsec), len(idx_stream),
+        len(s_hi), len(s_lo), len(o_hi), len(o_lo),
+    )
+    payload = zsec + idx_stream + s_hi + s_lo + o_hi + o_lo
+    return len(zsec_raw), ext2, payload
+
+
 def save_compressed_compact(
     filepath,
     matches,
@@ -293,18 +463,18 @@ def compact_bytes(
             int(n_domains), int(original_len),
         )
     )
-    bank_b = (domains * _pow2(-bank_exp)).astype(np.float16).tobytes()
+    bank_q = (domains * _pow2(-bank_exp)).astype(np.float16)
+    bank_b = bank_q.tobytes()
     live_b = _pack_mask(live)
     sym_b = _pack_mask(rec["sym"][live] != 0)
     s_b = rec["s"][live].astype(np.float16).tobytes()
     # saturate: the scaled peak rounds to at most 32768 (window edge) —
     # one count above int16 max, clipped at 1 ulp cost on that sample
-    o_b = (
-        np.clip(
-            np.round(rec["o"][live].astype(np.float64) * 2.0 ** -o_exp),
-            -32767, 32767,
-        ).astype(np.int16).tobytes()
-    )
+    o16 = np.clip(
+        np.round(rec["o"][live].astype(np.float64) * 2.0 ** -o_exp),
+        -32767, 32767,
+    ).astype(np.int64)
+    o_b = o16.astype(np.int16).tobytes()
 
     # Entropy stage: byteplane the fp16 streams and deflate (level 6 — within
     # ~0.3% of level 9 at 3x the speed on the bench fixture; hour-scale
@@ -331,14 +501,30 @@ def compact_bytes(
     raw = bank_b + live_b + sym_b + idx_plain + s_b + o_b
     if len(raw) <= len(payload):
         flags, payload, raw_len = 0, raw, len(raw)
+    ext2 = b""
+
+    # round-4 entropy variant (rANS streams + distortion-bounded o/s
+    # quantization): the same keep-smallest discipline decides between it
+    # and the legacy layouts — it usually wins by 20-40% but degenerate
+    # content (tiny files, incompressible selections) keeps the old bytes
+    ent = _entropy_variant(
+        rec, live, n_live, idx, o16, bank_q, bank_b, live_b, sym_b,
+        o_exp, range_size, n_domains,
+    )
+    if ent is not None:
+        zraw_len, e_ext2, e_payload = ent
+        if _EXT2.size + len(e_payload) < len(ext2) + len(payload):
+            flags = FLAG_ENTROPY
+            ext2, payload, raw_len = e_ext2, e_payload, zraw_len
 
     ext = _EXT.pack(
         idx_bits, bank_exp, o_exp, flags | FLAG_O_INT16, n_live, raw_len
     )
     sha = hashlib.sha256()
     sha.update(ext)
+    sha.update(ext2)
     sha.update(payload)
-    return header + sha.digest() + ext + payload
+    return header + sha.digest() + ext + ext2 + payload
 
 
 def load_compressed_compact(filepath, verify_checksum: bool = True):
@@ -375,11 +561,18 @@ def parse_compact_bytes(data: bytes, verify_checksum: bool = True):
     idx_bits, bank_exp, o_exp, flags, n_live, raw_len = _EXT.unpack(
         body[: _EXT.size]
     )
-    if flags & ~(FLAG_DEFLATE | FLAG_IDX_DELTA | FLAG_O_INT16):
+    if flags & ~(FLAG_DEFLATE | FLAG_IDX_DELTA | FLAG_O_INT16 | FLAG_ENTROPY):
         # a future stream encoding must fail loudly on this loader, never
         # decode to plausible garbage (the FLAG_O_INT16 transition is the
         # in-repo precedent for exactly that hazard)
         raise ValueError(f"Unknown compact FWAV flags: 0x{flags:02x}")
+    hdr = (range_size, framerate, sampwidth, tile_size, domain_step,
+           energy_threshold, n_ranges, n_domains, original_len)
+    if flags & FLAG_ENTROPY:
+        if flags & (FLAG_DEFLATE | FLAG_IDX_DELTA):
+            raise ValueError(f"Unknown compact FWAV flags: 0x{flags:02x}")
+        return _parse_entropy(body, hdr, idx_bits, bank_exp, o_exp, n_live,
+                              raw_len)
 
     eff_idx_bits = idx_bits + 1 if flags & FLAG_IDX_DELTA else idx_bits
     sizes = [
@@ -444,6 +637,94 @@ def parse_compact_bytes(data: bytes, verify_checksum: bool = True):
         rec["o"][live] = (
             np.frombuffer(o_b, o_dtype).astype(np.float32) * _pow2(o_exp)
         )
+    return (
+        rec, domains, n_ranges, range_size, framerate, sampwidth, tile_size,
+        domain_step, energy_threshold, original_len,
+    )
+
+
+def _parse_entropy(body, hdr, idx_bits, bank_exp, o_exp, n_live, raw_len):
+    """Parse the FLAG_ENTROPY layout (see _entropy_variant): ext2 header,
+    deflated header section (bank planes + bitmaps + rANS tables), then the
+    five rANS / packed streams."""
+    from . import rans
+
+    (range_size, framerate, sampwidth, tile_size, domain_step,
+     energy_threshold, n_ranges, n_domains, original_len) = hdr
+    off = _EXT.size
+    if len(body) < off + _EXT2.size:
+        raise ValueError("Truncated FWAV payload")
+    (o_shift, s_drop, idx_enc, _res, z_len, idx_len, s_hi_len, s_lo_len,
+     o_hi_len, o_lo_len) = _EXT2.unpack(body[off : off + _EXT2.size])
+    del s_drop  # applied at write time; stored patterns are already final
+    off += _EXT2.size
+    lens = [z_len, idx_len, s_hi_len, s_lo_len, o_hi_len, o_lo_len]
+    if len(body) - off != sum(lens):
+        raise ValueError("Corrupt or truncated FWAV payload")
+    segs = []
+    for ln in lens:
+        segs.append(body[off : off + ln])
+        off += ln
+    zsec_b, idx_b, s_hi_b, s_lo_b, o_hi_b, o_lo_b = segs
+
+    tab_bytes = (2 * n_domains if idx_enc else 0) + 4 * 512
+    expected = (
+        n_domains * range_size * 2 + (n_ranges + 7) // 8
+        + (n_live + 7) // 8 + tab_bytes
+    )
+    if raw_len != expected:
+        raise ValueError("Corrupt or truncated FWAV payload")
+    try:
+        zsec = zlib.decompress(zsec_b, bufsize=expected)
+    except zlib.error as e:
+        raise ValueError("Corrupt or truncated FWAV payload") from e
+    if len(zsec) != expected:
+        raise ValueError("Truncated FWAV payload")
+    sizes = [n_domains * range_size * 2, (n_ranges + 7) // 8,
+             (n_live + 7) // 8, 2 * n_domains if idx_enc else 0,
+             512, 512, 512, 512]
+    parts, p = [], 0
+    for sz in sizes:
+        parts.append(zsec[p : p + sz])
+        p += sz
+    bank_b, live_b, sym_b, idx_tab, s_hi_t, s_lo_t, o_hi_t, o_lo_t = parts
+
+    domains = (
+        np.frombuffer(_unbyteplane(bank_b), np.float16).astype(np.float32)
+        * _pow2(bank_exp)
+    ).reshape(n_domains, range_size)
+    live = _unpack_mask(live_b, n_ranges)
+    if int(live.sum()) != n_live:
+        raise ValueError("Corrupt FWAV live bitmap")
+
+    rec = np.zeros(n_ranges, dtype=MATCH_DTYPE)
+    rec["idx"] = -1
+    rec["s"] = 1.0
+    if n_live:
+        try:
+            if idx_enc:
+                f_idx = rans.parse_freqs(idx_tab, n_domains)
+                idx = rans.decode(idx_b, n_live, f_idx)
+            else:
+                idx = _unpack_bits(idx_b, n_live, idx_bits)
+            s_hi = rans.decode(s_hi_b, n_live, rans.parse_freqs(s_hi_t, 256))
+            s_lo = rans.decode(s_lo_b, n_live, rans.parse_freqs(s_lo_t, 256))
+            o_hi = rans.decode(o_hi_b, n_live, rans.parse_freqs(o_hi_t, 256))
+            o_lo = rans.decode(o_lo_b, n_live, rans.parse_freqs(o_lo_t, 256))
+        except ValueError as e:
+            raise ValueError("Corrupt or truncated FWAV payload") from e
+        if idx.size and (int(idx.min()) < 0 or int(idx.max()) >= n_domains):
+            raise ValueError("Corrupt FWAV idx stream")
+        rec["idx"][live] = idx.astype(np.int32)
+        rec["sym"][live] = _unpack_mask(sym_b, n_live)
+        s_u16 = ((s_hi << 8) | s_lo).astype(np.uint16)
+        rec["s"][live] = np.frombuffer(s_u16.tobytes(), np.float16).astype(
+            np.float32
+        )
+        oq = _unzigzag(((o_hi << 8) | o_lo).astype(np.int64))
+        rec["o"][live] = (
+            oq.astype(np.float64) * float(1 << o_shift) * float(_pow2(o_exp))
+        ).astype(np.float32)
     return (
         rec, domains, n_ranges, range_size, framerate, sampwidth, tile_size,
         domain_step, energy_threshold, original_len,

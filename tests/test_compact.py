@@ -30,7 +30,9 @@ def _assert_o_fixed_point(got, want):
     # o is int16 fixed point: uniform absolute error <= 0.5 * 2^o_exp,
     # and the pow2 scale lands the peak in (16384, 32768] -> bound is
     # peak * 2^-15 (0.5 LSB on full-scale 16-bit PCM content); the single
-    # saturated peak sample may cost 1 ulp (covered separately)
+    # saturated peak sample may cost 1 ulp (covered separately). Holds
+    # as-is for err=0 fixtures, where the distortion-bounded o_shift
+    # quantization is disabled by its own contract.
     bound = float(np.abs(want).max()) * 2.0**-15 + 1e-12
     np.testing.assert_allclose(got, want, rtol=0, atol=bound)
 
@@ -67,11 +69,32 @@ def test_round_trip_fields(_encoded):
     # selection is bit-exact
     np.testing.assert_array_equal(rec2["idx"], rec["idx"])
     np.testing.assert_array_equal(rec2["sym"], rec["sym"])
-    # parameters to fp16 precision (exact pow2 scale adds no extra error)
     live = rec["idx"] >= 0
     assert live.any() and (~live).any()
-    np.testing.assert_allclose(rec2["s"], rec["s"], rtol=1e-3, atol=1e-4)
-    _assert_o_fixed_point(rec2["o"], rec["o"])
+    # parameter contract (round 4, distortion-bounded quantization): the
+    # EXTRA noise beyond the fp16/int16 baseline stays under _QUANT_GAMMA
+    # of the encoder's residual energy, per stream (io/compact.py)
+    from fwav_tpu.io.compact import _QUANT_GAMMA, _o_exp_for
+
+    err = rec["err"][live].astype(np.float64)
+    anchor = float(np.dot(err, err))
+    s_base = rec["s"][live].astype(np.float16).astype(np.float64)
+    d_energy = (bank2[rec["idx"][live]].astype(np.float64) ** 2).sum(axis=1)
+    e_s = rec2["s"][live].astype(np.float64) - s_base
+    assert float(np.dot(e_s * e_s, d_energy)) <= _QUANT_GAMMA * anchor + 1e-9
+    o_exp = _o_exp_for(rec["o"][live])
+    o_base = np.clip(
+        np.round(rec["o"][live].astype(np.float64) * 2.0 ** -o_exp),
+        -32767, 32767,
+    ) * 2.0 ** o_exp
+    e_o = rec2["o"][live].astype(np.float64) - o_base
+    assert N * float(np.dot(e_o, e_o)) <= _QUANT_GAMMA * anchor + 1e-9
+    # loose absolute sanity on top of the energy contract: the per-value
+    # worst case of a step-quantizer whose TOTAL energy fits the budget
+    np.testing.assert_allclose(rec2["s"], rec["s"], rtol=0.05, atol=0.01)
+    o_atol = float(np.sqrt(_QUANT_GAMMA * anchor / N)) + 1e-9
+    np.testing.assert_allclose(rec2["o"], rec["o"], rtol=0,
+                               atol=max(o_atol, 2.0 ** o_exp))
     np.testing.assert_allclose(bank2, bank, rtol=1e-3, atol=1e-3)
     # sentinels carry the format's exact tuple; err is not stored
     assert np.all(rec2["s"][~live] == 1.0) and np.all(rec2["o"][~live] == 0.0)
@@ -227,6 +250,8 @@ def test_raw_fallback_branch(tmp_path, monkeypatch):
     monkeypatch.setattr(
         compact.zlib, "compress", lambda b, lvl=6: real(b, lvl) + b"\0" * len(b)
     )
+    # disable the entropy layout so the legacy raw-fallback branch decides
+    monkeypatch.setattr(compact, "_entropy_variant", lambda *a, **k: None)
     sig, sr = _sig()
     rec, bank, n_ranges, N, tile, step, thr, olen = compress_audio_arrays(
         sig, sr, 2, tile_size=128
@@ -401,3 +426,81 @@ def test_legacy_fp16_o_files_still_decode(tmp_path):
     rec2, *_ = load_compressed_compact(q)
     np.testing.assert_allclose(rec2["o"], rec["o"], rtol=1e-3, atol=1e-3)
     np.testing.assert_array_equal(rec2["idx"], rec["idx"])
+
+
+def test_entropy_layout_selected_and_smaller(_encoded, tmp_path):
+    """Real encoder output picks the round-4 FLAG_ENTROPY layout and beats
+    the legacy (deflate) encoding; loaders keep routing by version."""
+    sig, sr, rec, bank, (n_ranges, N, tile, step, thr, olen), p1, p2 = _encoded
+    from fwav_tpu.io.compact import FLAG_ENTROPY, FLAG_O_INT16
+    import fwav_tpu.io.compact as compact
+
+    assert _flags_of(p2) == FLAG_ENTROPY | FLAG_O_INT16
+    # the legacy encoding of the same inputs, for the size comparison
+    import unittest.mock as mock
+
+    with mock.patch.object(compact, "_entropy_variant", lambda *a, **k: None):
+        p_old = tmp_path / "legacy.fwav"
+        save_compressed_compact(p_old, rec, bank, N, sr, 2, tile, step, thr,
+                                olen)
+    assert p2.stat().st_size < p_old.stat().st_size
+
+
+def test_entropy_quantization_cost_damped_profile(tmp_path):
+    """Worst case for o/s quantization: a damped-profile encode whose
+    stored-transform decode reaches high SNR — the distortion-bounded
+    quantizer must keep the cost under 0.05 dB there too (small residuals
+    shrink the budget automatically)."""
+    sig, sr = _sig(seconds=1.0)
+    rec, bank, n_ranges, N, tile, step, thr, olen = compress_audio_arrays(
+        sig, sr, 2, tile_size=128, search="exact", objective="damped"
+    )
+    rec, bank = prune_bank(rec, bank)
+    p = tmp_path / "damped.fwav"
+    save_compressed_compact(p, rec, bank, N, sr, 2, tile, step, thr, olen)
+    rec2, bank2, *_ = load_compressed_arrays(p)
+    kw = dict(original_len=len(sig), s_damping=0.25, iterations=24,
+              convergence_eps=0.0)
+    snr0 = compute_snr(sig, decompress_audio(rec, bank, n_ranges, N, **kw))
+    snr1 = compute_snr(sig, decompress_audio(rec2, bank2, n_ranges, N, **kw))
+    assert snr0 > 20.0, snr0  # the fixture exercises a high-SNR decode
+    assert snr0 - snr1 < 0.05, (snr0, snr1)
+
+
+def test_entropy_unknown_flag_combo_rejected(_encoded, tmp_path):
+    # ENTROPY combined with the legacy deflate bits is not a defined layout
+    *_, p2 = _encoded
+    from fwav_tpu.io.compact import _EXT_OFFSET, FLAG_DEFLATE
+
+    raw = bytearray(p2.read_bytes())
+    assert raw[_EXT_OFFSET + 3] & 8  # FLAG_ENTROPY set on this fixture
+    raw[_EXT_OFFSET + 3] |= FLAG_DEFLATE
+    bad = tmp_path / "combo.fwav"
+    bad.write_bytes(bytes(raw))
+    with pytest.raises(ValueError):
+        load_compressed_compact(bad, verify_checksum=False)
+
+
+def test_entropy_corrupt_stream_rejected(_encoded, tmp_path):
+    # with the SHA pass skipped, corrupt section lengths / zlib section /
+    # idx stream must still raise the format ValueError, never garbage out
+    *_, p2 = _encoded
+    from fwav_tpu.io.compact import _EXT, _EXT_OFFSET
+
+    raw = bytearray(p2.read_bytes())
+    ext2_off = _EXT_OFFSET + _EXT.size
+    for mutate in (
+        lambda b: b.__setitem__(ext2_off + 4, b[ext2_off + 4] ^ 0x7F),  # z_len
+        lambda b: b.__setitem__(ext2_off + 30, b[ext2_off + 30] ^ 0xFF),  # zsec
+        lambda b: b.__setitem__(len(b) - 1, b[-1] ^ 0xFF),  # tail stream
+    ):
+        bad = bytearray(raw)
+        mutate(bad)
+        f = tmp_path / "corrupt.fwav"
+        f.write_bytes(bytes(bad))
+        with pytest.raises(ValueError):
+            rec2, dom2, *_ = load_compressed_compact(f, verify_checksum=False)
+            # a tail bit-flip may decode: it must then at least fail the
+            # idx range check or produce a live-bitmap mismatch — if it
+            # parsed cleanly, re-raise via the checksum path
+            load_compressed_compact(f)
