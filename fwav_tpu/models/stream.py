@@ -188,8 +188,14 @@ def compress_audio_streaming(
         # (dp, tp) stays in the fingerprint as defense in depth: every
         # (dp, tp) is bit-equal by design since round 4, but splicing
         # checkpoints across configurations would silently mask any future
-        # regression of that property
-        h.update(repr((original_len, shard_samples, halo, dp, tp, cfg)).encode())
+        # regression of that property. "shapes-v2" is the unified-bucket
+        # schema token: selections are deterministic per compiled slab
+        # shape, so checkpoints written by a different shape schema must
+        # re-encode rather than splice.
+        h.update(
+            repr(("shapes-v2", original_len, shard_samples, halo, dp, tp, cfg))
+            .encode()
+        )
         h.update(signal.tobytes())
         resume_dir = os.path.join(resume_dir, h.hexdigest()[:24])
         os.makedirs(resume_dir, exist_ok=True)
@@ -252,6 +258,37 @@ def compress_audio_streaming(
     dispatched = None  # (k, codes, a, b, g0): enqueued, fetcher not started
     fetching = None    # (k, fetcher, box, a, b, g0): D2H in flight
 
+    # ONE compiled program per streaming encode (round-4, VERDICT r3 weak
+    # item 6): the first shard (no left halo) and the tail shard (short)
+    # would otherwise land in their own shape buckets, and on tunneled
+    # hardware every extra compile costs 1.5-8 min cold (the PJRT plugin
+    # cannot persist compiled executables — docs/ROADMAP.md). Unify every
+    # dispatching shard onto the maximal bucket: per-shard meta still
+    # carries the true (lenw, offset, m, n_domains), so padded rows are
+    # masked exactly as before. Cost: zero-fill + edge-shard over-compute
+    # and one full-size tail D2H — noise next to a saved compile.
+    geo = []
+    for a, b in bounds:
+        g0 = (max(0, a - halo) // step) * step
+        g1 = min(original_len, b + halo)
+        g1p = min(L, b + halo)
+        geo.append(
+            (g0, (b - a) // n, n_domains_for(g1 - g0, tile, step), g1p - g0,
+             a - g0)
+        )
+    live_geo = [g for g in geo if g[2] > 0]
+    if live_geo:
+        rbw = bucket(max(g[1] for g in live_geo), 256)
+        dbw = bucket(max(g[2] for g in live_geo), 256)
+        db = pad_to(dbw, tp * 256) if tp > 1 else dbw
+        rsplit = _range_split_factor(cfg, n, db, dp, tp)
+        lb = (pad_to(rbw, rsplit * 256) if rsplit > 1 else rbw) * n
+        nbw = bucket(
+            max(max(g[3] for g in live_geo),
+                max(g[4] for g in live_geo) + lb),
+            4096,
+        )
+
     def _advance(next_dispatched):
         nonlocal dispatched, fetching
         if dispatched is not None:
@@ -275,10 +312,7 @@ def compress_audio_streaming(
                 slots[k] = rec
                 continue  # resume: shard already encoded
         # domain neighborhood: windows starting in [g0, g1), g0 step-aligned
-        g0 = (max(0, a - halo) // step) * step
-        g1 = min(original_len, b + halo)
-        m = (b - a) // n
-        n_dom_w = n_domains_for(g1 - g0, tile, step)
+        g0, m, n_dom_w, lenw, _off = geo[k]
         if n_dom_w == 0:
             # shard past the end of usable signal: emit sentinels
             rec = np.zeros(m, dtype=MATCH_DTYPE)
@@ -293,17 +327,11 @@ def compress_audio_streaming(
             )
 
         g1p = min(L, b + halo)  # padded window end (samples)
-        lenw = g1p - g0
+        # shared unified bucket sizes (rbw/db/lb/nbw precomputed above);
         # shard-divisibility padding only on real meshes (see
         # models/encode.py: pad_to at dp=1/tp=1 would undo the
         # quarter-octave buckets' small-shape padding cap); coarse's tp
         # sharding splits the RANGE axis (encode._range_split_factor)
-        rbw = bucket(m, 256)
-        dbw = bucket(n_dom_w, 256)
-        db = pad_to(dbw, tp * 256) if tp > 1 else dbw
-        rsplit = _range_split_factor(cfg, n, db, dp, tp)
-        lb = (pad_to(rbw, rsplit * 256) if rsplit > 1 else rbw) * n
-        nbw = bucket(max(lenw, (a - g0) + lb), 4096)
         raw_p = np.zeros(nbw, dtype=raw_src.dtype)
         raw_p[:lenw] = raw_src[g0:g1p]
         vbits = np.zeros(nbw, np.uint8)

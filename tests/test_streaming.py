@@ -201,3 +201,24 @@ def test_short_encodes_interleave_with_streaming(monkeypatch):
         "short encodes should finish while the long streaming encode is "
         f"still in flight; completion order: {order}"
     )
+
+
+def test_streaming_uses_one_compiled_program_for_all_shards():
+    """Round-4 compile-count guarantee: the first shard (no left halo) and
+    the tail shard (short) must reuse the middle shards' bucket so a cold
+    long-file encode pays exactly ONE encode-core compile (on tunneled
+    hardware an extra compile costs minutes — docs/ROADMAP.md)."""
+    from fwav_tpu.models.encode import _encode_core
+
+    sig, sr = _sig(3.1)  # 3.1 s at 8 kHz -> 4 shards at 1<<13, short tail
+    _encode_core.cache_clear()
+    rec, _, n_ranges, N, tile, step, thr, olen = compress_audio_streaming(
+        sig, sr, 2, shard_samples=1 << 13, halo=1 << 11
+    )
+    info = _encode_core.cache_info()
+    assert info.currsize == 1, info
+    assert len(rec) == n_ranges
+    # and the records still decode sanely
+    bank = np.concatenate(list(domain_block_iter(sig, tile, N, step)))
+    out = decompress_audio(rec, bank, n_ranges, N, original_len=olen)
+    assert compute_snr(sig, out) > 4.0
