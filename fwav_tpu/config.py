@@ -96,6 +96,36 @@ class EncoderConfig:
     #: land well below the default profile on some content (the stored
     #: offsets serve the transform fit, not the piecewise-constant decode).
     objective: str = "balanced"
+    #: Streaming global-candidate pass (round 4): the time-sharded encoder
+    #: restricts each shard's search to its halo window, which starves the
+    #: clip-aware "damped" objective of feasible candidates on some content
+    #: (measured 31.4 vs 40.2 dB whole-file on the 100 s bench fixture —
+    #: remote winners are spread over the ENTIRE file, not clustered). When
+    #: on, a whole-file nomination scan (one range per `global_group`,
+    #: clip-aware top-`global_topc` over the stride-`global_stride`
+    #: subsampled bank) routes each range's remote candidates to the time
+    #: shard that owns them for FULL-RESOLUTION window refinement (coarse
+    #: grid granularity in stored records measurably poisons the damped
+    #: refit); the host then merges local vs global winners by exact
+    #: raw-scale gain. None (default) = auto: on for objective="damped"
+    #: in the streaming path, off otherwise (the balanced objective
+    #: measures halo-insensitive).
+    global_candidates: Optional[bool] = None
+    #: Whole-file nomination grid (rows of the subsampled bank). 512
+    #: measured EQUAL to 128 on the 100 s fixture (40.23 dB both in the
+    #: whole-file oracle) — the full-res refine window (1.25x stride)
+    #: absorbs the grid error. Note the nomination scan is O(M * D/stride)
+    #: = quadratic in duration; raise the stride for multi-hour content.
+    global_stride: int = 512
+    #: Ranges per shared nomination. Measured on the 100 s fixture
+    #: (group, topc): (1, 4) 38.57 dB / (2, 8) 38.20 / (2, 4) 36.83 /
+    #: (4, 1) 33.77 — per-range nominations with a 4-deep shortlist win,
+    #: and each pair's refinement cost dwarfs the shared nomination scan,
+    #: so grouping saves the wrong stage.
+    global_group: int = 1
+    #: Global lobes nominated per range (each refined at full resolution
+    #: by the time shard that owns its window, merged on the host).
+    global_topc: int = 4
     #: Domain-block size for the streaming search scan (HBM->VMEM tiles).
     domain_block: int = 2048
     #: Range-block size for the outer search loop (32k measured best for

@@ -120,6 +120,8 @@ def build_encode_core(
     mode: str = "raw",
     in_i16: bool = False,
     energy_thresh: float = None,
+    pair_pb: int = 0,
+    pair_stride: int = 512,
     dp: int = 1,
     tp: int = 1,
     dp_axis: str = "dp",
@@ -170,6 +172,7 @@ def build_encode_core(
     # axis must divide dp*tp ways there; exact/topk shard bank rows instead
     rsplit = dp * (tp if (tp > 1 and search == "coarse") else 1)
     assert mb % rsplit == 0 and db % tp == 0 and nb % 8 == 0
+    assert pair_pb == 0 or (mode == "masked" and pair_pb % (dp * tp) == 0)
     assert energy_thresh is not None
     thresh = float(energy_thresh)
 
@@ -594,8 +597,52 @@ def build_encode_core(
         scale = jnp.max(jnp.abs(rawf))
         return rawf, jnp.where(scale > 0, 1.0 / scale, 1.0)
 
+    def _pack3(code):
+        return jnp.stack(
+            [
+                (code & 0xFF).astype(jnp.uint8),
+                ((code >> 8) & 0xFF).astype(jnp.uint8),
+                ((code >> 16) & 0xFF).astype(jnp.uint8),
+            ],
+            axis=1,
+        )
+
+    def pair_refine(raw_norm, inv, n_domains, pranges, pcenters):
+        """Streaming global-candidate refinement (models.stream round 4),
+        piggybacked on the shard's program: full-resolution window
+        refinement of host-nominated remote candidates whose windows live
+        in THIS shard. Per-pair independent — under a mesh the pair slab
+        splits over every device (dp x tp flat); the per-pair program is
+        identical at every sharding, so pair codes are bit-equal to
+        single-device by the same construction as the range search. Only
+        the refined SELECTION leaves the device (3-byte window-local idx;
+        the host merges local vs global candidates by exact raw-scale
+        gain and refits the winner — ops.affine.damped_gain_host)."""
+        from ..ops.search import refine_from_lobes
+
+        if dp * tp > 1:
+            fid = jax.lax.axis_index(dp_axis) * tp + jax.lax.axis_index(tp_axis)
+            ploc = pair_pb // (dp * tp)
+            pranges = jax.lax.dynamic_slice(
+                pranges, (fid * ploc, jnp.int32(0)), (ploc, n)
+            )
+            pcenters = jax.lax.dynamic_slice(pcenters, (fid * ploc,), (ploc,))
+        bank = build_bank_jax(
+            raw_norm, tile_size, range_size, domain_step, db, n_domains
+        )
+        d_valid = jnp.arange(db, dtype=jnp.int32) < n_domains
+        pr = (pranges.astype(jnp.float32) if in_i16 else pranges) * inv
+        idx, _s, _o, _sym, _err, score = refine_from_lobes(
+            pr, bank, d_valid, None, pair_stride, s_clip, objective,
+            n_valid=jnp.asarray(n_domains, jnp.int32), return_score=True,
+            centers=pcenters[:, None],
+        )
+        return _pack3(
+            jnp.where(jnp.isfinite(score), idx, 0xFFFFFF).astype(jnp.int32)
+        )
+
     if mode == "masked":
-        def core(raw, mask_bytes, meta):
+        def core(raw, mask_bytes, meta, *pair_in):
             rawf, inv = _norm(raw)
             # per-sample voiced bits, little-endian within each byte —
             # expanded with shifts + reshape, no gather
@@ -608,7 +655,13 @@ def build_encode_core(
                 weighted, (jnp.asarray(meta[1], jnp.int32),), (lb,)
             )
             ranges = base.reshape(mb, n)
-            return finish(ranges, rawf * inv, meta[2], meta[3], inv)
+            codes = finish(ranges, rawf * inv, meta[2], meta[3], inv)
+            if pair_pb:
+                pcodes = pair_refine(
+                    rawf * inv, inv, meta[3], pair_in[0], pair_in[1]
+                )
+                return codes, pcodes
+            return codes
 
         return core
 
@@ -830,14 +883,26 @@ def compress_audio_packed(
 def _sharded_encode_core(mesh, dp_axis, n_in, *key):
     """jit(shard_map(core)) over a (dp, tp) mesh — one entry per
     (mesh, shape-bucket). Inputs replicated (`n_in` of them: 2 for
-    mode="raw", 3 for the streaming mode="masked" protocol); the (mb, 3)
-    idx-code output is stitched from per-device dp slabs."""
+    mode="raw", 3 for the streaming mode="masked" protocol, 5 with the
+    streaming global-candidate pair slab); the (mb, 3) idx-code output is
+    stitched from per-device dp slabs, the pair-code output from flat
+    dp x tp slabs (the core slices its own pair sub-slab by flat device
+    id — pair refinement is per-pair independent)."""
     from jax.sharding import PartitionSpec as P
 
+    # key layout ends (..., mode, in_i16, energy_thresh, pair_pb,
+    # pair_stride) before the dp/tp/axis tail appended by callers —
+    # _core_key is the single producer, so the offset is stable
+    pair_pb = key[20]
     core = build_encode_core(*key)
+    if pair_pb:
+        tp_axis = key[25]
+        out_specs = (P(dp_axis), P((dp_axis, tp_axis)))
+    else:
+        out_specs = P(dp_axis)
     return jax.jit(
         jax.shard_map(
-            core, mesh=mesh, in_specs=(P(),) * n_in, out_specs=P(dp_axis),
+            core, mesh=mesh, in_specs=(P(),) * n_in, out_specs=out_specs,
             check_vma=False,
         )
     )
@@ -1013,7 +1078,7 @@ def _as_i16_or_f32(signal: np.ndarray):
 
 
 def _core_key(cfg: EncoderConfig, nb: int, lb: int, db: int, mode: str,
-              in_i16: bool, tp: int = 1):
+              in_i16: bool, tp: int = 1, pair_pb: int = 0):
     """The jit-core cache key for one shape bucket — every static argument
     of build_encode_core in order (minus the trailing mesh args the sharded
     wrapper appends). Centralized so the single-shot, packed and streaming
@@ -1036,6 +1101,7 @@ def _core_key(cfg: EncoderConfig, nb: int, lb: int, db: int, mode: str,
         cfg.top_k, cfg.emb_dim, cfg.fast_mode, cfg.s_clip, cfg.domain_block,
         cfg.range_block, cfg.objective, stride, topc,
         bool(use_pallas), mode, in_i16, float(cfg.energy_thresh),
+        int(pair_pb), int(cfg.global_stride),
     )
 
 
