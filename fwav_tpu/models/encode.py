@@ -734,6 +734,7 @@ def compress_audio_arrays(
     cpu_workers=None,
     search: str = "auto",
     objective: str = "balanced",
+    global_candidates: bool | None = None,
     config: EncoderConfig | None = None,
 ):
     """Fast-path encode returning a packed match record array.
@@ -742,6 +743,9 @@ def compress_audio_arrays(
     cpu_workers, domains_tmpdir, transient_weight, n_mels) are accepted for
     API compatibility; on TPU there are no worker processes, no ANN index and
     no memmap staging for in-memory signals, so they are no-ops.
+    `global_candidates` is likewise a no-op here (single-shot encodes always
+    search the whole bank); it rides the config so file-level callers can
+    pass one kwarg set to both this and the streaming path.
     """
     del ef_search, use_gpu, domains_tmpdir, batch_size_gpu, batch_size_cpu
     del transient_weight, n_mels, cpu_workers
@@ -755,6 +759,7 @@ def compress_audio_arrays(
         fast_mode=fast_mode,
         search=search,
         objective=objective,
+        global_candidates=global_candidates,
     )
     range_size = cfg.range_size
     domain_step = cfg.domain_step
@@ -785,6 +790,7 @@ def compress_audio_packed(
     fast_mode: bool = True,
     search: str = "auto",
     objective: str = "balanced",
+    global_candidates: bool | None = None,  # no-op: whole-bank search
     config: EncoderConfig | None = None,
 ):
     """Encode MANY short signals with one device dispatch per same-bucket
@@ -809,6 +815,7 @@ def compress_audio_packed(
     Returns a list of compress_audio_arrays-shaped 8-tuples, input order.
     """
     del framerate, sampwidth  # shape-independent; kept for API symmetry
+    del global_candidates  # streaming-only knob (see compress_audio_arrays)
     device_banner()
     cfg = config or EncoderConfig(
         tile_size=tile_size, energy_thresh=energy_thresh,

@@ -272,9 +272,11 @@ def _merge_global(rec, pairs, pair_codes, geo, signal, weighted, tile, n,
     )
     take = g_b > gain_l
     rix_t, row_t = rix_b[take], row_b[take]
-    logger.debug(
-        "global-candidate merge: %d/%d pairs live, %d/%d ranges improved",
-        len(rix), int(pairs.start[-1]), len(rix_t), len(rix_b),
+    # observability parity with the reference's convergence/coverage INFO
+    # logs (fractal.py:1464-1466 family)
+    logger.info(
+        "Global-candidate pass: %d pairs refined, %d/%d ranges improved",
+        int(pairs.start[-1]), len(rix_t), len(rix_b),
     )
     if len(rix_t) == 0:
         return rec
