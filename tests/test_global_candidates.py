@@ -128,6 +128,36 @@ def test_global_pass_resume(tmp_path, enc):
     assert os.path.exists(pfiles[0])  # re-written by the re-encode
 
 
+def test_damped_gain_host_matches_device_objective():
+    # the host merge (float64, ops.affine.damped_gain_host) must score with
+    # the SAME clip-aware objective as the device selection
+    # (ops.search._gain_from_num with domain_thresh), or the merge could
+    # overturn device-preferred winners; assert value agreement at f32
+    # precision on random data, clipped and unclipped branches both hit
+    import jax.numpy as jnp
+
+    from fwav_tpu.ops.affine import damped_gain_host
+    from fwav_tpu.ops.search import _window_gains
+
+    rng = np.random.default_rng(7)
+    M, N, D = 256, 4, 512
+    ranges = rng.standard_normal((M, N)).astype(np.float32)
+    # scale spread forces both the quadratic and the clipped branch
+    ranges[: M // 2] *= 64.0
+    bank = rng.standard_normal((D, N)).astype(np.float32)
+    cand = rng.integers(0, D, size=M).astype(np.int32)
+
+    host = damped_gain_host(ranges, bank[cand], s_clip=16.0)
+
+    r_t = jnp.asarray(ranges).T
+    r_c = r_t - jnp.mean(r_t, axis=0)[None, :]
+    dev, _ = _window_gains(
+        r_c, jnp.asarray(bank).T, jnp.asarray(cand)[None, :],
+        jnp.ones((1, M), bool), "damped", 16.0,
+    )
+    np.testing.assert_allclose(host, np.asarray(dev[0]), rtol=2e-4)
+
+
 def test_refine_centers_matches_coarse_path():
     # refine_from_lobes(centers=...) is the same refinement as the coarse
     # protocol when the centers sit exactly on the coarse grid
