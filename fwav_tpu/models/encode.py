@@ -120,8 +120,6 @@ def build_encode_core(
     mode: str = "raw",
     in_i16: bool = False,
     energy_thresh: float = None,
-    pair_pb: int = 0,
-    pair_stride: int = 512,
     dp: int = 1,
     tp: int = 1,
     dp_axis: str = "dp",
@@ -167,12 +165,12 @@ def build_encode_core(
     n = range_size
     mb = lb // n
     dblk = _pow2_divisor(db, domain_block)
-    assert mode in ("raw", "masked")
+    assert mode in ("raw", "masked", "global")
     # coarse's tp sharding splits RANGES (see finish below), so the range
     # axis must divide dp*tp ways there; exact/topk shard bank rows instead
     rsplit = dp * (tp if (tp > 1 and search == "coarse") else 1)
     assert mb % rsplit == 0 and db % tp == 0 and nb % 8 == 0
-    assert pair_pb == 0 or (mode == "masked" and pair_pb % (dp * tp) == 0)
+    assert mode != "global" or dp * tp == 1  # the pass runs unsharded
     assert energy_thresh is not None
     thresh = float(energy_thresh)
 
@@ -597,71 +595,117 @@ def build_encode_core(
         scale = jnp.max(jnp.abs(rawf))
         return rawf, jnp.where(scale > 0, 1.0 / scale, 1.0)
 
-    def _pack3(code):
-        return jnp.stack(
-            [
-                (code & 0xFF).astype(jnp.uint8),
-                ((code >> 8) & 0xFF).astype(jnp.uint8),
-                ((code >> 16) & 0xFF).astype(jnp.uint8),
-            ],
-            axis=1,
+    def _mask_weighted(raw, mask_bytes):
+        """Shared by masked/global: normalized voiced-weighted signal from
+        the packed per-sample VAD bits (little-endian within each byte —
+        expanded with shifts + reshape, no gather)."""
+        rawf, inv = _norm(raw)
+        bits = (
+            mask_bytes[:, None]
+            >> jnp.arange(8, dtype=mask_bytes.dtype)[None, :]
+        ) & 1
+        weighted = rawf * (bits.reshape(nb).astype(jnp.float32) * inv)
+        return rawf, inv, weighted
+
+    if mode == "global":
+        # Whole-file global-candidate pass (models.stream._global_pass,
+        # round 4): a halo-restricted time shard starves the clip-aware
+        # "damped" objective on content whose self-similarity is not local
+        # (the reference searches every domain for every range,
+        # fractal.py:556-632). This core nominates the top-C remote windows
+        # for EVERY range against the stride-subsampled whole-file bank,
+        # refines each lobe column at full resolution (staged XLA window
+        # descent — a grid-snapped candidate costs 12-25 dB, so nominations
+        # only pick windows), and compares the best against the shard-local
+        # winner ON DEVICE with one consistent f32 metric. Only winner
+        # indices cross D2H (int32 — a whole-file row can exceed the
+        # shards' 3-byte protocol) and the host refits them against the
+        # serialized bank, so the exact-refit invariant holds and the pass
+        # has no host-side merge math at all. Runs unsharded even under a
+        # mesh: one replicated program -> identical records at every
+        # (dp, tp). fn(raw (nb,), mask_bytes (nb/8,), meta int32[4] =
+        # [n_samples, 0, n_ranges, n_domains_total], local_rows (mb,)
+        # int32, -1 = dead/sentinel). Returns (mb,) int32: the winning
+        # global row where a nominated candidate STRICTLY beats the local
+        # winner, else -1 (sentinel ranges are never resurrected).
+        from ..ops.search import (
+            _window_gains,
+            domain_thresh,
+            domain_weights,
+            gain_topk_scan,
+            refine_from_lobes,
         )
 
-    def pair_refine(raw_norm, inv, n_domains, pranges, pcenters):
-        """Streaming global-candidate refinement (models.stream round 4),
-        piggybacked on the shard's program: full-resolution window
-        refinement of host-nominated remote candidates whose windows live
-        in THIS shard. Per-pair independent — under a mesh the pair slab
-        splits over every device (dp x tp flat); the per-pair program is
-        identical at every sharding, so pair codes are bit-equal to
-        single-device by the same construction as the range search. Only
-        the refined SELECTION leaves the device (3-byte window-local idx;
-        the host merges local vs global candidates by exact raw-scale
-        gain and refits the winner — ops.affine.damped_gain_host)."""
-        from ..ops.search import refine_from_lobes
+        stride, topc = coarse_stride, coarse_topc
+        assert db % stride == 0
+        dc = db // stride
+        cdblk = _pow2_divisor(dc, domain_block)
+        grblk = _pow2_divisor(mb, range_block)
 
-        if dp * tp > 1:
-            fid = jax.lax.axis_index(dp_axis) * tp + jax.lax.axis_index(tp_axis)
-            ploc = pair_pb // (dp * tp)
-            pranges = jax.lax.dynamic_slice(
-                pranges, (fid * ploc, jnp.int32(0)), (ploc, n)
+        def core(raw, mask_bytes, meta, local_rows):
+            rawf, inv, weighted = _mask_weighted(raw, mask_bytes)
+            base = weighted[:lb] if lb <= nb else jnp.concatenate(
+                [weighted, jnp.zeros(lb - nb, jnp.float32)]
             )
-            pcenters = jax.lax.dynamic_slice(pcenters, (fid * ploc,), (ploc,))
-        bank = build_bank_jax(
-            raw_norm, tile_size, range_size, domain_step, db, n_domains
-        )
-        d_valid = jnp.arange(db, dtype=jnp.int32) < n_domains
-        pr = (pranges.astype(jnp.float32) if in_i16 else pranges) * inv
-        idx, _s, _o, _sym, _err, score = refine_from_lobes(
-            pr, bank, d_valid, None, pair_stride, s_clip, objective,
-            n_valid=jnp.asarray(n_domains, jnp.int32), return_score=True,
-            centers=pcenters[:, None],
-        )
-        return _pack3(
-            jnp.where(jnp.isfinite(score), idx, 0xFFFFFF).astype(jnp.int32)
-        )
+            ranges = base.reshape(mb, n)
+            n_domains = jnp.asarray(meta[3], jnp.int32)
+            bank = build_bank_jax(
+                rawf * inv, tile_size, range_size, domain_step, db, n_domains
+            )
+            d_valid = jnp.arange(db, dtype=jnp.int32) < n_domains
+            # nomination stats on the subsampled rows only (per-row
+            # quantities — bit-equal to subsampling full-bank weights)
+            bank_sub = bank.reshape(dc, stride, n)[:, 0, :]
+            sub_mean, sub_denom = affine_stats(bank_sub)
+            w_sub = domain_weights(sub_mean, sub_denom, n, objective)
+            t_sub = domain_thresh(sub_denom, objective, s_clip)
+            v_sub = d_valid.reshape(dc, stride)[:, 0]
+
+            def do_block(rb):
+                r_c = rb - jnp.mean(rb, axis=1, keepdims=True)
+                lobes = gain_topk_scan(
+                    r_c, bank_sub, w_sub, v_sub, topc, cdblk,
+                    d_thresh=t_sub, s_clip=s_clip,
+                )                                               # (m, C)
+                best_s = jnp.full(rb.shape[0], -jnp.inf, jnp.float32)
+                best_i = jnp.zeros(rb.shape[0], jnp.int32)
+                for c_i in range(topc):
+                    i_c, _s2, _o2, _y2, _e2, s_c = refine_from_lobes(
+                        rb, bank, d_valid, lobes[:, c_i : c_i + 1], stride,
+                        s_clip, objective, return_score=True,
+                    )
+                    take = s_c > best_s  # earlier (higher) lobe wins ties
+                    best_s = jnp.where(take, s_c, best_s)
+                    best_i = jnp.where(take, i_c, best_i)
+                return best_i, best_s
+
+            gi, gs = jax.lax.map(
+                do_block, ranges.reshape(mb // grblk, grblk, n)
+            )
+            gi, gs = gi.reshape(mb), gs.reshape(mb)
+            # the shard-local winner's gain on the SAME device bank — one
+            # consistent f32 metric on both sides of the comparison; the
+            # host-refit stored values are unaffected by which side wins
+            r_t = ranges.T
+            r_c = r_t - jnp.mean(r_t, axis=0)[None, :]
+            live = local_rows >= 0
+            ls, _ = _window_gains(
+                r_c, bank.T, jnp.clip(local_rows, 0, db - 1)[None, :],
+                live[None, :], objective, s_clip,
+            )
+            win = jnp.isfinite(gs) & (gs > ls[0]) & live
+            return jnp.where(win, gi, -1).astype(jnp.int32)
+
+        return core
 
     if mode == "masked":
-        def core(raw, mask_bytes, meta, *pair_in):
-            rawf, inv = _norm(raw)
-            # per-sample voiced bits, little-endian within each byte —
-            # expanded with shifts + reshape, no gather
-            bits = (
-                mask_bytes[:, None]
-                >> jnp.arange(8, dtype=mask_bytes.dtype)[None, :]
-            ) & 1
-            weighted = rawf * (bits.reshape(nb).astype(jnp.float32) * inv)
+        def core(raw, mask_bytes, meta):
+            rawf, inv, weighted = _mask_weighted(raw, mask_bytes)
             base = jax.lax.dynamic_slice(
                 weighted, (jnp.asarray(meta[1], jnp.int32),), (lb,)
             )
             ranges = base.reshape(mb, n)
-            codes = finish(ranges, rawf * inv, meta[2], meta[3], inv)
-            if pair_pb:
-                pcodes = pair_refine(
-                    rawf * inv, inv, meta[3], pair_in[0], pair_in[1]
-                )
-                return codes, pcodes
-            return codes
+            return finish(ranges, rawf * inv, meta[2], meta[3], inv)
 
         return core
 
@@ -890,26 +934,14 @@ def compress_audio_packed(
 def _sharded_encode_core(mesh, dp_axis, n_in, *key):
     """jit(shard_map(core)) over a (dp, tp) mesh — one entry per
     (mesh, shape-bucket). Inputs replicated (`n_in` of them: 2 for
-    mode="raw", 3 for the streaming mode="masked" protocol, 5 with the
-    streaming global-candidate pair slab); the (mb, 3) idx-code output is
-    stitched from per-device dp slabs, the pair-code output from flat
-    dp x tp slabs (the core slices its own pair sub-slab by flat device
-    id — pair refinement is per-pair independent)."""
+    mode="raw", 3 for the streaming mode="masked" protocol); the (mb, 3)
+    idx-code output is stitched from per-device dp slabs."""
     from jax.sharding import PartitionSpec as P
 
-    # key layout ends (..., mode, in_i16, energy_thresh, pair_pb,
-    # pair_stride) before the dp/tp/axis tail appended by callers —
-    # _core_key is the single producer, so the offset is stable
-    pair_pb = key[20]
     core = build_encode_core(*key)
-    if pair_pb:
-        tp_axis = key[25]
-        out_specs = (P(dp_axis), P((dp_axis, tp_axis)))
-    else:
-        out_specs = P(dp_axis)
     return jax.jit(
         jax.shard_map(
-            core, mesh=mesh, in_specs=(P(),) * n_in, out_specs=out_specs,
+            core, mesh=mesh, in_specs=(P(),) * n_in, out_specs=P(dp_axis),
             check_vma=False,
         )
     )
@@ -1085,7 +1117,7 @@ def _as_i16_or_f32(signal: np.ndarray):
 
 
 def _core_key(cfg: EncoderConfig, nb: int, lb: int, db: int, mode: str,
-              in_i16: bool, tp: int = 1, pair_pb: int = 0):
+              in_i16: bool, tp: int = 1):
     """The jit-core cache key for one shape bucket — every static argument
     of build_encode_core in order (minus the trailing mesh args the sharded
     wrapper appends). Centralized so the single-shot, packed and streaming
@@ -1103,12 +1135,20 @@ def _core_key(cfg: EncoderConfig, nb: int, lb: int, db: int, mode: str,
     topc = cfg.coarse_topc
     if cfg.objective == "damped" and search_mode == "coarse":
         topc = max(topc, 4)
+    if mode == "global":
+        # the whole-file global-candidate pass rides the coarse knob slots:
+        # its nomination grid and lobe depth are the global_* config fields
+        # (models.stream._global_pass), and the Pallas kernels stay off —
+        # the window-refine kernel's VMEM means budget cannot hold a
+        # whole-file sequence, and the staged XLA descent is the portable
+        # path the design was measured on
+        search_mode, stride, topc = "coarse", cfg.global_stride, cfg.global_topc
+        use_pallas = False
     return (
         nb, lb, db, cfg.tile_size, range_size, cfg.domain_step, search_mode,
         cfg.top_k, cfg.emb_dim, cfg.fast_mode, cfg.s_clip, cfg.domain_block,
         cfg.range_block, cfg.objective, stride, topc,
         bool(use_pallas), mode, in_i16, float(cfg.energy_thresh),
-        int(pair_pb), int(cfg.global_stride),
     )
 
 

@@ -36,7 +36,6 @@ from __future__ import annotations
 import dataclasses
 import logging
 import os
-from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
@@ -65,231 +64,98 @@ DEFAULT_SHARD = 1 << 20
 DEFAULT_HALO = 1 << 18
 
 
-@lru_cache(maxsize=8)
-def _nominate_core(n, topc, blk, s_clip, objective, in_i16):
-    """Whole-file nomination scan for the streaming global-candidate pass
-    (one jitted program per knob set; jit re-specializes per shape bucket).
-    Scores a block of ranges against the stride-subsampled whole-file bank
-    with the production selection gain (clip-aware for "damped") and
-    returns the top-`topc` subsampled rows per range (-1 = none). Runs
-    UNSHARDED even under a mesh: the scan is tiny next to the shard
-    searches, and one replicated program keeps nominations — and therefore
-    every downstream pair slab — identical across (dp, tp) by construction."""
-    from ..ops.affine import affine_stats
-    from ..ops.search import domain_thresh, domain_weights, gain_topk_scan
-
-    def core(reps, bank_sub, valid):
-        r = reps.astype(jnp.float32) if in_i16 else reps
-        r_c = r - jnp.mean(r, axis=1)[:, None]
-        mean, denom = affine_stats(bank_sub)
-        w = domain_weights(mean, denom, n, objective)
-        t = domain_thresh(denom, objective, s_clip)
-        return gain_topk_scan(r_c, bank_sub, w, valid, topc, blk,
-                              d_thresh=t, s_clip=s_clip)
-
-    return jax.jit(core)
+#: Whole-file banks above this many rows (~1.7 h of 44.1 kHz at step 1;
+#: 4.3 GiB of HBM) skip the global pass instead of risking the device's
+#: memory — quality falls back to the halo-local search.
+GLOBAL_PASS_MAX_ROWS = 1 << 28
 
 
-@dataclasses.dataclass
-class _GlobalPairs:
-    """Host-side routing table for the global-candidate pass: the flat
-    (range, whole-file window center) pair list, sorted by owning time
-    shard. `slab(k, row0)` materializes shard k's padded device inputs."""
-
-    pb: int                # unified pair-slab bucket (rows per dispatch)
-    n: int                 # range_size
-    rix: np.ndarray        # (P,) pair range indices, shard-sorted
-    row: np.ndarray        # (P,) pair window centers, GLOBAL bank rows
-    start: np.ndarray      # (n_shards + 1,) shard offsets into rix/row
-    w_src: np.ndarray      # (M, n) weighted ranges in transport dtype
-
-    def count(self, k):
-        return int(self.start[k + 1] - self.start[k])
-
-    def slab(self, k, row0):
-        s, e = int(self.start[k]), int(self.start[k + 1])
-        pr = np.zeros((self.pb, self.n), self.w_src.dtype)
-        pc = np.full(self.pb, -1, np.int32)
-        pr[: e - s] = self.w_src[self.rix[s:e]]
-        pc[: e - s] = (self.row[s:e] - row0).astype(np.int32)
-        return pr, pc
-
-
-def _nominate_global_pairs(
-    signal, raw_src, voiced_p, cfg, bounds, geo, shard_samples, tile, step,
-    original_len, nsplit,
-):
-    """Build the global-candidate pair list (VERDICT r3 item 5).
+def _global_pass(rec, signal, weighted, raw_src, voiced_p, cfg,
+                 original_len, in_i16):
+    """Whole-file global-candidate pass (VERDICT r3 item 5).
 
     The time-sharded encoder restricts each shard's search to its halo
     window; on content whose self-similarity is NOT local, the clip-aware
     "damped" objective starves (31.4 dB vs the 40.2 dB whole-file oracle on
     the 100 s bench fixture — the reference searches the full bank for
-    every range, fractal.py:556-632). Recovery, measured at 38.57 dB:
+    every range, fractal.py:556-632). Recovery, measured at 38.6 dB: ONE
+    extra device dispatch (models.encode build_encode_core mode="global")
+    that nominates top-C whole-file windows per range on the
+    stride-subsampled bank, refines each at full resolution, and compares
+    against the shard-local winner on device — only winning indices cross
+    D2H (int32), and this host refits them against the serialized bank
+    rows, so the exact-refit invariant holds and the host does no merge
+    math at all (an earlier host-merge design cost ~27 s per 100 s file on
+    a 1-core host). The dispatch runs unsharded even under a mesh: one
+    replicated program keeps records identical across (dp, tp).
 
-    1. NOMINATE whole-file windows per range: a device scan of every range
-       against the stride-`global_stride` subsampled whole-file bank keeps
-       the top-`global_topc` gain lobes. Grid-granularity candidates are
-       POISON for the damped profile (snapping the winner to a stride-4
-       grid costs 12 dB) — nominations only pick WINDOWS; the owning shard
-       refines at full resolution.
-    2. ROUTE each pair to the time shard whose signal window contains the
-       nominated center (every shard sees +/- halo >> the refine window, so
-       the shard-local refinement is bit-identical to a whole-file one).
-    3. The shards' existing programs REFINE the pairs (models.encode
-       pair_refine — same kernels, per-pair independent, idx-only D2H) and
-       the host MERGES local vs global winners by exact float64 raw-scale
-       gain on the serialized bank rows (ops.affine.damped_gain_host), then
-       refits — deterministic and identical across (dp, tp) shardings.
-
-    Returns a _GlobalPairs or None (nothing to nominate).
+    Mutates and returns `rec`.
     """
+    from ..ops.affine import refit_host
+    from ..ops.domains import bank_rows_host
+    from ..utils.buckets import bucket, pad_to
+
     n = cfg.range_size
+    tile, step = cfg.tile_size, cfg.domain_step
     stride = cfg.global_stride
     d_total = n_domains_for(original_len, tile, step)
     if d_total <= 2 * stride:
-        return None
-    dc = (d_total + stride - 1) // stride
-    rows = np.arange(dc, dtype=np.int64) * stride
-    from ..ops.domains import bank_rows_host
+        return rec  # the subsampled grid would be degenerate
+    if d_total > GLOBAL_PASS_MAX_ROWS:
+        logger.warning(
+            "Global-candidate pass skipped: %d bank rows exceed the "
+            "whole-file device budget (%d); quality falls back to the "
+            "halo-local search", d_total, GLOBAL_PASS_MAX_ROWS,
+        )
+        return rec
 
-    bank_sub = bank_rows_host(
-        np.asarray(signal, np.float32), tile, n, step, rows
-    )
-    blk = 2048
-    dcb = ((dc + blk - 1) // blk) * blk
-    bs = np.zeros((dcb, n), np.float32)
-    bs[:dc] = bank_sub
-    valid = np.zeros(dcb, bool)
-    valid[:dc] = True
+    L = len(raw_src)
+    m = L // n
+    assert m == len(rec)
+    lb = bucket(m, 256) * n
+    # db must divide by the nomination stride; bucketing the SUBSAMPLED
+    # row count keeps a healthy power-of-two block factor for the scan
+    dc = bucket(-(-d_total // stride), 16)
+    db = dc * stride
+    nb = bucket(max(L, lb), 4096)
 
-    # weighted ranges in the transport dtype: voiced is {0,1}, so the
-    # product stays 16-bit-exact on int16 content
-    w_src = (raw_src * voiced_p.astype(raw_src.dtype)).reshape(-1, n)
-    m_total = len(w_src)
-    in_i16 = raw_src.dtype == np.int16
-    g = max(1, cfg.global_group)
-    reps_idx = np.arange(0, m_total, g)
+    raw_p = np.zeros(nb, dtype=raw_src.dtype)
+    raw_p[:L] = raw_src
+    vbits = np.zeros(nb, np.uint8)
+    vbits[:L] = voiced_p
+    mask_bytes = np.packbits(vbits, bitorder="little")
+    meta = np.array([L, 0, m, d_total], np.int32)
+    lrows = np.full(lb // n, -1, np.int32)
+    lrows[:m] = rec["idx"]
 
-    core = _nominate_core(
-        n, cfg.global_topc, blk, cfg.s_clip, cfg.objective, in_i16
-    )
-    rb = 32768
-    bs_j = jnp.asarray(bs)
-    valid_j = jnp.asarray(valid)
-    outs = []
+    key = _core_key(cfg, nb, lb, db, "global", in_i16)
+    core = _encode_core(*key)
     with DEVICE_LOCK:
-        for a in range(0, len(reps_idx), rb):
-            take = reps_idx[a : a + rb]
-            blkv = np.zeros((rb, n), raw_src.dtype)
-            blkv[: len(take)] = w_src[take]
-            outs.append(core(jnp.asarray(blkv), bs_j, valid_j))
-        lobes = np.concatenate(
-            [np.asarray(x) for x in jax.device_get(outs)]
-        )[: len(reps_idx)]
+        winners = np.asarray(jax.device_get(core(
+            jnp.asarray(raw_p), jnp.asarray(mask_bytes), jnp.asarray(meta),
+            jnp.asarray(lrows),
+        )))[:m]
 
-    cent = np.minimum(lobes.astype(np.int64) * stride, d_total - 1)
-    ok = lobes >= 0
-    # expand group nominations to every member range; all-zero (VAD-silent)
-    # ranges can never improve (their gain is 0 against any tile)
-    cent_r = np.repeat(cent, g, axis=0)[:m_total]
-    ok_r = np.repeat(ok, g, axis=0)[:m_total] & w_src.any(axis=1)[:, None]
-    rix, cc = np.nonzero(ok_r)
-    row = cent_r[rix, cc]
-    if len(rix) == 0:
-        return None
-
-    # owning shard: the one whose signal slice contains the window-start
-    # sample — its domain window then has >= halo - W/2 rows of margin each
-    # side (or coincides with the file edge exactly like the whole-file
-    # clamp), so the shard-local refinement math is identical to whole-file
-    shard_of = np.minimum(row * step // shard_samples, len(bounds) - 1)
-    order = np.argsort(shard_of, kind="stable")
-    rix, row, shard_of = rix[order], row[order], shard_of[order]
-    start = np.searchsorted(shard_of, np.arange(len(bounds) + 1))
-    counts = np.diff(start)
-    # shards with an empty domain window never dispatch; they cannot own a
-    # valid global center (its domain is resident in the window by
-    # construction), so no pair can be routed to one
-    assert all(counts[k] == 0 for k in range(len(bounds)) if geo[k][2] == 0)
-
-    from ..utils.buckets import bucket as _bucket
-    from ..utils.buckets import pad_to as _pad_to
-
-    pb = _pad_to(_bucket(int(counts.max()), 256), 256 * nsplit)
-    return _GlobalPairs(pb=pb, n=n, rix=rix, row=row, start=start,
-                        w_src=w_src)
-
-
-def _merge_global(rec, pairs, pair_codes, geo, signal, weighted, tile, n,
-                  step, s_clip):
-    """Host merge of the global-candidate pass: decode each shard's pair
-    codes to GLOBAL bank rows, score every surviving pair and the local
-    winner with the exact float64 clip-aware gain on the serialized bank
-    rows (ops.affine.damped_gain_host), and refit where a global candidate
-    strictly beats the local one (ties keep local; among globals: max gain,
-    then lowest row — all host math, so the outcome is bit-identical for
-    every (dp, tp) sharding). Mutates and returns `rec`."""
-    from ..ops.affine import damped_gain_host, refit_host
-    from ..ops.domains import bank_rows_host
-
-    rix_all, row_all = [], []
-    for k, codes in enumerate(pair_codes):
-        cnt = pairs.count(k)
-        if codes is None or cnt == 0:
-            continue
-        b3 = codes[:cnt].astype(np.int64)
-        c = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
-        live = c != 0xFFFFFF
-        s0 = int(pairs.start[k])
-        rix_all.append(pairs.rix[s0 : s0 + cnt][live])
-        row_all.append(c[live] + geo[k][0] // step)
-    if not rix_all:
-        return rec
-    rix = np.concatenate(rix_all)
-    rowg = np.concatenate(row_all)
-    ranges = weighted.reshape(-1, n)
-
-    gain_g = damped_gain_host(
-        ranges[rix], bank_rows_host(signal, tile, n, step, rowg), s_clip
-    )
-    # best global candidate per range: max gain, tie -> lowest row
-    ordk = np.lexsort((rowg, -gain_g, rix))
-    rix_s, row_s, g_s = rix[ordk], rowg[ordk], gain_g[ordk]
-    first = np.ones(len(rix_s), bool)
-    first[1:] = rix_s[1:] != rix_s[:-1]
-    rix_b, row_b, g_b = rix_s[first], row_s[first], g_s[first]
-
-    lrow = rec["idx"][rix_b].astype(np.int64)
-    live_l = lrow >= 0  # energy-pruned / sentinel ranges stay sentinels
-    rix_b, row_b, g_b, lrow = (
-        rix_b[live_l], row_b[live_l], g_b[live_l], lrow[live_l]
-    )
-    if len(rix_b) == 0:
-        return rec
-    gain_l = damped_gain_host(
-        ranges[rix_b], bank_rows_host(signal, tile, n, step, lrow), s_clip
-    )
-    take = g_b > gain_l
-    rix_t, row_t = rix_b[take], row_b[take]
+    imp = winners >= 0
     # observability parity with the reference's convergence/coverage INFO
     # logs (fractal.py:1464-1466 family)
     logger.info(
-        "Global-candidate pass: %d pairs refined, %d/%d ranges improved",
-        int(pairs.start[-1]), len(rix_t), len(rix_b),
+        "Global-candidate pass: %d/%d ranges improved",
+        int(imp.sum()), int((rec["idx"] >= 0).sum()),
     )
-    if len(rix_t) == 0:
+    if not imp.any():
         return rec
-    tiles_t = bank_rows_host(signal, tile, n, step, row_t)
+    rows = winners[imp].astype(np.int64)
+    tiles = bank_rows_host(signal, tile, n, step, rows)
     s, o, err, sym = refit_host(
-        np.ascontiguousarray(ranges[rix_t]), tiles_t,
-        np.arange(len(row_t), dtype=np.int32), s_clip,
+        np.ascontiguousarray(weighted.reshape(-1, n)[imp]), tiles,
+        np.arange(len(rows), dtype=np.int32), cfg.s_clip,
     )
-    rec["idx"][rix_t] = row_t.astype(np.int32)
-    rec["s"][rix_t] = s
-    rec["o"][rix_t] = o
-    rec["sym"][rix_t] = sym
-    rec["err"][rix_t] = err
+    rec["idx"][imp] = winners[imp]
+    rec["s"][imp] = s
+    rec["o"][imp] = o
+    rec["sym"][imp] = sym
+    rec["err"][imp] = err
     return rec
 
 
@@ -435,15 +301,6 @@ def compress_audio_streaming(
     def _ckpt(k):
         return os.path.join(resume_dir, f"shard_{k:06d}.npy") if resume_dir else None
 
-    def _pckpt(k):
-        # the shard's global-candidate pair codes (only written when the
-        # pass is on; the fingerprint namespaces by cfg, so a resume with
-        # different global_* knobs can never see these)
-        return (
-            os.path.join(resume_dir, f"shard_{k:06d}_pairs.npy")
-            if resume_dir else None
-        )
-
     def _spawn_fetcher(codes):
         # fetch from a thread that blocks in C (GIL released): the host
         # refit/checkpoint/next-shard prep below then overlap the fetch
@@ -458,9 +315,7 @@ def compress_audio_streaming(
         def run():
             try:
                 with DEVICE_LOCK:
-                    # codes is the core output: an array, or with the
-                    # global-candidate pass a (codes, pair_codes) tuple
-                    box["out"] = jax.device_get(codes)
+                    box["codes"] = np.asarray(jax.device_get(codes))
             except BaseException as e:  # surfaced at join
                 box["exc"] = e
 
@@ -474,12 +329,7 @@ def compress_audio_streaming(
         fetcher.join()
         if "exc" in box:
             raise box["exc"]
-        out = box["out"]
-        if pair_pb:
-            codes, pair_codes[k] = np.asarray(out[0]), np.asarray(out[1])
-        else:
-            codes = np.asarray(out)
-        b3 = codes[:m].astype(np.int32)
+        b3 = box["codes"][:m].astype(np.int32)
         slots[k] = rec = _refit_shard(
             b3, signal, weighted[a:b].reshape(m, n), g0 // step, tile, n,
             step, cfg.s_clip,
@@ -492,14 +342,6 @@ def compress_audio_streaming(
             with open(tmp, "wb") as f:  # np.save(path) would append .npy
                 np.save(f, rec)
             os.replace(tmp, _ckpt(k))
-            if pair_pb:
-                # pair codes checkpoint alongside (same crash-safety): the
-                # merge needs every shard's refinements, including shards
-                # later resumed from disk
-                tmp = _pckpt(k) + ".tmp"
-                with open(tmp, "wb") as f:
-                    np.save(f, pair_codes[k])
-                os.replace(tmp, _pckpt(k))
 
     # TWO-DEEP pipeline (VERDICT r2 item 7): shard k's FETCHER is spawned
     # only after shard k+1's dispatch is enqueued, so the device computes
@@ -545,21 +387,6 @@ def compress_audio_streaming(
             4096,
         )
 
-    # global-candidate pass (VERDICT r3 item 5): auto-on for the clip-aware
-    # damped objective whenever the search is actually halo-restricted
-    # (a single shard's window already spans the whole file)
-    gc_on = cfg.global_candidates
-    if gc_on is None:
-        gc_on = cfg.objective == "damped" and len(bounds) > 1
-    pairs = None
-    if gc_on and live_geo:
-        pairs = _nominate_global_pairs(
-            signal, raw_src, voiced_p, cfg, bounds, geo, shard_samples,
-            tile, step, original_len, dp * tp,
-        )
-    pair_pb = pairs.pb if pairs is not None else 0
-    pair_codes = [None] * len(bounds)
-
     def _advance(next_dispatched):
         nonlocal dispatched, fetching
         if dispatched is not None:
@@ -576,28 +403,11 @@ def compress_audio_streaming(
                 rec = np.load(_ckpt(k))
             except Exception:  # corrupt/foreign checkpoint -> re-encode
                 rec = None
-            pcs = None
-            if rec is not None and pair_pb:
-                # the merge needs this shard's pair refinements too; a
-                # missing/foreign pairs file voids the checkpoint (the
-                # nomination rerun is deterministic, so a valid file's slab
-                # layout always matches)
-                try:
-                    pcs = np.load(_pckpt(k))
-                except Exception:
-                    pcs = None
-                if not (
-                    isinstance(pcs, np.ndarray) and pcs.dtype == np.uint8
-                    and pcs.shape == (pair_pb, 3)
-                ):
-                    rec = None
             if (
                 rec is not None and rec.dtype == MATCH_DTYPE
                 and len(rec) == (b - a) // n
             ):
                 slots[k] = rec
-                if pair_pb:
-                    pair_codes[k] = pcs
                 continue  # resume: shard already encoded
         # domain neighborhood: windows starting in [g0, g1), g0 step-aligned
         g0, m, n_dom_w, lenw, _off = geo[k]
@@ -628,22 +438,19 @@ def compress_audio_streaming(
         meta = np.array([lenw, a - g0, m, n_dom_w], np.int32)
 
         # shared cache-key builder (also runs the tp-composition check)
-        key = _core_key(cfg, nbw, lb, db, "masked", in_i16, tp, pair_pb)
+        key = _core_key(cfg, nbw, lb, db, "masked", in_i16, tp)
         if mesh is not None:
             from ..parallel.mesh import DP_AXIS, TP_AXIS
 
             core = _sharded_encode_core(
-                mesh, DP_AXIS, 5 if pair_pb else 3, *key,
-                dp, tp, DP_AXIS, TP_AXIS,
+                mesh, DP_AXIS, 3, *key, dp, tp, DP_AXIS, TP_AXIS
             )
         else:
             core = _encode_core(*key)
-        args = [jnp.asarray(raw_p), jnp.asarray(mask_bytes), jnp.asarray(meta)]
-        if pair_pb:
-            pr, pc = pairs.slab(k, g0 // step)
-            args += [jnp.asarray(pr), jnp.asarray(pc)]
         with DEVICE_LOCK:
-            codes = core(*args)
+            codes = core(
+                jnp.asarray(raw_p), jnp.asarray(mask_bytes), jnp.asarray(meta)
+            )
         _advance((k, codes, a, b, g0))
     _advance(None)  # start the last shard's fetch
     if fetching is not None:
@@ -651,10 +458,17 @@ def compress_audio_streaming(
 
     rec = np.concatenate(slots) if slots else np.empty(0, dtype=MATCH_DTYPE)
     assert len(rec) == n_ranges, (len(rec), n_ranges)
-    if pairs is not None:
-        rec = _merge_global(
-            rec, pairs, pair_codes, geo, signal, weighted, tile, n, step,
-            cfg.s_clip,
+    # global-candidate pass (VERDICT r3 item 5): auto-on for the clip-aware
+    # damped objective whenever the search is actually halo-restricted
+    # (a single shard's window already spans the whole file); runs AFTER
+    # every shard so the device can compare against the local winners
+    gc_on = cfg.global_candidates
+    if gc_on is None:
+        gc_on = cfg.objective == "damped" and len(bounds) > 1
+    if gc_on and live_geo and bool((rec["idx"] >= 0).any()):
+        rec = _global_pass(
+            rec, signal, weighted, raw_src, voiced_p, cfg, original_len,
+            in_i16,
         )
     return (
         rec,

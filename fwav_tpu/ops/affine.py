@@ -303,34 +303,3 @@ def _refit_workspace(m: int, n: int):
         )
         _REFIT_TLS.ws = ws
     return ws
-
-
-def damped_gain_host(ranges, tiles, s_clip: float = 16.0):
-    """Host-side clip-aware selection gain (the "damped" objective of
-    ops.search._gain_from_num, orientation folded in with max), float64.
-
-    Used by the streaming global-candidate merge (models.stream): local and
-    global winners are compared by the gain each candidate achieves on the
-    SERIALIZED bank rows, recomputed on the host from selections only — the
-    device ships indices, never scores, so the merge is deterministic and
-    identical across every (dp, tp) sharding by construction (the same
-    reason s/o/err/orientation are host-refit — CLAUDE.md invariants).
-
-    ranges (M, N), tiles (M, N) — the candidate bank row per range.
-    Returns (M,) float64 gains; rows of an all-equal tile (denom 0) score 0.
-    """
-    import numpy as np
-
-    r = np.asarray(ranges, np.float64)
-    t = np.asarray(tiles, np.float64)
-    r_c = r - r.mean(axis=1, keepdims=True)
-    t_c = t - t.mean(axis=1, keepdims=True)
-    denom = np.einsum("ij,ij->i", t_c, t_c)
-    num = np.maximum(
-        np.abs(np.einsum("ij,ij->i", t_c, r_c)),
-        np.abs(np.einsum("ij,ij->i", t_c, r_c[:, ::-1])),
-    )
-    c = abs(float(s_clip))
-    thresh = c * denom
-    g = num * num / (denom + 1e-12)
-    return np.where(num > thresh, c * (2.0 * num - thresh), g)

@@ -479,14 +479,9 @@ def refine_from_lobes(
     bank_offset=0,
     n_valid=None,
     return_score: bool = False,
-    centers: jnp.ndarray | None = None,  # (M, C) full-res window centers
 ):
     """The window-refinement stage of coarse_refine_search, callable with
-    lobes from any coarse scanner (lax.scan or the Pallas kernel), or —
-    via `centers` — with FULL-RESOLUTION window centers (positions in the
-    bank's row space; -1 = none), used by the streaming global-candidate
-    pass whose nominations come from a different (whole-file) grid than
-    this bank's subsampling.
+    lobes from any coarse scanner (lax.scan or the Pallas kernel).
 
     With two_stage (default on for stride >= 32), the +/-stride window is
     sampled at coarse steps first and only a small dense window around the
@@ -502,14 +497,7 @@ def refine_from_lobes(
     """
     M, N = ranges.shape
     D = bank.shape[0]
-    if centers is not None:
-        # full-resolution window centers (the streaming global-candidate
-        # pass nominates positions host-side); `coarse` stays the
-        # subsampled-space protocol for the scan callers
-        assert coarse is None
-        top_c = centers.shape[1]
-    else:
-        top_c = coarse.shape[1]
+    top_c = coarse.shape[1]
     if two_stage is None:
         two_stage = stride >= 32 and top_c == 1
     local = not (isinstance(bank_offset, int) and bank_offset == 0)
@@ -538,14 +526,8 @@ def refine_from_lobes(
     K = top_c * W
     if n_valid is None:
         n_valid = jnp.sum(d_valid.astype(jnp.int32))
-    if centers is not None:
-        lobe_ok = centers >= 0                              # (M, C)
-        starts = jnp.clip(centers - W // 2, 0, jnp.maximum(n_valid - W, 0))
-    else:
-        lobe_ok = coarse >= 0                               # (M, C)
-        starts = jnp.clip(
-            coarse * stride - W // 2, 0, jnp.maximum(n_valid - W, 0)
-        )
+    lobe_ok = coarse >= 0                                   # (M, C)
+    starts = jnp.clip(coarse * stride - W // 2, 0, jnp.maximum(n_valid - W, 0))
     # (K, M) candidate matrix, K = C*W
     cand_t = (
         starts.T[:, None, :] + jnp.arange(W, dtype=jnp.int32)[None, :, None]
