@@ -68,6 +68,10 @@ DEFAULT_HALO = 1 << 18
 #: 4.3 GiB of HBM) skip the global pass instead of risking the device's
 #: memory — quality falls back to the halo-local search.
 GLOBAL_PASS_MAX_ROWS = 1 << 28
+#: Cap on the nomination grid (subsampled bank rows): the scan costs
+#: O(n_ranges * d_total / stride) — quadratic in duration at fixed
+#: stride — so beyond this the stride doubles (see _global_pass).
+GLOBAL_NOM_ROWS = 1 << 16
 
 
 def _global_pass(rec, signal, weighted, raw_src, voiced_p, cfg,
@@ -108,6 +112,20 @@ def _global_pass(rec, signal, weighted, raw_src, voiced_p, cfg,
             "halo-local search", d_total, GLOBAL_PASS_MAX_ROWS,
         )
         return rec
+    # long-file cost valve: the nomination scan is O(n_ranges * d_total /
+    # stride) — quadratic in duration at a fixed stride — so double the
+    # stride until the grid fits GLOBAL_NOM_ROWS (~25 min of 44.1 kHz at
+    # the default). Quality is nearly flat in the stride because the
+    # refine window W = 1.25*stride widens with it (measured on the 100 s
+    # fixture: stride 512 -> 38.57 dB, 1024 -> 37.63, 2048 -> 37.91).
+    while -(-d_total // stride) > GLOBAL_NOM_ROWS:
+        stride *= 2
+    if stride != cfg.global_stride:
+        logger.info(
+            "Global-candidate pass: nomination stride %d -> %d for %d "
+            "bank rows", cfg.global_stride, stride, d_total,
+        )
+        cfg = dataclasses.replace(cfg, global_stride=stride)
 
     L = len(raw_src)
     m = L // n

@@ -117,6 +117,40 @@ def test_global_pass_resume(tmp_path, enc):
     np.testing.assert_array_equal(resumed[0], on[0])
 
 
+def test_global_pass_auto_stride_valve(monkeypatch):
+    # forcing a tiny nomination-grid cap doubles the stride (the long-file
+    # cost valve); the pass still runs and still helps
+    import fwav_tpu.models.stream as stream_mod
+
+    sig, sr = _sig(seconds=1.0, seed=5)
+    monkeypatch.setattr(stream_mod, "GLOBAL_NOM_ROWS", 2)
+    on = compress_audio_streaming(sig, sr, 2, **KW)
+    off = compress_audio_streaming(sig, sr, 2, global_candidates=False, **KW)
+    assert np.any(on[0]["idx"] != off[0]["idx"])
+    snr_on = compute_snr(sig, _decode(sig, on))
+    snr_off = compute_snr(sig, _decode(sig, off))
+    assert snr_on >= snr_off - 1e-6, (snr_on, snr_off)
+
+
+def test_bank_rows_host_scattered_matches_2d_gather():
+    # the column-looped scattered path (21x faster at millions of rows)
+    # must stay bit-identical to the plain 2-D fancy-index formula
+    from fwav_tpu.ops.domains import bank_rows_host
+
+    rng = np.random.default_rng(2)
+    signal = rng.standard_normal(50_000).astype(np.float32)
+    tile, n, step = 1024, 4, 2
+    block = tile // n
+    d = (50_000 - tile) // step + 1
+    rows = np.unique(rng.integers(0, d, 5_000).astype(np.int64))
+    got = bank_rows_host(signal, tile, n, step, rows)
+    cs = np.zeros(len(signal) + 1, np.float64)
+    np.cumsum(signal, dtype=np.float64, out=cs[1:])
+    starts = rows[:, None] * step + np.arange(n, dtype=np.int64)[None, :] * block
+    want = ((cs[starts + block] - cs[starts]) / block).astype(np.float32)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_global_pass_winners_strictly_improve():
     # every range the pass rewrites must strictly beat its local match on
     # the decode-relevant metric: the exact refit against the serialized
