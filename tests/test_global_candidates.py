@@ -132,6 +132,34 @@ def test_global_pass_auto_stride_valve(monkeypatch):
     assert snr_on >= snr_off - 1e-6, (snr_on, snr_off)
 
 
+def test_global_pass_device_budget_skip(monkeypatch, enc):
+    # beyond the whole-file device budget the pass degrades to the
+    # halo-local search (with a warning), never to an error
+    import fwav_tpu.models.stream as stream_mod
+
+    sig, sr, on, off = enc
+    monkeypatch.setattr(stream_mod, "GLOBAL_PASS_MAX_ROWS", 1)
+    skipped = compress_audio_streaming(sig, sr, 2, **KW)
+    np.testing.assert_array_equal(skipped[0], off[0])
+
+
+def test_global_pass_mesh_resume_compose(tmp_path, enc):
+    # mesh x resume x global pass: checkpoints written under a mesh are
+    # pre-pass local records; a resumed mesh encode re-runs the pass and
+    # reproduces the single-device records bit for bit
+    from fwav_tpu.parallel.mesh import make_mesh
+
+    sig, sr, on, _ = enc
+    rdir = str(tmp_path / "ckpt")
+    mesh = make_mesh(4, dp=2, tp=2)
+    first = compress_audio_streaming(sig, sr, 2, mesh=mesh, resume_dir=rdir,
+                                     **KW)
+    np.testing.assert_array_equal(first[0], on[0])
+    resumed = compress_audio_streaming(sig, sr, 2, mesh=mesh,
+                                       resume_dir=rdir, **KW)
+    np.testing.assert_array_equal(resumed[0], on[0])
+
+
 def test_bank_rows_host_scattered_matches_2d_gather():
     # the column-looped scattered path (21x faster at millions of rows)
     # must stay bit-identical to the plain 2-D fancy-index formula
