@@ -48,6 +48,7 @@ from ..io.container import MATCH_DTYPE
 from ..ops.domains import n_domains_for
 from ..ops.vad import voiced_detection
 from ..utils.buckets import bucket, pad_to
+from ..utils.trace import phase
 from .encode import (
     DEVICE_LOCK,
     _as_i16_or_f32,
@@ -148,7 +149,7 @@ def _global_pass(rec, signal, weighted, raw_src, voiced_p, cfg,
 
     key = _core_key(cfg, nb, lb, db, "global", in_i16)
     core = _encode_core(*key)
-    with DEVICE_LOCK:
+    with DEVICE_LOCK, phase("global_pass"):
         winners = np.asarray(jax.device_get(core(
             jnp.asarray(raw_p), jnp.asarray(mask_bytes), jnp.asarray(meta),
             jnp.asarray(lrows),
@@ -259,9 +260,10 @@ def compress_audio_streaming(
 
     # global prepass: VAD + silence check, so shard boundaries don't shift
     # decisions (hysteresis state carries from t=0 — fractal.py:897-907)
-    voiced = voiced_detection(
-        signal, frame_size=2 * n, energy_threshold=cfg.energy_thresh
-    )
+    with phase("vad"):
+        voiced = voiced_detection(
+            signal, frame_size=2 * n, energy_threshold=cfg.energy_thresh
+        )
     weighted = signal * voiced
     if float(np.sum(weighted.astype(np.float64) ** 2)) < 1e-8:
         # all-silent early return, same shape as the short-file path
@@ -344,14 +346,16 @@ def compress_audio_streaming(
     def _collect(pending):
         k, fetcher, box, a, b, g0 = pending
         m = (b - a) // n
-        fetcher.join()
+        with phase("fetch_wait"):
+            fetcher.join()
         if "exc" in box:
             raise box["exc"]
         b3 = box["codes"][:m].astype(np.int32)
-        slots[k] = rec = _refit_shard(
-            b3, signal, weighted[a:b].reshape(m, n), g0 // step, tile, n,
-            step, cfg.s_clip,
-        )
+        with phase("host_refit"):
+            slots[k] = rec = _refit_shard(
+                b3, signal, weighted[a:b].reshape(m, n), g0 // step, tile, n,
+                step, cfg.s_clip,
+            )
         if resume_dir:
             # crash-safe: write-to-temp + atomic rename, so a kill mid-save
             # never leaves a truncated checkpoint that poisons every later
@@ -465,7 +469,7 @@ def compress_audio_streaming(
             )
         else:
             core = _encode_core(*key)
-        with DEVICE_LOCK:
+        with DEVICE_LOCK, phase("dispatch"):
             codes = core(
                 jnp.asarray(raw_p), jnp.asarray(mask_bytes), jnp.asarray(meta)
             )

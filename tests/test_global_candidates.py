@@ -179,6 +179,19 @@ def test_bank_rows_host_scattered_matches_2d_gather():
     np.testing.assert_array_equal(got, want)
 
 
+def test_streaming_phase_timings_cover_the_pass():
+    # the tracing subsystem (SURVEY §5) must see the streaming stages,
+    # including the global pass, so slow encodes are attributable
+    from fwav_tpu.utils.trace import collect_phases
+
+    sig, sr = _sig(seconds=1.0, seed=5)
+    with collect_phases() as phases:
+        compress_audio_streaming(sig, sr, 2, **KW)
+    for key in ("vad", "dispatch", "fetch_wait", "host_refit",
+                "global_pass"):
+        assert phases.get(key, 0) > 0, (key, phases)
+
+
 def test_global_pass_winners_strictly_improve():
     # every range the pass rewrites must strictly beat its local match on
     # the decode-relevant metric: the exact refit against the serialized
