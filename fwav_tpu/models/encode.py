@@ -57,6 +57,12 @@ import threading
 #: serializes anyway. Host-side work stays parallel.
 DEVICE_LOCK = threading.Lock()
 
+#: Largest whole-file bank (rows) the global pass ships over the shards'
+#: 3-byte idx protocol; beyond it the pass falls back to int32 both ways
+#: (models.stream._global_pass mirrors this switch; module attribute so
+#: tests can drive the int32 branch without a 6-minute fixture).
+PACK3_MAX_ROWS = (1 << 24) - 1
+
 
 def _pow2_divisor(n: int, cap: int) -> int:
     p = 1
@@ -637,10 +643,22 @@ def build_encode_core(
         )
 
         stride, topc = coarse_stride, coarse_topc
+        from ..ops.pallas_search import pallas_blocks_ok
+
         assert db % stride == 0
         dc = db // stride
         cdblk = _pow2_divisor(dc, domain_block)
         grblk = _pow2_divisor(mb, range_block)
+        prb = 512 if grblk % 512 == 0 else _pow2_divisor(grblk, 512)
+        # the fused top-C scan kernel matters MORE here than in the shard
+        # search: the whole-file (M, D/stride) score sweep is ~6x the bench
+        # fixture's, and the lax.scan path materializes every tile in HBM
+        scan_kernel = use_pallas and pallas_blocks_ok(grblk, dc, prb, cdblk)
+        # rows fit the shards' 3-byte idx protocol whenever the whole-file
+        # bank stays under 2^24 rows (~6 min of 44.1 kHz at step 1): both
+        # the local-winner input and the winner output then ship as
+        # (mb, 3) uint8 with the 0xFFFFFF sentinel — 25% less transfer
+        pack3 = db < PACK3_MAX_ROWS
 
         def core(raw, mask_bytes, meta, local_rows):
             rawf, inv, weighted = _mask_weighted(raw, mask_bytes)
@@ -648,6 +666,13 @@ def build_encode_core(
                 [weighted, jnp.zeros(lb - nb, jnp.float32)]
             )
             ranges = base.reshape(mb, n)
+            if pack3:
+                l32 = (
+                    local_rows[:, 0].astype(jnp.int32)
+                    | (local_rows[:, 1].astype(jnp.int32) << 8)
+                    | (local_rows[:, 2].astype(jnp.int32) << 16)
+                )
+                local_rows = jnp.where(l32 == 0xFFFFFF, -1, l32)
             n_domains = jnp.asarray(meta[3], jnp.int32)
             bank = build_bank_jax(
                 rawf * inv, tile_size, range_size, domain_step, db, n_domains
@@ -660,13 +685,23 @@ def build_encode_core(
             w_sub = domain_weights(sub_mean, sub_denom, n, objective)
             t_sub = domain_thresh(sub_denom, objective, s_clip)
             v_sub = d_valid.reshape(dc, stride)[:, 0]
+            if scan_kernel:
+                bank_subT = bank_sub.T
 
             def do_block(rb):
                 r_c = rb - jnp.mean(rb, axis=1, keepdims=True)
-                lobes = gain_topk_scan(
-                    r_c, bank_sub, w_sub, v_sub, topc, cdblk,
-                    d_thresh=t_sub, s_clip=s_clip,
-                )                                               # (m, C)
+                if scan_kernel:
+                    from ..ops.pallas_search import topc_search_scan_pallas
+
+                    lobes = topc_search_scan_pallas(
+                        r_c, bank_subT, w_sub, v_sub, topc, prb, cdblk,
+                        d_thresh=t_sub, s_clip=s_clip,
+                    )
+                else:
+                    lobes = gain_topk_scan(
+                        r_c, bank_sub, w_sub, v_sub, topc, cdblk,
+                        d_thresh=t_sub, s_clip=s_clip,
+                    )                                           # (m, C)
                 best_s = jnp.full(rb.shape[0], -jnp.inf, jnp.float32)
                 best_i = jnp.zeros(rb.shape[0], jnp.int32)
                 for c_i in range(topc):
@@ -694,6 +729,16 @@ def build_encode_core(
                 live[None, :], objective, s_clip,
             )
             win = jnp.isfinite(gs) & (gs > ls[0]) & live
+            if pack3:
+                code = jnp.where(win, gi, 0xFFFFFF)
+                return jnp.stack(
+                    [
+                        (code & 0xFF).astype(jnp.uint8),
+                        ((code >> 8) & 0xFF).astype(jnp.uint8),
+                        ((code >> 16) & 0xFF).astype(jnp.uint8),
+                    ],
+                    axis=1,
+                )
             return jnp.where(win, gi, -1).astype(jnp.int32)
 
         return core
@@ -1138,12 +1183,11 @@ def _core_key(cfg: EncoderConfig, nb: int, lb: int, db: int, mode: str,
     if mode == "global":
         # the whole-file global-candidate pass rides the coarse knob slots:
         # its nomination grid and lobe depth are the global_* config fields
-        # (models.stream._global_pass), and the Pallas kernels stay off —
-        # the window-refine kernel's VMEM means budget cannot hold a
-        # whole-file sequence, and the staged XLA descent is the portable
-        # path the design was measured on
+        # (models.stream._global_pass). use_pallas gates only the fused
+        # top-C nomination scan there; the refine stays the staged XLA
+        # descent (the window-refine kernel's VMEM means budget cannot
+        # hold a whole-file sequence)
         search_mode, stride, topc = "coarse", cfg.global_stride, cfg.global_topc
-        use_pallas = False
     return (
         nb, lb, db, cfg.tile_size, range_size, cfg.domain_step, search_mode,
         cfg.top_k, cfg.emb_dim, cfg.fast_mode, cfg.s_clip, cfg.domain_block,

@@ -144,16 +144,33 @@ def _global_pass(rec, signal, weighted, raw_src, voiced_p, cfg,
     vbits[:L] = voiced_p
     mask_bytes = np.packbits(vbits, bitorder="little")
     meta = np.array([L, 0, m, d_total], np.int32)
-    lrows = np.full(lb // n, -1, np.int32)
-    lrows[:m] = rec["idx"]
+    lrows32 = np.full(lb // n, -1, np.int32)
+    lrows32[:m] = rec["idx"]
+    from . import encode as _encode_mod
+
+    pack3 = db < _encode_mod.PACK3_MAX_ROWS  # mirrors the core's switch
+    if pack3:
+        code = np.where(lrows32 < 0, 0xFFFFFF, lrows32)
+        lrows = np.stack(
+            [(code & 0xFF), (code >> 8) & 0xFF, (code >> 16) & 0xFF],
+            axis=1,
+        ).astype(np.uint8)
+    else:
+        lrows = lrows32
 
     key = _core_key(cfg, nb, lb, db, "global", in_i16)
     core = _encode_core(*key)
     with DEVICE_LOCK, phase("global_pass"):
-        winners = np.asarray(jax.device_get(core(
+        out = np.asarray(jax.device_get(core(
             jnp.asarray(raw_p), jnp.asarray(mask_bytes), jnp.asarray(meta),
             jnp.asarray(lrows),
         )))[:m]
+    if pack3:
+        b3 = out.astype(np.int32)
+        w = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+        winners = np.where(w == 0xFFFFFF, -1, w)
+    else:
+        winners = out
 
     imp = winners >= 0
     # observability parity with the reference's convergence/coverage INFO

@@ -179,6 +179,66 @@ def test_bank_rows_host_scattered_matches_2d_gather():
     np.testing.assert_array_equal(got, want)
 
 
+def test_global_pass_pallas_nomination_kernel(monkeypatch):
+    # with use_pallas forced on (interpret mode off-TPU) the pass's
+    # nomination runs through the fused top-C scan kernel; the resulting
+    # records must keep the sentinel discipline and quality parity with
+    # the lax.scan nomination (selection-grade agreement — near-ties may
+    # differ, the decode metric may not)
+    import fwav_tpu.ops.pallas_search as ps
+    from fwav_tpu.config import EncoderConfig
+    from fwav_tpu.models.encode import _encode_core
+
+    counts = {}
+    orig = ps.topc_search_scan_pallas
+
+    def wrapped(*a, **kw):
+        counts["n"] = counts.get("n", 0) + 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(ps, "topc_search_scan_pallas", wrapped)
+    _encode_core.cache_clear()
+    try:
+        sig, sr = _sig(seconds=1.0, seed=7)
+        base_cfg = dict(tile_size=128, objective="damped")
+        kw = dict(shard_samples=4096, halo=2048)
+        want = compress_audio_streaming(
+            sig, sr, 2, config=EncoderConfig(use_pallas=False, **base_cfg),
+            **kw,
+        )
+        assert counts.get("n", 0) == 0
+        got = compress_audio_streaming(
+            sig, sr, 2, config=EncoderConfig(use_pallas=True, **base_cfg),
+            **kw,
+        )
+        assert counts["n"] >= 1
+        snr_w = compute_snr(sig, _decode(sig, want))
+        snr_g = compute_snr(sig, _decode(sig, got))
+        assert abs(snr_w - snr_g) < 0.5, (snr_w, snr_g)
+        np.testing.assert_array_equal(
+            got[0]["idx"] == -1, want[0]["idx"] == -1
+        )
+    finally:
+        _encode_core.cache_clear()
+
+
+def test_global_pass_int32_protocol_branch(monkeypatch, enc):
+    # whole-file banks past PACK3_MAX_ROWS switch both pass transfers to
+    # int32; forcing the threshold to 0 must reproduce the 3-byte-protocol
+    # records bit for bit (only the transport encoding changes)
+    import fwav_tpu.models.encode as encode_mod
+    from fwav_tpu.models.encode import _encode_core
+
+    sig, sr, on, _ = enc
+    monkeypatch.setattr(encode_mod, "PACK3_MAX_ROWS", 0)
+    _encode_core.cache_clear()
+    try:
+        got = compress_audio_streaming(sig, sr, 2, **KW)
+        np.testing.assert_array_equal(got[0], on[0])
+    finally:
+        _encode_core.cache_clear()
+
+
 def test_streaming_phase_timings_cover_the_pass():
     # the tracing subsystem (SURVEY §5) must see the streaming stages,
     # including the global pass, so slow encodes are attributable
