@@ -117,14 +117,12 @@ class EncoderConfig:
     #: absorbs the grid error. Note the nomination scan is O(M * D/stride)
     #: = quadratic in duration; raise the stride for multi-hour content.
     global_stride: int = 512
-    #: Ranges per shared nomination. Measured on the 100 s fixture
-    #: (group, topc): (1, 4) 38.57 dB / (2, 8) 38.20 / (2, 4) 36.83 /
-    #: (4, 1) 33.77 — per-range nominations with a 4-deep shortlist win,
-    #: and each pair's refinement cost dwarfs the shared nomination scan,
-    #: so grouping saves the wrong stage.
-    global_group: int = 1
-    #: Global lobes nominated per range (each refined at full resolution
-    #: by the time shard that owns its window, merged on the host).
+    #: Global lobes nominated per range, each refined at full resolution
+    #: and merged against the shard-local winner on device. Measured on
+    #: the 100 s fixture (nomination grouping, topc): (1, 4) 38.57 dB /
+    #: (2, 8) 38.20 / (2, 4) 36.83 / (4, 1) 33.77 — per-range nominations
+    #: with a 4-deep shortlist win (grouped/shared nominations were
+    #: evaluated and rejected; the refinement, not the scan, dominates).
     global_topc: int = 4
     #: Domain-block size for the streaming search scan (HBM->VMEM tiles).
     domain_block: int = 2048

@@ -340,10 +340,12 @@ def _pick_s_drop(s_u16: np.ndarray, s_f32: np.ndarray, d_energy: np.ndarray,
 
 
 def _entropy_variant(rec, live, n_live, idx, o16, bq, bank_b, live_b, sym_b,
-                     o_exp, range_size, n_domains):
+                     o_exp, bank_exp, range_size, n_domains):
     """Assemble the FLAG_ENTROPY (ext2 + rANS streams) encoding, or None
-    when it does not apply (no live matches). Returns (flags, ext2, payload)
-    with sizes the caller compares against the legacy variants."""
+    when it does not apply (no live matches). Returns
+    (zraw_len, ext2, payload) — zraw_len is the uncompressed header-section
+    length stored as the ext raw_len field; the caller compares payload
+    sizes against the legacy variants."""
     from . import rans
 
     if n_live == 0:
@@ -360,7 +362,15 @@ def _entropy_variant(rec, live, n_live, idx, o16, bq, bank_b, live_b, sym_b,
         rec["s"][live].astype(np.float16).tobytes(), np.uint16
     )
     rows = rec["idx"][live].astype(np.int64)
-    d_energy = (bq[rows].astype(np.float64) ** 2).sum(axis=1)
+    # ||d||^2 at RAW scale: bq is the fp16 bank scaled by 2^-bank_exp, so
+    # the energy needs the 2^(2*bank_exp) factor back — without it the
+    # s-drop noise budget is off by 4^bank_exp (measured 4.8 dB of decode
+    # loss on content peaking near 2^20 where bank_exp = 7, and an always-
+    # zero s_drop on float content near +/-1 where bank_exp = -14)
+    d_energy = (
+        (bq[rows].astype(np.float64) ** 2).sum(axis=1)
+        * float(_pow2(bank_exp)) ** 2
+    )
     s_drop = _pick_s_drop(s_u16, rec["s"][live], d_energy, anchor)
     s_q = _quant_s_u16(s_u16, s_drop).astype(np.int64)
 
@@ -509,7 +519,7 @@ def compact_bytes(
     # content (tiny files, incompressible selections) keeps the old bytes
     ent = _entropy_variant(
         rec, live, n_live, idx, o16, bank_q, bank_b, live_b, sym_b,
-        o_exp, range_size, n_domains,
+        o_exp, bank_exp, range_size, n_domains,
     )
     if ent is not None:
         zraw_len, e_ext2, e_payload = ent

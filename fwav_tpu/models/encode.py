@@ -62,6 +62,48 @@ DEVICE_LOCK = threading.Lock()
 #: (models.stream._global_pass mirrors this switch; module attribute so
 #: tests can drive the int32 branch without a 6-minute fixture).
 PACK3_MAX_ROWS = (1 << 24) - 1
+#: The 3-byte little-endian idx transport's dead-slot marker; valid
+#: indices stay below it by the callers' 2^24 guards. The helpers below
+#: are the ONLY pack/unpack implementations — the byte order and sentinel
+#: must stay bit-identical between the device (jnp) and host (np) halves.
+IDX3_SENTINEL = 0xFFFFFF
+
+
+def pack3_jnp(code):
+    """(m,) int32 codes (IDX3_SENTINEL = dead) -> (m, 3) uint8, on device."""
+    return jnp.stack(
+        [
+            (code & 0xFF).astype(jnp.uint8),
+            ((code >> 8) & 0xFF).astype(jnp.uint8),
+            ((code >> 16) & 0xFF).astype(jnp.uint8),
+        ],
+        axis=1,
+    )
+
+
+def unpack3_jnp(b3):
+    """(m, 3) uint8 -> (m,) int32 rows, -1 where the sentinel, on device."""
+    c = (
+        b3[:, 0].astype(jnp.int32)
+        | (b3[:, 1].astype(jnp.int32) << 8)
+        | (b3[:, 2].astype(jnp.int32) << 16)
+    )
+    return jnp.where(c == IDX3_SENTINEL, -1, c)
+
+
+def pack3_np(rows):
+    """(m,) integer rows (< 0 = dead) -> (m, 3) uint8, host side."""
+    code = np.where(rows < 0, IDX3_SENTINEL, rows).astype(np.int64)
+    return np.stack(
+        [code & 0xFF, (code >> 8) & 0xFF, (code >> 16) & 0xFF], axis=1
+    ).astype(np.uint8)
+
+
+def unpack3_np(b3):
+    """(m, 3) uint8 -> (m,) int64 rows, -1 where the sentinel, host side."""
+    b3 = b3.astype(np.int64)
+    c = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+    return np.where(c == IDX3_SENTINEL, -1, c)
 
 
 def _pow2_divisor(n: int, cap: int) -> int:
@@ -408,15 +450,7 @@ def build_encode_core(
         r_valid = row0 + jnp.arange(m, dtype=jnp.int32) < n_ranges
         silent = (r_pow < energy_thresh_n * 0.75) if fast_mode else jnp.zeros(m, bool)
         dead = silent | ~r_valid | ~jnp.isfinite(score)
-        code = jnp.where(dead, 0xFFFFFF, idx).astype(jnp.int32)
-        return jnp.stack(
-            [
-                (code & 0xFF).astype(jnp.uint8),
-                ((code >> 8) & 0xFF).astype(jnp.uint8),
-                ((code >> 16) & 0xFF).astype(jnp.uint8),
-            ],
-            axis=1,
-        )
+        return pack3_jnp(jnp.where(dead, IDX3_SENTINEL, idx).astype(jnp.int32))
 
     if tp > 1:
         assert search in ("exact", "coarse", "topk"), search
@@ -649,7 +683,7 @@ def build_encode_core(
         dc = db // stride
         cdblk = _pow2_divisor(dc, domain_block)
         grblk = _pow2_divisor(mb, range_block)
-        prb = 512 if grblk % 512 == 0 else _pow2_divisor(grblk, 512)
+        prb = _pow2_divisor(grblk, 512)
         # the fused top-C scan kernel matters MORE here than in the shard
         # search: the whole-file (M, D/stride) score sweep is ~6x the bench
         # fixture's, and the lax.scan path materializes every tile in HBM
@@ -667,12 +701,7 @@ def build_encode_core(
             )
             ranges = base.reshape(mb, n)
             if pack3:
-                l32 = (
-                    local_rows[:, 0].astype(jnp.int32)
-                    | (local_rows[:, 1].astype(jnp.int32) << 8)
-                    | (local_rows[:, 2].astype(jnp.int32) << 16)
-                )
-                local_rows = jnp.where(l32 == 0xFFFFFF, -1, l32)
+                local_rows = unpack3_jnp(local_rows)
             n_domains = jnp.asarray(meta[3], jnp.int32)
             bank = build_bank_jax(
                 rawf * inv, tile_size, range_size, domain_step, db, n_domains
@@ -730,15 +759,7 @@ def build_encode_core(
             )
             win = jnp.isfinite(gs) & (gs > ls[0]) & live
             if pack3:
-                code = jnp.where(win, gi, 0xFFFFFF)
-                return jnp.stack(
-                    [
-                        (code & 0xFF).astype(jnp.uint8),
-                        ((code >> 8) & 0xFF).astype(jnp.uint8),
-                        ((code >> 16) & 0xFF).astype(jnp.uint8),
-                    ],
-                    axis=1,
-                )
+                return pack3_jnp(jnp.where(win, gi, IDX3_SENTINEL))
             return jnp.where(win, gi, -1).astype(jnp.int32)
 
         return core

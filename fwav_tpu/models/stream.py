@@ -34,20 +34,18 @@ hundreds of thousands of candidate domains either side.
 from __future__ import annotations
 
 import dataclasses
-import logging
 import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-logger = logging.getLogger("fwavc")
-
 from ..config import EncoderConfig
 from ..io.container import MATCH_DTYPE
 from ..ops.domains import n_domains_for
 from ..ops.vad import voiced_detection
 from ..utils.buckets import bucket, pad_to
+from ..utils.logging import logger
 from ..utils.trace import phase
 from .encode import (
     DEVICE_LOCK,
@@ -149,14 +147,7 @@ def _global_pass(rec, signal, weighted, raw_src, voiced_p, cfg,
     from . import encode as _encode_mod
 
     pack3 = db < _encode_mod.PACK3_MAX_ROWS  # mirrors the core's switch
-    if pack3:
-        code = np.where(lrows32 < 0, 0xFFFFFF, lrows32)
-        lrows = np.stack(
-            [(code & 0xFF), (code >> 8) & 0xFF, (code >> 16) & 0xFF],
-            axis=1,
-        ).astype(np.uint8)
-    else:
-        lrows = lrows32
+    lrows = _encode_mod.pack3_np(lrows32) if pack3 else lrows32
 
     key = _core_key(cfg, nb, lb, db, "global", in_i16)
     core = _encode_core(*key)
@@ -165,12 +156,7 @@ def _global_pass(rec, signal, weighted, raw_src, voiced_p, cfg,
             jnp.asarray(raw_p), jnp.asarray(mask_bytes), jnp.asarray(meta),
             jnp.asarray(lrows),
         )))[:m]
-    if pack3:
-        b3 = out.astype(np.int32)
-        w = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
-        winners = np.where(w == 0xFFFFFF, -1, w)
-    else:
-        winners = out
+    winners = _encode_mod.unpack3_np(out) if pack3 else out
 
     imp = winners >= 0
     # observability parity with the reference's convergence/coverage INFO
@@ -529,19 +515,20 @@ def _refit_shard(b3, signal, ranges, row_base, tile, n, step, s_clip):
     from ..ops.affine import refit_host
     from ..ops.domains import bank_rows_host
 
+    from .encode import unpack3_np
+
     m = len(b3)
-    c = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
-    dead = c == 0xFFFFFF
+    c = unpack3_np(b3)
     rec = np.empty(m, dtype=MATCH_DTYPE)
     rec["idx"] = -1
     rec["s"] = 1.0
     rec["o"] = 0.0
     rec["sym"] = 0
     rec["err"] = 0.0
-    live = ~dead
+    live = c >= 0
     if not live.any():
         return rec
-    rows = c[live].astype(np.int64) + row_base
+    rows = c[live] + row_base
     bank_rows = bank_rows_host(signal, tile, n, step, rows)
     s, o, err, sym = refit_host(
         np.ascontiguousarray(ranges[live]), bank_rows,

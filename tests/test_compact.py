@@ -89,9 +89,15 @@ def test_round_trip_fields(_encoded):
     ) * 2.0 ** o_exp
     e_o = rec2["o"][live].astype(np.float64) - o_base
     assert N * float(np.dot(e_o, e_o)) <= _QUANT_GAMMA * anchor + 1e-9
-    # loose absolute sanity on top of the energy contract: the per-value
-    # worst case of a step-quantizer whose TOTAL energy fits the budget
-    np.testing.assert_allclose(rec2["s"], rec["s"], rtol=0.05, atol=0.01)
+    # per-value sanity on top of the energy contract: no single range may
+    # carry more decode noise than the whole budget (a fixed rtol would
+    # re-encode the pre-round-4-fix behavior, where a mis-scaled budget
+    # kept s_drop artificially small on this fixture's bank_exp)
+    assert np.all(
+        np.abs(e_s) * np.sqrt(d_energy)
+        <= np.sqrt(_QUANT_GAMMA * anchor) + 1e-9
+    )
+    np.testing.assert_array_equal(np.sign(rec2["s"]), np.sign(rec["s"]))
     o_atol = float(np.sqrt(_QUANT_GAMMA * anchor / N)) + 1e-9
     np.testing.assert_allclose(rec2["o"], rec["o"], rtol=0,
                                atol=max(o_atol, 2.0 ** o_exp))
@@ -166,6 +172,39 @@ def test_scale_exp_handles_loud_content(tmp_path):
     _assert_o_fixed_point(rec2["o"], rec["o"])
     np.testing.assert_allclose(bank2, bank, rtol=1e-3, atol=1e-12)
     np.testing.assert_array_equal(rec2["idx"], rec["idx"])
+
+
+@pytest.mark.parametrize("peak", [2.0**20, 1.0])
+def test_s_drop_budget_is_scale_invariant(tmp_path, peak):
+    # regression (round-4 review): the s-quantization noise budget used the
+    # fp16-SCALED bank energy without restoring 2^(2*bank_exp), so loud
+    # float content (bank_exp > 0) over-dropped mantissa bits (measured
+    # 4.8 dB of damped-decode loss at peak 2^20) and quiet content
+    # (bank_exp = -14) never dropped any. The budget must hold at every
+    # scale: compact round-trip decode within the documented ~0.03 dB of
+    # the unquantized records' decode.
+    rng = np.random.default_rng(3)
+    sr = 16000
+    t = np.arange(int(sr * 1.2)) / sr
+    sig = (
+        0.4 * np.sin(2 * np.pi * 330 * t)
+        + 0.15 * np.sin(2 * np.pi * (900 + 200 * t) * t)
+        + 0.01 * rng.standard_normal(len(t))
+    ).astype(np.float32) * np.float32(peak)
+    rec, bank, n_ranges, N, tile, step, thr, olen = compress_audio_arrays(
+        sig, sr, 2, objective="damped"
+    )
+    rec_p, bank_p = prune_bank(rec, bank)
+    want = decompress_audio(rec_p, bank_p, n_ranges, N, original_len=olen,
+                            s_damping=0.25)
+    p = tmp_path / "scale.fwav"
+    save_compressed_compact(p, rec_p, bank_p, N, sr, 2, tile, step, thr, olen)
+    rec2, bank2, n2, N2, *_ = load_compressed_compact(p)
+    got = decompress_audio(rec2, bank2, n2, N2, original_len=olen,
+                           s_damping=0.25)
+    snr_w = compute_snr(sig, want)
+    snr_g = compute_snr(sig, got)
+    assert snr_w - snr_g < 0.05, (peak, snr_w, snr_g)
 
 
 def test_subnormal_content_does_not_crash(tmp_path):
