@@ -252,6 +252,55 @@ def test_streaming_phase_timings_cover_the_pass():
         assert phases.get(key, 0) > 0, (key, phases)
 
 
+@pytest.mark.parametrize("seed", range(4))
+def test_global_pass_geometry_fuzz(seed):
+    # random length / shard / halo / tile geometry: the pass must keep its
+    # invariants on awkward shapes — odd lengths, tail shards, halos
+    # smaller than the refine window, strides near the bank size
+    rng = np.random.default_rng(100 + seed)
+    sr = 8000
+    n_samp = int(rng.integers(6000, 26000)) | 1  # odd length
+    t = np.arange(n_samp) / sr
+    f0 = float(rng.uniform(150, 500))
+    sig = 0.4 * np.sin(2 * np.pi * f0 * t) + 0.1 * np.sin(
+        2 * np.pi * (900 + 300 * np.sin(2 * np.pi * 0.4 * t)) * t
+    )
+    sig += 0.02 * rng.standard_normal(n_samp)
+    gap = int(rng.integers(0, n_samp // 2))
+    sig[gap : gap + n_samp // 10] = 0.0
+    sig = np.round(sig * 12000).astype(np.float32)
+    kw = dict(
+        tile_size=int(rng.choice([128, 256])),
+        shard_samples=int(rng.choice([2048, 4096, 8192])),
+        halo=int(rng.choice([1024, 2048])),
+        objective="damped",
+    )
+    on = compress_audio_streaming(sig, sr, 2, **kw)
+    off = compress_audio_streaming(sig, sr, 2, global_candidates=False, **kw)
+    rec_on, rec_off = on[0], off[0]
+    assert len(rec_on) == len(rec_off) == on[2]
+    # sentinels never resurrected; every rewritten row is a valid domain
+    np.testing.assert_array_equal(rec_on["idx"] == -1, rec_off["idx"] == -1)
+    from fwav_tpu.ops.domains import n_domains_for
+
+    d_total = n_domains_for(len(sig), kw["tile_size"], on[5])
+    live = rec_on["idx"] >= 0
+    assert live.any()
+    assert rec_on["idx"][live].max() < d_total
+    # quality never degrades measurably
+    snr_on = compute_snr(sig, _decode(sig, on))
+    snr_off = compute_snr(sig, _decode(sig, off))
+    assert snr_on >= snr_off - 0.01, (snr_on, snr_off)
+    # and the mesh path stays bit-equal on this random geometry
+    if seed == 0:
+        from fwav_tpu.parallel.mesh import make_mesh
+
+        got = compress_audio_streaming(
+            sig, sr, 2, mesh=make_mesh(4, dp=2, tp=2), **kw
+        )
+        np.testing.assert_array_equal(got[0], rec_on)
+
+
 def test_global_pass_winners_strictly_improve():
     # every range the pass rewrites must strictly beat its local match on
     # the decode-relevant metric: the exact refit against the serialized
