@@ -339,8 +339,9 @@ def _pick_s_drop(s_u16: np.ndarray, s_f32: np.ndarray, d_energy: np.ndarray,
     return best
 
 
-def _entropy_variant(rec, live, n_live, idx, o16, bq, bank_b, live_b, sym_b,
-                     o_exp, bank_exp, range_size, n_domains):
+def _entropy_variant(rec, live, n_live, idx, o16, bq, bank_planes, live_b,
+                     sym_b, o_exp, bank_exp, idx_bits, range_size,
+                     n_domains):
     """Assemble the FLAG_ENTROPY (ext2 + rANS streams) encoding, or None
     when it does not apply (no live matches). Returns
     (zraw_len, ext2, payload) — zraw_len is the uncompressed header-section
@@ -394,14 +395,18 @@ def _entropy_variant(rec, live, n_live, idx, o16, bq, bank_b, live_b, sym_b,
         idx_stream = rans.encode(idx, f_idx)
         idx_enc = 1
     else:
-        idx_bits = max(1, int(max(n_domains - 1, 1)).bit_length())
+        # idx_bits comes from the caller — it is the SAME value
+        # _parse_entropy recomputes from the header, so the packed width
+        # can never drift between writer and reader
         idx_stream = _pack_bits(idx, idx_bits)
 
     zsec_raw = (
-        _byteplane(bank_b) + live_b + sym_b
+        bank_planes + live_b + sym_b
         + idx_tab + s_hi_t + s_lo_t + o_hi_t + o_lo_t
     )
-    zsec = zlib.compress(zsec_raw, 6)
+    # same level valve as the legacy stage: hour-scale banks drop to
+    # level 1 (~100 MB/s) instead of minutes of level-6 host time
+    zsec = zlib.compress(zsec_raw, 6 if len(zsec_raw) <= (64 << 20) else 1)
     ext2 = _EXT2.pack(
         o_shift, s_drop, idx_enc, 0, len(zsec), len(idx_stream),
         len(s_hi), len(s_lo), len(o_hi), len(o_lo),
@@ -502,8 +507,9 @@ def compact_bytes(
         flags, idx_stream = FLAG_DEFLATE | FLAG_IDX_DELTA, idx_delta
     else:
         flags, idx_stream = FLAG_DEFLATE, idx_plain
+    bank_planes = _byteplane(bank_b)
     planes = (
-        _byteplane(bank_b) + live_b + sym_b + idx_stream
+        bank_planes + live_b + sym_b + idx_stream
         + _byteplane(s_b) + _byteplane(o_b)
     )
     level = 6 if len(planes) <= (64 << 20) else 1
@@ -518,8 +524,8 @@ def compact_bytes(
     # and the legacy layouts — it usually wins by 20-40% but degenerate
     # content (tiny files, incompressible selections) keeps the old bytes
     ent = _entropy_variant(
-        rec, live, n_live, idx, o16, bank_q, bank_b, live_b, sym_b,
-        o_exp, bank_exp, range_size, n_domains,
+        rec, live, n_live, idx, o16, bank_q, bank_planes, live_b, sym_b,
+        o_exp, bank_exp, idx_bits, range_size, n_domains,
     )
     if ent is not None:
         zraw_len, e_ext2, e_payload = ent
@@ -667,6 +673,8 @@ def _parse_entropy(body, hdr, idx_bits, bank_exp, o_exp, n_live, raw_len):
     (o_shift, s_drop, idx_enc, _res, z_len, idx_len, s_hi_len, s_lo_len,
      o_hi_len, o_lo_len) = _EXT2.unpack(body[off : off + _EXT2.size])
     del s_drop  # applied at write time; stored patterns are already final
+    if o_shift > 12:  # writer emits 0..12 (_pick_o_shift) — fail loudly on
+        raise ValueError("Corrupt compact FWAV o_shift")  # a flipped byte
     off += _EXT2.size
     lens = [z_len, idx_len, s_hi_len, s_lo_len, o_hi_len, o_lo_len]
     if len(body) - off != sum(lens):

@@ -96,7 +96,6 @@ def _global_pass(rec, signal, weighted, raw_src, voiced_p, cfg,
     """
     from ..ops.affine import refit_host
     from ..ops.domains import bank_rows_host
-    from ..utils.buckets import bucket, pad_to
 
     n = cfg.range_size
     tile, step = cfg.tile_size, cfg.domain_step
