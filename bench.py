@@ -145,36 +145,26 @@ def main(argv=None):
         print(json.dumps(measure()))
         return
 
-    # Inline measurement FIRST and print it immediately: whatever happens
-    # to the retry attempts below (driver timeout, sandboxed subprocesses,
-    # slow-phase compiles), a parseable result line is already out. The
-    # driver reads the LAST line, so every later line (with more process
-    # samples folded into the spread) supersedes it.
-    # Guarded: a transient inline failure (device-init flake, D2H stall
-    # raising) must not abort before the subprocess attempts get their try.
+    # EVERY measurement runs in a time-capped subprocess — the parent never
+    # initializes a device client, so a dead/wedged tunnel (backend init
+    # has been observed to hang for 10+ minutes, round 4) costs at most the
+    # 700 s budget instead of silently eating the driver's whole capture
+    # window. Per-process tunnel phase swings identical code substantially,
+    # so the spread across interpreter launches IS the honest number:
+    # sample up to 3 processes, no early stop on a fast first sample
+    # (the spread needs the samples), print after every success (the
+    # driver reads the LAST line, so each later line — with more process
+    # samples folded into the spread — supersedes the previous). Attempts
+    # are budgeted to the driver's window (VERDICT r3: 900 s child
+    # timeouts let one slow-phase child eat the whole window): a
+    # fast-phase child completes in ~25-60 s; cap each at 300 s and stop
+    # scheduling once the budget cannot fit a realistic fast child.
     results = []
-    try:
-        results.append(measure())
-        print(json.dumps(_with_spread(results)), flush=True)
-    except Exception:
-        pass
-
-    # Per-process tunnel phase swings identical code substantially, so the
-    # spread across interpreter launches IS the honest number: sample up to
-    # 3 processes (no early stop on a fast first sample — the spread needs
-    # the samples). Attempts are budgeted to the driver's capture window
-    # (VERDICT r3: 900 s child timeouts let one slow-phase child eat the
-    # whole window and BENCH_r03 recorded a single sample) — a fast-phase
-    # child completes in ~25-60 s, a slow-phase one takes minutes and is
-    # not worth waiting for: cap each child at 300 s and stop scheduling
-    # children once the 700 s budget cannot fit a realistic fast child.
-    # The parent holds an idle device client while children init their
-    # own; dispatch never overlaps (validated on this rig).
     t0 = time.time()
     budget = 700.0
     for _attempt in range(4):
         remaining = budget - (time.time() - t0)
-        if len(results) >= 3 or (results and remaining < 60):
+        if len(results) >= 3 or remaining < (60 if results else 10):
             break
         try:
             out = subprocess.run(
