@@ -118,11 +118,13 @@ class EncoderConfig:
     #: = quadratic in duration; raise the stride for multi-hour content.
     global_stride: int = 512
     #: Global lobes nominated per range, each refined at full resolution
-    #: and merged against the shard-local winner on device. Measured on
-    #: the 100 s fixture (nomination grouping, topc): (1, 4) 38.57 dB /
-    #: (2, 8) 38.20 / (2, 4) 36.83 / (4, 1) 33.77 — per-range nominations
-    #: with a 4-deep shortlist win (grouped/shared nominations were
-    #: evaluated and rejected; the refinement, not the scan, dominates).
+    #: and merged against the shard-local winner on device. Refinement
+    #: cost scales linearly in topc; the measured 100 s-fixture curve is
+    #: topc 1/2/4/6/8 -> 35.96/36.97/38.57/39.36/39.95 dB against the
+    #: 40.23 dB whole-file oracle — 4 is the knee; raise to 8 to buy the
+    #: last ~1.4 dB at ~2x the pass's refine work. (Grouped/shared
+    #: nominations were evaluated and rejected: (group 4, topc 1) loses
+    #: 4.8 dB vs (1, 4) — the refinement, not the scan, dominates.)
     global_topc: int = 4
     #: Domain-block size for the streaming search scan (HBM->VMEM tiles).
     domain_block: int = 2048
