@@ -265,9 +265,6 @@ def main(argv=None) -> int:
     if args.cmd == "compress":
         if args.packed and not args.batch:
             parser.error("--packed only applies to --batch mode")
-        if args.packed and (args.devices > 1 or args.tp > 1):
-            parser.error("--packed runs single-device; drop --devices/--tp "
-                         "or use the thread-pool batch mode")
         if args.devices < 1 or args.tp < 1 or args.devices % args.tp:
             parser.error(
                 f"--tp must divide --devices (got devices={args.devices}, "
@@ -312,6 +309,7 @@ def main(argv=None) -> int:
                     todo, tile=args.tile, energy_thresh=args.energy_thresh,
                     search=args.search, prune_bank=args.prune_bank,
                     compact=args.compact, objective=objective,
+                    devices=args.devices, tp=args.tp,
                 )
             return _run_jobs(
                 lambda f, outp: process_file_compress(

@@ -336,7 +336,8 @@ def _streamed_pruned(signal, framerate, sampwidth, tile, energy_thresh,
 
 def process_files_compress_packed(jobs, tile=1024, energy_thresh=1e-4,
                                   search="auto", prune_bank=False,
-                                  compact=False, objective="balanced"):
+                                  compact=False, objective="balanced",
+                                  devices=1, tp=1):
     """Batch compress with PACKED device dispatches (CLI `--batch
     --packed`): all readable inputs encode through
     models.encode.compress_audio_packed — one vmapped dispatch per
@@ -359,6 +360,19 @@ def process_files_compress_packed(jobs, tile=1024, energy_thresh=1e-4,
     from .encode import compress_audio_packed
     from .encode import prune_bank as _prune
 
+    mesh = None
+    if devices and devices > 1:
+        # FILE-level data parallelism: the packed stack's batch axis shards
+        # over the whole mesh (encode._packed_sharded_core) — on multi-chip
+        # hosts every chip encodes its own files in the one SPMD dispatch.
+        # tp is accepted for CLI symmetry; files shard over dp*tp flat.
+        from ..parallel.mesh import make_mesh
+
+        try:
+            mesh = make_mesh(devices, dp=devices // tp, tp=tp)
+        except ValueError as e:  # same clean contract as the single-file
+            logger.error("Batch mesh setup failed: %s", e)  # path's dicts
+            return [{"input": p, "error": str(e)} for p, _ in jobs]
     results = [None] * len(jobs)
     n_packed = 0
     packed_elapsed = 0.0  # time inside packed encode+save only (see time_s)
@@ -395,7 +409,7 @@ def process_files_compress_packed(jobs, tile=1024, energy_thresh=1e-4,
             encoded = compress_audio_packed(
                 [sig for _, sig, _, _ in loaded], 0, 0, tile_size=tile,
                 energy_thresh=energy_thresh, search=search,
-                objective=objective,
+                objective=objective, mesh=mesh,
             )
         except Exception:  # noqa: BLE001 — resolve blame per file
             logger.exception(

@@ -891,6 +891,27 @@ def _packed_encode_core(*key):
     return jax.jit(jax.vmap(build_encode_core(*key)))
 
 
+@lru_cache(maxsize=32)
+def _packed_sharded_core(mesh, flat_axes, *key):
+    """jit(shard_map(vmap(core))): FILE-level data parallelism — the packed
+    stack's batch axis shards over EVERY mesh device (whole files per
+    device, zero communication). This is the TPU-idiomatic analog of the
+    reference's file-level multiprocessing.Pool fan-out across workers
+    (fractal.py:1605-1617): one SPMD program over a stack of files, N
+    chips each encoding their own slice, instead of N processes contending
+    for one accelerator. Per-file programs are independent, so records
+    match the unsharded packed dispatch bit for bit."""
+    from jax.sharding import PartitionSpec as P
+
+    spec = P(flat_axes)
+    return jax.jit(
+        jax.shard_map(
+            jax.vmap(build_encode_core(*key)), mesh=mesh,
+            in_specs=(spec, spec), out_specs=spec, check_vma=False,
+        )
+    )
+
+
 def compress_audio_packed(
     signals,
     framerate,
@@ -902,9 +923,14 @@ def compress_audio_packed(
     objective: str = "balanced",
     global_candidates: bool | None = None,  # no-op: whole-bank search
     config: EncoderConfig | None = None,
+    mesh=None,
 ):
     """Encode MANY short signals with one device dispatch per same-bucket
     stack of up to PACK_B_MAX files (vmap over the fused encode core).
+    With a multi-device `mesh`, the stack's batch axis additionally shards
+    over every device — FILE-level data parallelism (whole files per chip,
+    zero communication), records bit-equal to the unsharded packed
+    dispatch (_packed_sharded_core).
 
     Small-file batch throughput is transport-bound: each single-file
     dispatch pays the device round trip (~30 ms on tunneled rigs) for a few
@@ -927,6 +953,9 @@ def compress_audio_packed(
     del framerate, sampwidth  # shape-independent; kept for API symmetry
     del global_candidates  # streaming-only knob (see compress_audio_arrays)
     device_banner()
+    n_dev = 1
+    if mesh is not None and mesh.devices.size > 1:
+        n_dev = int(mesh.devices.size)
     cfg = config or EncoderConfig(
         tile_size=tile_size, energy_thresh=energy_thresh,
         fast_mode=fast_mode, search=search, objective=objective,
@@ -955,11 +984,18 @@ def compress_audio_packed(
         prepped[i] = (signal, raw_p, meta, n_ranges, n_domains, original_len)
 
     for key, idxs in groups.items():
-        core = _packed_encode_core(*key)
+        if n_dev > 1:
+            from ..parallel.mesh import DP_AXIS, TP_AXIS
+
+            core = _packed_sharded_core(mesh, (DP_AXIS, TP_AXIS), *key)
+        else:
+            core = _packed_encode_core(*key)
         for c0 in range(0, len(idxs), PACK_B_MAX):
             chunk = idxs[c0 : c0 + PACK_B_MAX]
             b_real = len(chunk)
             b_pad = 1 << (b_real - 1).bit_length()  # pow2 bounds retraces
+            if n_dev > 1:  # the batch axis must split over every device
+                b_pad = -(-b_pad // n_dev) * n_dev
             rows = chunk + [chunk[-1]] * (b_pad - b_real)
             raws = np.stack([prepped[i][1] for i in rows])
             metas = np.stack([prepped[i][2] for i in rows])

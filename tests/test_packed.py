@@ -157,5 +157,63 @@ def test_cli_packed_flag_conflicts():
 
     with pytest.raises(SystemExit):
         cli_main(["compress", "in.wav", "out.fwav", "--packed"])
-    with pytest.raises(SystemExit):
-        cli_main(["compress", "d", "--batch", "--packed", "--devices", "2"])
+    with pytest.raises(SystemExit):  # tp must divide devices, packed too
+        cli_main(["compress", "d", "--batch", "--packed", "--devices", "3",
+                  "--tp", "2"])
+
+
+def test_packed_file_dp_bit_equal():
+    # FILE-level data parallelism: the packed stack's batch axis shards
+    # over the whole mesh (whole files per device, zero communication) —
+    # records bit-equal to the unsharded packed dispatch, every input
+    # shape class included (empty / all-silent / float / mixed buckets)
+    from fwav_tpu.parallel.mesh import make_mesh
+
+    sigs = _sigs()
+    want = compress_audio_packed(sigs, 16000, 2)
+    for dp, tp in ((8, 1), (2, 2)):
+        mesh = make_mesh(dp * tp, dp=dp, tp=tp)
+        got = compress_audio_packed(sigs, 16000, 2, mesh=mesh)
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(g[0], w[0])
+            np.testing.assert_array_equal(g[1], w[1])
+            assert g[2:] == w[2:]
+
+
+def test_packed_devices_overask_fails_cleanly(tmp_path):
+    # asking for more devices than exist must produce per-file error dicts
+    # and exit code 1 — not an uncaught traceback (the single-file path's
+    # contract)
+    from fwav_tpu.cli import main as cli_main
+    from fwav_tpu.io.wav import write_wav
+
+    write_wav(tmp_path / "a.wav", np.zeros(8000, np.float32), 16000, 2)
+    rc = cli_main(["compress", str(tmp_path), "--batch", "--packed",
+                   "--devices", "64", "--out", str(tmp_path / "out")])
+    assert rc == 1
+    metrics = json.loads(
+        (tmp_path / "out" / "compression_metrics.json").read_text()
+    )
+    assert metrics and all("error" in m for m in metrics)
+
+
+def test_cli_packed_batch_with_devices(tmp_path):
+    # the CLI wires --batch --packed --devices N to the file-DP dispatch
+    from fwav_tpu.cli import main as cli_main
+    from fwav_tpu.io.wav import write_wav
+
+    rng = np.random.default_rng(0)
+    for k in range(3):
+        t = np.arange(12000) / 16000
+        s = 0.4 * np.sin(2 * np.pi * (320 + 60 * k) * t)
+        s += 0.01 * rng.standard_normal(len(t))
+        write_wav(tmp_path / f"f{k}.wav",
+                  np.round(s * 16000).astype(np.float32), 16000, 2)
+    out = tmp_path / "out"
+    rc = cli_main(["compress", str(tmp_path), "--batch", "--packed",
+                   "--devices", "4", "--out", str(out)])
+    assert rc == 0
+    metrics = json.loads((out / "compression_metrics.json").read_text())
+    assert len(metrics) == 3 and all("error" not in m for m in metrics)
+    assert all((out / f"f{k}.wav.fwav").exists() for k in range(3))
