@@ -150,11 +150,16 @@ def _global_pass(rec, signal, weighted, raw_src, voiced_p, cfg,
 
     key = _core_key(cfg, nb, lb, db, "global", in_i16)
     core = _encode_core(*key)
+    # lock per dispatch and per fetch (not across both), like the shard
+    # loop: a concurrent batch thread's short encode can enqueue behind
+    # the pass instead of waiting out its whole device time + D2H
     with DEVICE_LOCK, phase("global_pass"):
-        out = np.asarray(jax.device_get(core(
+        out_dev = core(
             jnp.asarray(raw_p), jnp.asarray(mask_bytes), jnp.asarray(meta),
             jnp.asarray(lrows),
-        )))[:m]
+        )
+    with DEVICE_LOCK, phase("global_pass"):
+        out = np.asarray(jax.device_get(out_dev))[:m]
     winners = _encode_mod.unpack3_np(out) if pack3 else out
 
     imp = winners >= 0
