@@ -126,6 +126,20 @@ class EncoderConfig:
     #: nominations were evaluated and rejected: (group 4, topc 1) loses
     #: 4.8 dB vs (1, 4) — the refinement, not the scan, dominates.)
     global_topc: int = 4
+    #: Single-shot raw H2D chunking: split the padded raw buffer into this
+    #: many equal device_puts issued back to back before the dispatch,
+    #: instead of one put inside it. On transports where puts pipeline
+    #: (chunk k+1 on the wire while k lands) this overlaps the serial
+    #: ~19 ms raw upload of the 10 s bench with itself and with dispatch
+    #: overhead; on transports that serialize transfers it is a no-op plus
+    #: one on-device concatenate (microseconds at HBM bandwidth). The core
+    #: concatenates the chunks back into the IDENTICAL raw buffer, so
+    #: records are bit-equal to the single-put path by construction
+    #: (tests/test_review_regressions.py). None (default) = 1 until the
+    #: chunked path measures faster on the target transport
+    #: (scripts/probe_tunnel_overlap.py decides); values that do not
+    #: divide the padded buffer fall back to 1.
+    h2d_chunks: Optional[int] = None
     #: Domain-block size for the streaming search scan (HBM->VMEM tiles).
     domain_block: int = 2048
     #: Range-block size for the outer search loop (32k measured best for

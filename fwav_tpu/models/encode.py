@@ -811,6 +811,33 @@ def _encode_core(*key):
     return jax.jit(build_encode_core(*key))
 
 
+@lru_cache(maxsize=64)
+def _encode_core_chunked(k, *key):
+    """build_encode_core behind a k-way raw-chunk concatenate: the caller
+    device_puts the padded raw buffer as k equal back-to-back transfers
+    (EncoderConfig.h2d_chunks — wire pipelining on transports that overlap
+    puts) and the program reassembles the IDENTICAL buffer on device, so
+    every downstream value matches the single-put core bit for bit."""
+    f = build_encode_core(*key)
+
+    def g(*args):
+        *parts, meta = args
+        return f(jnp.concatenate(parts), meta)
+
+    return jax.jit(g)
+
+
+def _resolve_h2d_chunks(cfg: EncoderConfig, nb: int) -> int:
+    """How many device_puts the single-shot raw upload splits into. Auto
+    (None) stays at 1: chunking only pays on transports whose puts pipeline,
+    which scripts/probe_tunnel_overlap.py must establish per rig before the
+    default moves. Non-dividing or degenerate values fall back to 1."""
+    k = cfg.h2d_chunks
+    if k is None or k <= 1 or nb % k:
+        return 1
+    return int(k)
+
+
 def _empty_result(range_size, tile_size, domain_step, energy_thresh, original_len, arrays):
     matches = np.empty(0, dtype=MATCH_DTYPE) if arrays else []
     return (
@@ -1094,8 +1121,13 @@ def _compress_fast(signal: np.ndarray, cfg: EncoderConfig, mesh=None):
         core = _sharded_encode_core(
             mesh, DP_AXIS, 2, *key, dp, tp, DP_AXIS, TP_AXIS
         )
+        h2d_k = 1
     else:
-        core = _encode_core(*key)
+        h2d_k = _resolve_h2d_chunks(cfg, len(raw_p))
+        core = (
+            _encode_core_chunked(h2d_k, *key) if h2d_k > 1
+            else _encode_core(*key)
+        )
 
     # single-core hosts (tunnel rigs): the tunnel client shares the CPU with
     # numpy. The fetch runs in its own thread (blocked in C, GIL released,
@@ -1103,7 +1135,15 @@ def _compress_fast(signal: np.ndarray, cfg: EncoderConfig, mesh=None):
     # serialized bank host-side (cumsum box means — cheaper than pulling the
     # bank over the device->host link); the bank build hides completely.
     with DEVICE_LOCK, phase("device"):
-        codes = core(jnp.asarray(raw_p), jnp.asarray(meta))
+        if h2d_k > 1:
+            csz = len(raw_p) // h2d_k
+            parts = [
+                jax.device_put(raw_p[j * csz : (j + 1) * csz])
+                for j in range(h2d_k)
+            ]
+            codes = core(*parts, jnp.asarray(meta))
+        else:
+            codes = core(jnp.asarray(raw_p), jnp.asarray(meta))
         box = {}
 
         def _fetch():

@@ -77,4 +77,29 @@ names = [("compute", t_compute), ("put_1big", t_put),
 for name, f in names:
     ts = [f() for _ in range(8)]
     print(f"{name:20s} min {min(ts)*1e3:7.2f} ms  med {sorted(ts)[4]*1e3:7.2f} ms", flush=True)
+
+# ---- production A/B: the real bench encode with h2d_chunks in {1, 2, 4} ----
+# Interleaved rounds cancel tunnel phase drift; min-of-N per arm is the
+# transport-honest statistic. This decides EncoderConfig.h2d_chunks' auto
+# default (records are bit-equal across arms by construction, so the knob is
+# purely a transport choice).
+import sys
+sys.path.insert(0, "/root/repo")
+from bench import make_signal
+from fwav_tpu import compress_audio_arrays
+from fwav_tpu.config import EncoderConfig
+
+sig = make_signal(10.0, 44100)
+arms = {k: EncoderConfig(h2d_chunks=k) for k in (1, 2, 4)}
+for k, cfg in arms.items():  # compile each arm's program
+    compress_audio_arrays(sig, 44100, 2, config=cfg)
+times = {k: [] for k in arms}
+for _ in range(10):
+    for k, cfg in arms.items():
+        t0 = time.perf_counter()
+        compress_audio_arrays(sig, 44100, 2, config=cfg)
+        times[k].append(time.perf_counter() - t0)
+for k, ts in times.items():
+    print(f"encode h2d_chunks={k}  min {min(ts)*1e3:7.2f} ms  "
+          f"med {sorted(ts)[len(ts)//2]*1e3:7.2f} ms", flush=True)
 print("DONE", flush=True)

@@ -96,3 +96,22 @@ def test_cli_batch_decompress_uppercase_extension(tmp_path, tone):
     mtime = (out / "X_recon.wav").stat().st_mtime
     main(["decompress", str(tmp_path), "--batch", "--out", str(out)])
     assert (out / "X_recon.wav").stat().st_mtime == mtime  # skip-resume held
+
+
+@pytest.mark.parametrize("k", [2, 3, 4])
+def test_h2d_chunked_records_bit_equal(speechlike, k):
+    """EncoderConfig.h2d_chunks reassembles the identical raw buffer on
+    device: records and banks must match the single-put path bit for bit
+    (k=3 never divides the pow2-factored bucket, exercising the fallback).
+    Covers both transport dtypes: the int16-exact fixture and a float
+    variant that fails the int16 rule."""
+    from fwav_tpu.config import EncoderConfig
+
+    sig, sr, sw = speechlike
+    for signal in (sig, sig + np.float32(0.25)):
+        base = compress_audio_arrays(signal, sr, sw)
+        cfg = EncoderConfig(h2d_chunks=k)
+        chunked = compress_audio_arrays(signal, sr, sw, config=cfg)
+        assert np.array_equal(base[0], chunked[0])
+        assert np.array_equal(base[1], chunked[1])
+        assert base[2:] == chunked[2:]
