@@ -66,18 +66,24 @@ is smallest), a 28-byte ext2 header follows the ext header —
     ext2:   o_shift u8 (extra pow2 offset-quantization shift),
             s_drop u8 (fp16 mantissa bits rounded off s, informational),
             idx_enc u8 (1 = symbol rANS, 0 = plain packed at idx_bits),
-            reserved u8, z_len u32, idx_len u32, s_hi_len u32,
+            so_enc u8 (bit0/bit1: s/o whole-value coded — see _EXT2),
+            z_len u32, idx_len u32, s_hi_len u32,
             s_lo_len u32, o_hi_len u32, o_lo_len u32
 
 — and the payload is: one zlib section of z_len bytes (inflating to
 raw_payload_len = bank planes + live bitmap + sym bitmap + the rANS
-frequency tables: dense u16 x n_domains for idx when idx_enc=1, then
-256-entry u16 tables for s_hi/s_lo/o_hi/o_lo), followed by the five
-streams at their ext2 lengths. s is stored as quantized fp16 bit patterns
-split into lo/hi byte planes, each a lane-interleaved rANS stream
-(io.rans); o as zigzag(round(o16 / 2^o_shift)) byte planes likewise; idx
-as one symbol-level rANS stream over the bank alphabet (or the legacy
-bit packing when the bank exceeds the table budget). o_shift and the s
+frequency tables: dense u16 x n_domains for idx when idx_enc=1, then per
+parameter stream either 256-entry u16 tables for its hi/lo byte planes
+or, when its so_enc bit is set, the sorted unique u16 values plus their
+frequency table), followed by the streams at their ext2 lengths. s is
+stored as quantized fp16 bit patterns, o as zigzag(round(o16 /
+2^o_shift)); each is either split into lo/hi byte planes — two
+lane-interleaved rANS streams (io.rans) — or coded as ONE whole-value
+rANS stream over its observed alphabet, whichever is smaller per file
+(byte planes discard cross-byte correlation; whole-value coding needs
+the alphabet under the coder's 2^PROB_BITS cap). idx is one symbol-level
+rANS stream over the bank alphabet (or the legacy bit packing when the
+bank exceeds the table budget). o_shift and the s
 mantissa drop are chosen per file so each adds less than _QUANT_GAMMA of
 the encoder's own residual energy (rec['err']) to any decoder's output —
 the entropy layout trusts err as the residual scale, which holds for
@@ -266,8 +272,13 @@ def _idx_delta_decode(zz: np.ndarray) -> np.ndarray:
 
 #: ext2 header appended after the 16-byte ext when FLAG_ENTROPY is set:
 #: o_shift u8, s_drop u8, idx_enc u8 (1 = symbol rANS, 0 = plain packed),
-#: reserved u8, then u32 lengths: deflated header section, idx stream,
-#: s hi/lo planes, o hi/lo planes.
+#: so_enc u8 (bit0: s is ONE whole-value rANS stream instead of hi/lo byte
+#: planes; bit1: same for o — byte planes discard cross-byte correlation,
+#: measured worth 14 KB on s for the 10 s bench fixture), then u32
+#: lengths: deflated header section, idx stream, s hi/lo, o hi/lo. When a
+#: stream is whole-value coded its "hi" field is the stream byte length
+#: and its "lo" field is the ALPHABET SIZE (the sorted unique u16 values +
+#: their frequency table live in the deflated header section).
 _EXT2 = struct.Struct("<BBBBIIIIII")
 
 #: Quantization budget: the added decode noise from o_shift and from s_drop
@@ -382,8 +393,38 @@ def _entropy_variant(rec, live, n_live, idx, o16, bq, bank_planes, live_b,
             out.append((rans.serialize_freqs(f), rans.encode(plane, f)))
         return out
 
+    def symbol_stream(vals):
+        """Whole-value coding: rANS over ranks into the sorted unique-value
+        list (values + freqs both land in the deflated header section).
+        None when the alphabet exceeds the coder's 2^PROB_BITS cap or u16
+        value range."""
+        u, inv = np.unique(vals, return_inverse=True)
+        if len(u) > (1 << rans.PROB_BITS) or (
+            len(u) and (int(u.min()) < 0 or int(u.max()) > 0xFFFF)
+        ):
+            return None
+        f = rans.quantize_freqs(np.bincount(inv, minlength=len(u)))
+        return (
+            u.astype("<u2").tobytes() + rans.serialize_freqs(f),
+            rans.encode(inv, f),
+            len(u),
+        )
+
     (s_lo_t, s_lo), (s_hi_t, s_hi) = plane_streams(s_q)
     (o_lo_t, o_lo), (o_hi_t, o_hi) = plane_streams(ozz)
+
+    # per-stream keep-smallest between the byte-plane pair and the
+    # whole-value stream (pre-deflate table sizes: both table families land
+    # in the same deflated section, so the comparison bias is small)
+    so_enc = 0
+    s_sym = symbol_stream(s_q)
+    if s_sym and len(s_sym[1]) + len(s_sym[0]) < len(s_hi) + len(s_lo) + 1024:
+        so_enc |= 1
+        s_tabs, s_hi, s_lo_n = s_sym
+    o_sym = symbol_stream(ozz)
+    if o_sym and len(o_sym[1]) + len(o_sym[0]) < len(o_hi) + len(o_lo) + 1024:
+        so_enc |= 2
+        o_tabs, o_hi, o_lo_n = o_sym
 
     idx_enc = 0
     idx_tab = b""
@@ -401,17 +442,22 @@ def _entropy_variant(rec, live, n_live, idx, o16, bq, bank_planes, live_b,
         idx_stream = _pack_bits(idx, idx_bits)
 
     zsec_raw = (
-        bank_planes + live_b + sym_b
-        + idx_tab + s_hi_t + s_lo_t + o_hi_t + o_lo_t
+        bank_planes + live_b + sym_b + idx_tab
+        + (s_tabs if so_enc & 1 else s_hi_t + s_lo_t)
+        + (o_tabs if so_enc & 2 else o_hi_t + o_lo_t)
     )
     # same level valve as the legacy stage: hour-scale banks drop to
     # level 1 (~100 MB/s) instead of minutes of level-6 host time
     zsec = zlib.compress(zsec_raw, 6 if len(zsec_raw) <= (64 << 20) else 1)
     ext2 = _EXT2.pack(
-        o_shift, s_drop, idx_enc, 0, len(zsec), len(idx_stream),
-        len(s_hi), len(s_lo), len(o_hi), len(o_lo),
+        o_shift, s_drop, idx_enc, so_enc, len(zsec), len(idx_stream),
+        len(s_hi), s_lo_n if so_enc & 1 else len(s_lo),
+        len(o_hi), o_lo_n if so_enc & 2 else len(o_lo),
     )
-    payload = zsec + idx_stream + s_hi + s_lo + o_hi + o_lo
+    payload = (
+        zsec + idx_stream + s_hi + (b"" if so_enc & 1 else s_lo)
+        + o_hi + (b"" if so_enc & 2 else o_lo)
+    )
     return len(zsec_raw), ext2, payload
 
 
@@ -670,13 +716,26 @@ def _parse_entropy(body, hdr, idx_bits, bank_exp, o_exp, n_live, raw_len):
     off = _EXT.size
     if len(body) < off + _EXT2.size:
         raise ValueError("Truncated FWAV payload")
-    (o_shift, s_drop, idx_enc, _res, z_len, idx_len, s_hi_len, s_lo_len,
+    (o_shift, s_drop, idx_enc, so_enc, z_len, idx_len, s_hi_len, s_lo_len,
      o_hi_len, o_lo_len) = _EXT2.unpack(body[off : off + _EXT2.size])
     del s_drop  # applied at write time; stored patterns are already final
     if o_shift > 12:  # writer emits 0..12 (_pick_o_shift) — fail loudly on
         raise ValueError("Corrupt compact FWAV o_shift")  # a flipped byte
+    if so_enc & ~3:  # same discipline as the flags byte: a future stream
+        raise ValueError(  # encoding must never decode to plausible garbage
+            f"Unknown compact FWAV stream encoding: 0x{so_enc:02x}"
+        )
+    # whole-value-coded streams repurpose their "lo" field as the alphabet
+    # size (the value list + freq table live in the deflated section)
+    s_alpha = s_lo_len if so_enc & 1 else 0
+    o_alpha = o_lo_len if so_enc & 2 else 0
+    if (so_enc & 1 and not 1 <= s_alpha <= 4096) or (
+        so_enc & 2 and not 1 <= o_alpha <= 4096
+    ):
+        raise ValueError("Corrupt compact FWAV alphabet size")
     off += _EXT2.size
-    lens = [z_len, idx_len, s_hi_len, s_lo_len, o_hi_len, o_lo_len]
+    lens = [z_len, idx_len, s_hi_len, 0 if so_enc & 1 else s_lo_len,
+            o_hi_len, 0 if so_enc & 2 else o_lo_len]
     if len(body) - off != sum(lens):
         raise ValueError("Corrupt or truncated FWAV payload")
     segs = []
@@ -685,7 +744,11 @@ def _parse_entropy(body, hdr, idx_bits, bank_exp, o_exp, n_live, raw_len):
         off += ln
     zsec_b, idx_b, s_hi_b, s_lo_b, o_hi_b, o_lo_b = segs
 
-    tab_bytes = (2 * n_domains if idx_enc else 0) + 4 * 512
+    tab_bytes = (
+        (2 * n_domains if idx_enc else 0)
+        + (4 * s_alpha if so_enc & 1 else 1024)
+        + (4 * o_alpha if so_enc & 2 else 1024)
+    )
     expected = (
         n_domains * range_size * 2 + (n_ranges + 7) // 8
         + (n_live + 7) // 8 + tab_bytes
@@ -700,7 +763,10 @@ def _parse_entropy(body, hdr, idx_bits, bank_exp, o_exp, n_live, raw_len):
         raise ValueError("Truncated FWAV payload")
     sizes = [n_domains * range_size * 2, (n_ranges + 7) // 8,
              (n_live + 7) // 8, 2 * n_domains if idx_enc else 0,
-             512, 512, 512, 512]
+             4 * s_alpha if so_enc & 1 else 512,
+             0 if so_enc & 1 else 512,
+             4 * o_alpha if so_enc & 2 else 512,
+             0 if so_enc & 2 else 512]
     parts, p = [], 0
     for sz in sizes:
         parts.append(zsec[p : p + sz])
@@ -719,27 +785,49 @@ def _parse_entropy(body, hdr, idx_bits, bank_exp, o_exp, n_live, raw_len):
     rec["idx"] = -1
     rec["s"] = 1.0
     if n_live:
+        def whole_values(tab, stream, alpha):
+            # sorted unique u16 values, then their freq table (see ext2 doc)
+            vals = np.frombuffer(tab[: 2 * alpha], "<u2").astype(np.int64)
+            f = rans.parse_freqs(tab[2 * alpha :], alpha)
+            return vals[rans.decode(stream, n_live, f)]
+
         try:
             if idx_enc:
                 f_idx = rans.parse_freqs(idx_tab, n_domains)
                 idx = rans.decode(idx_b, n_live, f_idx)
             else:
                 idx = _unpack_bits(idx_b, n_live, idx_bits)
-            s_hi = rans.decode(s_hi_b, n_live, rans.parse_freqs(s_hi_t, 256))
-            s_lo = rans.decode(s_lo_b, n_live, rans.parse_freqs(s_lo_t, 256))
-            o_hi = rans.decode(o_hi_b, n_live, rans.parse_freqs(o_hi_t, 256))
-            o_lo = rans.decode(o_lo_b, n_live, rans.parse_freqs(o_lo_t, 256))
+            if so_enc & 1:
+                s_v = whole_values(s_hi_t, s_hi_b, s_alpha)
+            else:
+                s_hi = rans.decode(
+                    s_hi_b, n_live, rans.parse_freqs(s_hi_t, 256)
+                )
+                s_lo = rans.decode(
+                    s_lo_b, n_live, rans.parse_freqs(s_lo_t, 256)
+                )
+                s_v = (s_hi << 8) | s_lo
+            if so_enc & 2:
+                o_zz = whole_values(o_hi_t, o_hi_b, o_alpha)
+            else:
+                o_hi = rans.decode(
+                    o_hi_b, n_live, rans.parse_freqs(o_hi_t, 256)
+                )
+                o_lo = rans.decode(
+                    o_lo_b, n_live, rans.parse_freqs(o_lo_t, 256)
+                )
+                o_zz = (o_hi << 8) | o_lo
         except ValueError as e:
             raise ValueError("Corrupt or truncated FWAV payload") from e
         if idx.size and (int(idx.min()) < 0 or int(idx.max()) >= n_domains):
             raise ValueError("Corrupt FWAV idx stream")
         rec["idx"][live] = idx.astype(np.int32)
         rec["sym"][live] = _unpack_mask(sym_b, n_live)
-        s_u16 = ((s_hi << 8) | s_lo).astype(np.uint16)
+        s_u16 = s_v.astype(np.uint16)
         rec["s"][live] = np.frombuffer(s_u16.tobytes(), np.float16).astype(
             np.float32
         )
-        oq = _unzigzag(((o_hi << 8) | o_lo).astype(np.int64))
+        oq = _unzigzag(o_zz.astype(np.int64))
         rec["o"][live] = (
             oq.astype(np.float64) * float(1 << o_shift) * float(_pow2(o_exp))
         ).astype(np.float32)

@@ -543,3 +543,62 @@ def test_entropy_corrupt_stream_rejected(_encoded, tmp_path):
             # idx range check or produce a live-bitmap mismatch — if it
             # parsed cleanly, re-raise via the checksum path
             load_compressed_compact(f)
+
+
+def test_whole_value_stream_round_trip(tmp_path):
+    """A low-alphabet s stream selects so_enc bit0 (whole-value rANS) and
+    round-trips exactly; the synthetic record's s values repeat heavily so
+    the whole-value stream must beat the byte planes."""
+    from fwav_tpu.io.compact import _EXT, _EXT_OFFSET, _EXT2, compact_bytes, parse_compact_bytes
+
+    rng = np.random.default_rng(7)
+    n = 4096
+    rec = np.zeros(n, dtype=MATCH_DTYPE)
+    rec["idx"] = rng.integers(0, 64, n)
+    rec["s"] = rng.choice(np.float32([0.25, 0.5, 1.0, 1.5]), n)
+    rec["o"] = rng.normal(0.0, 800.0, n).astype(np.float32)
+    rec["sym"] = rng.integers(0, 2, n).astype(np.uint8)
+    rec["err"] = np.float32(1.0)
+    bank = rng.normal(0, 1000.0, (64, 4)).astype(np.float32)
+    blob = compact_bytes(rec, bank, 4, 8000, 2, 1024, 1, 1e-4, 4 * n)
+    so_enc = blob[_EXT_OFFSET + _EXT.size + 3]
+    assert so_enc & 1, f"whole-value s coding not selected (so_enc={so_enc})"
+    rec2, bank2, *_ = parse_compact_bytes(blob)
+    np.testing.assert_array_equal(rec2["idx"], rec["idx"])
+    np.testing.assert_array_equal(rec2["sym"] != 0, rec["sym"] != 0)
+    # fixed point: re-encoding the decoded values must reproduce them exactly
+    blob2 = compact_bytes(rec2, bank2, 4, 8000, 2, 1024, 1, 1e-4, 4 * n)
+    rec3, *_ = parse_compact_bytes(blob2)
+    np.testing.assert_array_equal(rec3["s"], rec2["s"])
+    np.testing.assert_array_equal(rec3["o"], rec2["o"])
+
+
+def test_whole_value_corrupt_alphabet_rejected(tmp_path):
+    """Unknown so_enc bits and out-of-range alphabet sizes must raise the
+    format ValueError, never decode garbage."""
+    from fwav_tpu.io.compact import _EXT, _EXT_OFFSET, compact_bytes, parse_compact_bytes
+
+    from fwav_tpu.io.compact import FLAG_ENTROPY
+
+    rng = np.random.default_rng(8)
+    n = 4096
+    rec = np.zeros(n, dtype=MATCH_DTYPE)
+    rec["idx"] = rng.integers(0, 64, n)
+    rec["s"] = rng.choice(np.float32([0.25, 0.5, 1.0, 1.5]), n)
+    rec["o"] = rng.normal(0.0, 800.0, n).astype(np.float32)
+    rec["err"] = np.float32(1.0)
+    bank = rng.normal(0, 1000.0, (64, 4)).astype(np.float32)
+    blob = bytearray(compact_bytes(rec, bank, 4, 8000, 2, 1024, 1, 1e-4, 4 * n))
+    assert blob[_EXT_OFFSET + 3] & FLAG_ENTROPY
+    so_off = _EXT_OFFSET + _EXT.size + 3
+    assert blob[so_off] & 1
+    for bad in (0x04, 0xFF):  # undefined bits
+        b = bytearray(blob)
+        b[so_off] = bad
+        with pytest.raises(ValueError):
+            parse_compact_bytes(bytes(b), verify_checksum=False)
+    # alphabet size of zero (s_lo_len field when bit0 set)
+    b = bytearray(blob)
+    b[so_off + 1 + 4 + 4 + 4 : so_off + 1 + 4 + 4 + 4 + 4] = (0).to_bytes(4, "little")
+    with pytest.raises(ValueError):
+        parse_compact_bytes(bytes(b), verify_checksum=False)
