@@ -31,7 +31,23 @@ def _files(tmp_path_factory):
     p1, p2 = d / "v1.fwav", d / "v2.fwav"
     save_compressed(p1, rec, bank, N, 16000, 2, 1024, 1, 1e-4, n_ranges * N)
     save_compressed_compact(p2, rec, bank, N, 16000, 2, 1024, 1, 1e-4, n_ranges * N)
-    return p1.read_bytes(), p2.read_bytes(), d
+    # a third corpus whose s stream selects the whole-value rANS coding
+    # (so_enc bit0): heavy s repetition at a size where FLAG_ENTROPY wins
+    from fwav_tpu.io.compact import _EXT, _EXT_OFFSET, FLAG_ENTROPY
+
+    m = 4096
+    rec3 = np.zeros(m, MATCH_DTYPE)
+    rec3["idx"] = rng.integers(0, n_dom, m)
+    rec3["s"] = rng.choice(np.float32([0.25, 0.5, 1.0, 1.5]), m)
+    rec3["o"] = rng.normal(0.0, 800.0, m).astype(np.float32)
+    rec3["sym"] = rng.integers(0, 2, m).astype(np.uint8)
+    rec3["err"] = np.float32(1.0)
+    p3 = d / "v2wv.fwav"
+    save_compressed_compact(p3, rec3, bank, N, 16000, 2, 1024, 1, 1e-4, m * N)
+    b3 = p3.read_bytes()
+    assert b3[_EXT_OFFSET + 3] & FLAG_ENTROPY
+    assert b3[_EXT_OFFSET + _EXT.size + 3] & 1  # whole-value s selected
+    return p1.read_bytes(), p2.read_bytes(), b3, d
 
 
 def _attempt(loader, path, blob, tmp, tag):
@@ -57,11 +73,11 @@ def _force_python_loader(request, monkeypatch):
     return request.param
 
 
-@pytest.mark.parametrize("which", ["v1", "v2"])
+@pytest.mark.parametrize("which", ["v1", "v2", "v2wv"])
 @pytest.mark.parametrize("_force_python_loader", [False, True], indirect=True)
 def test_truncations(_files, tmp_path, which, _force_python_loader):
-    v1, v2, _ = _files
-    blob = v1 if which == "v1" else v2
+    v1, v2, v2wv, _ = _files
+    blob = {"v1": v1, "v2": v2, "v2wv": v2wv}[which]
     loader = load_compressed_arrays if which == "v1" else load_compressed_compact
     cuts = {0, 3, 4, 5, 33, 34, 65, 66, 67, 81, 82, len(blob) - 1}
     rng = np.random.default_rng(1)
@@ -70,10 +86,10 @@ def test_truncations(_files, tmp_path, which, _force_python_loader):
         _attempt(loader, None, blob[:cut], tmp_path, f"{which}_t{cut}")
 
 
-@pytest.mark.parametrize("which", ["v1", "v2"])
+@pytest.mark.parametrize("which", ["v1", "v2", "v2wv"])
 def test_byte_flips(_files, tmp_path, which):
-    v1, v2, _ = _files
-    blob = bytearray(v1 if which == "v1" else v2)
+    v1, v2, v2wv, _ = _files
+    blob = bytearray({"v1": v1, "v2": v2, "v2wv": v2wv}[which])
     loader = load_compressed_arrays if which == "v1" else load_compressed_compact
     rng = np.random.default_rng(2)
     offsets = {0, 4, 34}  # magic, version, checksum
@@ -85,14 +101,14 @@ def test_byte_flips(_files, tmp_path, which):
         _attempt(loader, None, bytes(mut), tmp_path, f"{which}_f{off}")
 
 
-@pytest.mark.parametrize("which", ["v1", "v2"])
+@pytest.mark.parametrize("which", ["v1", "v2", "v2wv"])
 def test_header_field_extremes(_files, tmp_path, which):
     # set each u32 header count to 0 and to 0xFFFFFFFF (verify off so the
     # size checks themselves are what gets exercised)
     import struct
 
-    v1, v2, _ = _files
-    blob = v1 if which == "v1" else v2
+    v1, v2, v2wv, _ = _files
+    blob = {"v1": v1, "v2": v2, "v2wv": v2wv}[which]
     if which == "v1":
         def loader(p):
             return load_compressed_arrays(p, verify_checksum=False)
