@@ -602,3 +602,28 @@ def test_whole_value_corrupt_alphabet_rejected(tmp_path):
     b[so_off + 1 + 4 + 4 + 4 : so_off + 1 + 4 + 4 + 4 + 4] = (0).to_bytes(4, "little")
     with pytest.raises(ValueError):
         parse_compact_bytes(bytes(b), verify_checksum=False)
+
+
+def test_whole_value_o_stream_round_trip():
+    """so_enc bit1 (whole-value o coding) engages on repeated offsets and
+    round-trips exactly."""
+    from fwav_tpu.io.compact import _EXT, _EXT_OFFSET, FLAG_ENTROPY, compact_bytes, parse_compact_bytes
+
+    rng = np.random.default_rng(11)
+    n = 4096
+    rec = np.zeros(n, dtype=MATCH_DTYPE)
+    rec["idx"] = rng.integers(0, 64, n)
+    rec["s"] = rng.uniform(-4, 4, n).astype(np.float32)
+    rec["o"] = rng.choice(np.float32([-1200.0, -300.0, 0.0, 450.0, 900.0]), n)
+    rec["err"] = np.float32(1.0)
+    bank = rng.normal(0, 1000.0, (64, 4)).astype(np.float32)
+    blob = compact_bytes(rec, bank, 4, 8000, 2, 1024, 1, 1e-4, 4 * n)
+    assert blob[_EXT_OFFSET + 3] & FLAG_ENTROPY
+    so_enc = blob[_EXT_OFFSET + _EXT.size + 3]
+    assert so_enc & 2, f"whole-value o coding not selected (so_enc={so_enc})"
+    rec2, bank2, *_ = parse_compact_bytes(blob)
+    np.testing.assert_array_equal(rec2["idx"], rec["idx"])
+    blob2 = compact_bytes(rec2, bank2, 4, 8000, 2, 1024, 1, 1e-4, 4 * n)
+    rec3, *_ = parse_compact_bytes(blob2)
+    np.testing.assert_array_equal(rec3["o"], rec2["o"])
+    np.testing.assert_array_equal(rec3["s"], rec2["s"])
