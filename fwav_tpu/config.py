@@ -134,8 +134,10 @@ class EncoderConfig:
     #: overhead; on transports that serialize transfers it is a no-op plus
     #: one on-device concatenate (microseconds at HBM bandwidth). The core
     #: concatenates the chunks back into the IDENTICAL raw buffer, so
-    #: records are bit-equal to the single-put path by construction
-    #: (tests/test_review_regressions.py). None (default) = 1 until the
+    #: records match the single-put path bit for bit on tie-free content
+    #: (tests/test_review_regressions.py); being a separate compiled
+    #: program, EXACT selection-score ties carry the same carve-out as any
+    #: recompilation (CLAUDE.md). None (default) = 1 until the
     #: chunked path measures faster on the target transport
     #: (scripts/probe_tunnel_overlap.py decides); values that do not
     #: divide the padded buffer fall back to 1.

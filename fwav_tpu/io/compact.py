@@ -19,8 +19,9 @@ decode inputs:
   decompress_audio reads only idx/s/o/sym, fractal.py:1391-1449); loaders
   return err=0.
 
-Measured on the 10 s / 44.1 kHz bench fixture: 0.33 MB vs the 0.88 MB
-input WAV (ratio 2.65 with the round-4 FLAG_ENTROPY layout; 1.93 for the
+Measured on the 10 s / 44.1 kHz bench fixture: 321,154 B vs the 882,000 B
+input WAV (ratio 2.75 with the round-4 FLAG_ENTROPY layout incl.
+whole-value streams; 1.93 for the
 round-3 deflate layout) vs 1.9 MB for v1-pruned (0.47) and ~8.9 MB for
 the reference's full-bank layout (0.10) — the only layout that actually
 compresses. Selection (idx/sym/live) is preserved bit-exactly; s/bank
@@ -397,7 +398,12 @@ def _entropy_variant(rec, live, n_live, idx, o16, bq, bank_planes, live_b,
         """Whole-value coding: rANS over ranks into the sorted unique-value
         list (values + freqs both land in the deflated header section).
         None when the alphabet exceeds the coder's 2^PROB_BITS cap or u16
-        value range."""
+        value range. Hour-scale streams pay a full-length sort here, so a
+        bounded prefix probe rejects the hopeless case (a wide-alphabet
+        prefix can only widen) before the full unique()."""
+        if len(vals) > (1 << 22):
+            if len(np.unique(vals[: 1 << 20])) > (1 << rans.PROB_BITS):
+                return None
         u, inv = np.unique(vals, return_inverse=True)
         if len(u) > (1 << rans.PROB_BITS) or (
             len(u) and (int(u.min()) < 0 or int(u.max()) > 0xFFFF)
@@ -729,8 +735,9 @@ def _parse_entropy(body, hdr, idx_bits, bank_exp, o_exp, n_live, raw_len):
     # size (the value list + freq table live in the deflated section)
     s_alpha = s_lo_len if so_enc & 1 else 0
     o_alpha = o_lo_len if so_enc & 2 else 0
-    if (so_enc & 1 and not 1 <= s_alpha <= 4096) or (
-        so_enc & 2 and not 1 <= o_alpha <= 4096
+    alpha_cap = 1 << rans.PROB_BITS  # the writer's symbol_stream gate
+    if (so_enc & 1 and not 1 <= s_alpha <= alpha_cap) or (
+        so_enc & 2 and not 1 <= o_alpha <= alpha_cap
     ):
         raise ValueError("Corrupt compact FWAV alphabet size")
     off += _EXT2.size

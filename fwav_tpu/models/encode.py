@@ -816,8 +816,11 @@ def _encode_core_chunked(k, *key):
     """build_encode_core behind a k-way raw-chunk concatenate: the caller
     device_puts the padded raw buffer as k equal back-to-back transfers
     (EncoderConfig.h2d_chunks — wire pipelining on transports that overlap
-    puts) and the program reassembles the IDENTICAL buffer on device, so
-    every downstream value matches the single-put core bit for bit."""
+    puts) and the program reassembles the IDENTICAL buffer on device. The
+    downstream values match the single-put core's on everything except the
+    usual recompilation scope: this is a different compiled program, so
+    EXACT selection-score ties fall under the CLAUDE.md carve-out (same as
+    any shape-bucket change); tie-free content matches bit for bit."""
     f = build_encode_core(*key)
 
     def g(*args):

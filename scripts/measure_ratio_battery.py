@@ -22,7 +22,9 @@ sys.path.insert(0, "/root/repo")
 
 from bench import make_signal  # noqa: E402
 from fwav_tpu import compress_audio_arrays, compute_snr, decompress_audio  # noqa: E402
-from fwav_tpu.io.compact import _EXT, _EXT_OFFSET, FLAG_ENTROPY, compact_bytes  # noqa: E402
+from fwav_tpu.io.compact import (  # noqa: E402
+    _EXT, _EXT_OFFSET, FLAG_ENTROPY, compact_bytes, parse_compact_bytes,
+)
 from fwav_tpu.io.container import matches_to_struct, save_compressed  # noqa: E402
 from fwav_tpu.models.encode import prune_bank  # noqa: E402
 
@@ -49,7 +51,6 @@ def fixtures():
 
 
 def main():
-    import io as _io
     import tempfile, os
 
     print(f"{'fixture':18s} {'v1_pruned':>10s} {'v2':>9s} {'ratio':>6s} "
@@ -73,7 +74,13 @@ def main():
             blob[_EXT_OFFSET + _EXT.size + 3]
             if blob[_EXT_OFFSET + 3] & FLAG_ENTROPY else -1
         )
-        recon = decompress_audio(rec, bank, n_ranges, N, original_len=len(sig))
+        # decode from the PARSED v2 blob, so the SNR column measures the
+        # container being sized (entropy-stage quantization included) and
+        # would catch a whole-value encode/decode defect
+        rec_v2, bank_v2, *_ = parse_compact_bytes(blob)
+        recon = decompress_audio(
+            rec_v2, bank_v2, n_ranges, N, original_len=len(sig)
+        )
         snr = compute_snr(sig, recon)
         ratio = len(sig) * 2 / len(blob)
         print(f"{name:18s} {v1:>10d} {len(blob):>9d} {ratio:>6.2f} "

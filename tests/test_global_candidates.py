@@ -187,7 +187,7 @@ def test_global_pass_pallas_nomination_kernel(monkeypatch):
     # differ, the decode metric may not)
     import fwav_tpu.ops.pallas_search as ps
     from fwav_tpu.config import EncoderConfig
-    from fwav_tpu.models.encode import _encode_core
+    from fwav_tpu.models.encode import _encode_core, _encode_core_chunked
 
     counts = {}
     orig = ps.topc_search_scan_pallas
@@ -198,6 +198,7 @@ def test_global_pass_pallas_nomination_kernel(monkeypatch):
 
     monkeypatch.setattr(ps, "topc_search_scan_pallas", wrapped)
     _encode_core.cache_clear()
+    _encode_core_chunked.cache_clear()
     try:
         sig, sr = _sig(seconds=1.0, seed=7)
         base_cfg = dict(tile_size=128, objective="damped")
@@ -220,6 +221,7 @@ def test_global_pass_pallas_nomination_kernel(monkeypatch):
         )
     finally:
         _encode_core.cache_clear()
+        _encode_core_chunked.cache_clear()
 
 
 def test_global_pass_int32_protocol_branch(monkeypatch, enc):
@@ -227,16 +229,18 @@ def test_global_pass_int32_protocol_branch(monkeypatch, enc):
     # int32; forcing the threshold to 0 must reproduce the 3-byte-protocol
     # records bit for bit (only the transport encoding changes)
     import fwav_tpu.models.encode as encode_mod
-    from fwav_tpu.models.encode import _encode_core
+    from fwav_tpu.models.encode import _encode_core, _encode_core_chunked
 
     sig, sr, on, _ = enc
     monkeypatch.setattr(encode_mod, "PACK3_MAX_ROWS", 0)
     _encode_core.cache_clear()
+    _encode_core_chunked.cache_clear()
     try:
         got = compress_audio_streaming(sig, sr, 2, **KW)
         np.testing.assert_array_equal(got[0], on[0])
     finally:
         _encode_core.cache_clear()
+        _encode_core_chunked.cache_clear()
 
 
 def test_streaming_phase_timings_cover_the_pass():

@@ -21,6 +21,7 @@ import fwav_tpu.ops.pallas_search as ps
 from fwav_tpu.config import EncoderConfig
 from fwav_tpu.models.encode import (
     _encode_core,
+    _encode_core_chunked,
     _sharded_encode_core,
     compress_audio_arrays,
 )
@@ -56,9 +57,11 @@ def kernel_counters(monkeypatch):
 
         monkeypatch.setattr(ps, name, wrapped)
     _encode_core.cache_clear()
+    _encode_core_chunked.cache_clear()
     _sharded_encode_core.cache_clear()
     yield counts
     _encode_core.cache_clear()
+    _encode_core_chunked.cache_clear()
     _sharded_encode_core.cache_clear()
 
 
