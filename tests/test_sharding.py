@@ -339,3 +339,21 @@ def test_compress_audio_sharded_bit_equal_topk(dp, tp, _single_device_records):
     for f in ("idx", "s", "o", "sym", "err"):
         np.testing.assert_array_equal(rec_8[f], rec_1[f], err_msg=f)
     assert (rec_1["idx"] == -1).sum() > 0  # sentinel rows exercised
+
+
+def test_mesh_path_ignores_h2d_chunks(_single_device_records):
+    """h2d_chunks is a single-device transport knob: the sharded encode
+    must ignore it (its replicated in_specs own the transfer) and stay
+    bit-equal to the mesh encode without the knob."""
+    from fwav_tpu.config import EncoderConfig
+    from fwav_tpu.parallel.shard import compress_audio_sharded
+
+    sig, sr, single = _single_device_records
+    mesh = make_mesh(4, dp=2, tp=2)
+    want = compress_audio_sharded(sig, sr, 2, mesh=mesh, search="exact")
+    got = compress_audio_sharded(
+        sig, sr, 2, mesh=mesh,
+        config=EncoderConfig(search="exact", h2d_chunks=4),
+    )
+    np.testing.assert_array_equal(want[0], got[0])
+    np.testing.assert_array_equal(want[1], got[1])
