@@ -390,6 +390,17 @@ def main(argv=None) -> int:
             "file_bytes": os.path.getsize(args.input),
             "checksum": checksum_state,
         }
+        if info["version"] == 2:
+            # header-level layout report (which keep-smallest encoding the
+            # writer picked + its quantization/coding choices) — never
+            # touches the payload, so it works on corrupt files too
+            from .io.compact import describe_layout
+
+            with open(args.input, "rb") as f:
+                head = f.read(128)
+            layout = describe_layout(head)
+            if layout is not None:
+                info["v2_layout"] = layout
         print(json.dumps(info, indent=2))
         return 1 if checksum_state.startswith("FAILED") else 0
 

@@ -595,6 +595,47 @@ def compact_bytes(
     return header + sha.digest() + ext + ext2 + payload
 
 
+def describe_layout(data: bytes):
+    """Header-level description of a v2 blob's payload layout (for `info`):
+    which encoding the keep-smallest writer picked and, for the entropy
+    layout, its quantization/coding choices. Never touches the payload —
+    safe on corrupt files past the header. Returns a dict, or None when the
+    blob is not a v2 container (or is too short to carry the ext header)."""
+    if len(data) < _EXT_OFFSET + _EXT.size or data[:4] != MAGIC:
+        return None
+    if data[4] != COMPACT_VERSION:
+        return None
+    idx_bits, bank_exp, o_exp, flags, n_live, raw_len = _EXT.unpack(
+        data[_EXT_OFFSET : _EXT_OFFSET + _EXT.size]
+    )
+    out = {
+        "layout": (
+            "entropy" if flags & FLAG_ENTROPY
+            else "deflate" if flags & FLAG_DEFLATE else "raw"
+        ),
+        "idx_bits": int(idx_bits),
+        "n_live": int(n_live),
+        "bank_exp": int(bank_exp),
+        "o_exp": int(o_exp),
+    }
+    if flags & FLAG_DEFLATE:
+        out["idx_transform"] = (
+            "delta" if flags & FLAG_IDX_DELTA else "plain"
+        )
+    e2_off = _EXT_OFFSET + _EXT.size
+    if flags & FLAG_ENTROPY and len(data) >= e2_off + _EXT2.size:
+        o_shift, s_drop, idx_enc, so_enc = _EXT2.unpack(
+            data[e2_off : e2_off + _EXT2.size]
+        )[:4]
+        out.update(
+            o_shift=int(o_shift), s_drop=int(s_drop),
+            idx_coding="rans" if idx_enc else "packed",
+            s_coding="whole_value" if so_enc & 1 else "byte_planes",
+            o_coding="whole_value" if so_enc & 2 else "byte_planes",
+        )
+    return out
+
+
 def load_compressed_compact(filepath, verify_checksum: bool = True):
     """Load a v2 container; returns the same 10-tuple as
     io.container.load_compressed_arrays (err is 0 — not stored, see module

@@ -627,3 +627,29 @@ def test_whole_value_o_stream_round_trip():
     rec3, *_ = parse_compact_bytes(blob2)
     np.testing.assert_array_equal(rec3["o"], rec2["o"])
     np.testing.assert_array_equal(rec3["s"], rec2["s"])
+
+
+def test_cli_info_reports_v2_layout(_encoded, tmp_path, capsys):
+    """`info` on a v2 file reports the header-level layout description
+    (which keep-smallest encoding won + the entropy stage's choices)."""
+    import json
+
+    from fwav_tpu.cli import main
+    from fwav_tpu.io.compact import describe_layout
+
+    *_, p2 = _encoded
+    assert main(["info", str(p2)]) == 0
+    info = json.loads(capsys.readouterr().out)
+    lay = info["v2_layout"]
+    assert lay["layout"] in ("entropy", "deflate", "raw")
+    if lay["layout"] == "entropy":
+        assert lay["idx_coding"] in ("rans", "packed")
+        assert lay["s_coding"] in ("whole_value", "byte_planes")
+        assert lay["o_coding"] in ("whole_value", "byte_planes")
+        assert 0 <= lay["o_shift"] <= 12
+    # header-level: must also work on a payload-corrupt file
+    raw = bytearray(p2.read_bytes())
+    raw[-1] ^= 0xFF
+    assert describe_layout(bytes(raw)) == lay
+    # and not report on v1
+    assert describe_layout(b"\x00" * 200) is None
