@@ -124,6 +124,17 @@ def _info_multichannel(path, verify) -> int:
         "file_bytes": os.path.getsize(path),
         "checksum": checksum_state,
     }
+    try:
+        from .io.compact import describe_layout
+        from .io.multich import iter_channel_blobs
+
+        with open(path, "rb") as f:
+            data = f.read()
+        info["v2_layout_per_channel"] = [
+            describe_layout(blob) for _, blob in iter_channel_blobs(data)
+        ]
+    except ValueError:
+        pass  # framing already reported above; layout is best-effort
     print(json.dumps(info, indent=2))
     return 0
 

@@ -99,13 +99,11 @@ def save_compressed_multi(filepath, channel_tuples, transform=TRANSFORM_DIRECT):
             f.write(blob)
 
 
-def load_compressed_multi(filepath, verify_checksum: bool = True):
-    """Load a v3 container: returns (channels, transform) where channels is
-    a list of per-channel 10-tuples in load_compressed_arrays' shape. The
-    stored channels come back as stored — callers undo a TRANSFORM_MS with
-    ms_inverse AFTER decoding each channel."""
-    with open(filepath, "rb") as f:
-        data = f.read()
+def iter_channel_blobs(data: bytes):
+    """Walk a v3 container's outer framing, yielding (transform, blob)
+    pairs — each blob is one stored channel's raw v2 bytes, unparsed.
+    Shared by load_compressed_multi and header-level reporting (`info`),
+    so the framing validation can never drift between them."""
     if len(data) < 5 or data[:4] != MAGIC:
         raise ValueError("Not a FWAV file")
     if data[4] != MULTI_VERSION:
@@ -122,7 +120,6 @@ def load_compressed_multi(filepath, verify_checksum: bool = True):
     if n_ch < 1 or (transform == TRANSFORM_MS and n_ch != 2):
         raise ValueError("Corrupt multichannel FWAV header")
     off = 5 + _OUTER.size
-    channels = []
     for _ in range(n_ch):
         if off + _LEN.size > len(data):
             raise ValueError("Truncated FWAV payload")
@@ -130,12 +127,23 @@ def load_compressed_multi(filepath, verify_checksum: bool = True):
         off += _LEN.size
         if off + blen > len(data):
             raise ValueError("Truncated FWAV payload")
-        channels.append(
-            parse_compact_bytes(
-                data[off : off + blen], verify_checksum=verify_checksum
-            )
-        )
+        yield transform, data[off : off + blen]
         off += blen
     if off != len(data):
         raise ValueError("Corrupt or truncated FWAV payload")
+
+
+def load_compressed_multi(filepath, verify_checksum: bool = True):
+    """Load a v3 container: returns (channels, transform) where channels is
+    a list of per-channel 10-tuples in load_compressed_arrays' shape. The
+    stored channels come back as stored — callers undo a TRANSFORM_MS with
+    ms_inverse AFTER decoding each channel."""
+    with open(filepath, "rb") as f:
+        data = f.read()
+    transform = TRANSFORM_DIRECT
+    channels = []
+    for transform, blob in iter_channel_blobs(data):
+        channels.append(
+            parse_compact_bytes(blob, verify_checksum=verify_checksum)
+        )
     return channels, transform

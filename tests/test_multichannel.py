@@ -340,6 +340,9 @@ def test_cli_keep_round_trip_and_info(tmp_path, capsys):
     assert info["checksum"] == "verified"
     assert len(info["silent_sentinel_ranges"]) == 2
     assert all(s > 0 for s in info["silent_sentinel_ranges"])
+    lays = info["v2_layout_per_channel"]
+    assert len(lays) == 2
+    assert all(l["layout"] in ("entropy", "deflate", "raw") for l in lays)
 
     # per-channel + overall SNR report on matching channel counts
     assert cli_main(["snr", str(wav), str(tmp_path / "recon.wav")]) == 0
