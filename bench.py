@@ -159,6 +159,11 @@ def main(argv=None):
     # timeouts let one slow-phase child eat the whole window): a
     # fast-phase child completes in ~25-60 s; cap each at 300 s and stop
     # scheduling once the budget cannot fit a realistic fast child.
+    # While NO sample has landed yet, the cap deepens to the whole
+    # remaining budget: in a slow-but-alive phase (backend init alone can
+    # take 8 min) two hopeless 300 s children produce zero samples, while
+    # one ~590 s child can complete — one deep sample beats an empty
+    # artifact (the round-3 1-sample lesson, inverted).
     results = []
     t0 = time.time()
     budget = 700.0
@@ -166,11 +171,12 @@ def main(argv=None):
         remaining = budget - (time.time() - t0)
         if len(results) >= 3 or remaining < (60 if results else 10):
             break
+        cap = 300.0 if results else max(remaining - 5.0, 60.0)
         try:
             out = subprocess.run(
                 [sys.executable, __file__, "--single"],
                 capture_output=True, text=True, check=True,
-                timeout=min(300.0, max(remaining, 60.0)),
+                timeout=min(cap, max(remaining, 60.0)),
             ).stdout.strip().splitlines()[-1]
             results.append(json.loads(out))
             print(json.dumps(_with_spread(results)), flush=True)
