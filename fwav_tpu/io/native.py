@@ -83,6 +83,20 @@ def _load():
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_float,
             ctypes.c_void_p,
         ]
+        try:  # round-4 additions: absent from a stale cached library
+            cdll.fwav_rans_encode.restype = ctypes.c_int64
+            cdll.fwav_rans_encode.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+            ]
+            cdll.fwav_rans_decode.restype = ctypes.c_int64
+            cdll.fwav_rans_decode.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ]
+        except AttributeError:
+            cdll.fwav_rans_encode = None
+            cdll.fwav_rans_decode = None
         _lib = cdll
         return _lib
 
@@ -210,3 +224,50 @@ def read(path, verify_checksum: bool = True):
         rec, domains, n_ranges, range_size, framerate, sampwidth,
         tile_size, domain_step, float(thr.value), original_len,
     )
+
+
+def rans_encode(symbols: np.ndarray, freqs: np.ndarray):
+    """Native lane-interleaved rANS encode, BIT-IDENTICAL to io.rans.encode
+    (tested head-to-head in tests/test_native_rans.py). Returns the stream
+    bytes, or None when the library (or symbol, on a stale build) is
+    unavailable."""
+    lib = _load()
+    if lib is None or getattr(lib, "fwav_rans_encode", None) is None:
+        return None
+    sym = np.ascontiguousarray(symbols, dtype=np.int64)
+    f = np.ascontiguousarray(freqs, dtype=np.int64)
+    n = 1
+    m = len(sym)
+    while n < 8192 and n * 256 <= m:  # _lanes_for, for the capacity bound
+        n <<= 1
+    out = np.empty(4 * n + 2 * m + 16, np.uint8)
+    rc = lib.fwav_rans_encode(
+        sym.ctypes.data_as(ctypes.c_void_p), m,
+        f.ctypes.data_as(ctypes.c_void_p), len(f),
+        out.ctypes.data_as(ctypes.c_void_p), len(out),
+    )
+    if rc < 0:
+        return None  # fall back to the numpy spec (bad input surfaces there)
+    return out[:rc].tobytes()
+
+
+def rans_decode(buf: bytes, m: int, freqs: np.ndarray):
+    """Native rANS decode. Returns the int64 symbol array, None when the
+    library is unavailable. Raises the format's ValueError on a truncated
+    stream (matching io.rans.decode)."""
+    lib = _load()
+    if lib is None or getattr(lib, "fwav_rans_decode", None) is None:
+        return None
+    f = np.ascontiguousarray(freqs, dtype=np.int64)
+    data = np.frombuffer(buf, np.uint8)
+    out = np.empty(int(m), np.int64)
+    rc = lib.fwav_rans_decode(
+        data.ctypes.data_as(ctypes.c_void_p), len(data), int(m),
+        f.ctypes.data_as(ctypes.c_void_p), len(f),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc == -7:
+        raise ValueError("Truncated rANS stream")
+    if rc != 0:
+        return None
+    return out

@@ -87,11 +87,29 @@ def quantize_freqs(counts: np.ndarray) -> np.ndarray:
 
 
 def encode(symbols: np.ndarray, freqs: np.ndarray) -> bytes:
-    """Encode int symbols (all with freqs[sym] > 0) into one rANS stream."""
+    """Encode int symbols (all with freqs[sym] > 0) into one rANS stream.
+
+    The native C++ coder (native/fwavio.cpp fwav_rans_encode) runs when
+    available and is BIT-IDENTICAL by construction (same constants, lane
+    schedule and byte order; tested head-to-head in
+    tests/test_native_rans.py); this numpy implementation is the
+    executable spec and the fallback."""
     sym = np.asarray(symbols, dtype=np.int64)
-    m = len(sym)
     f_all = np.asarray(freqs, dtype=np.int64)
     assert int(f_all.sum()) == _M, "freqs must come from quantize_freqs"
+
+    from . import native
+
+    nat = native.rans_encode(sym, f_all)
+    if nat is not None:
+        return nat
+    return _encode_np(sym, f_all)
+
+
+def _encode_np(sym: np.ndarray, f_all: np.ndarray) -> bytes:
+    """The numpy encoder (the executable spec the native coder must match
+    byte for byte)."""
+    m = len(sym)
     cdf = np.zeros(len(f_all) + 1, np.int64)
     np.cumsum(f_all, out=cdf[1:])
 
@@ -130,9 +148,21 @@ def encode(symbols: np.ndarray, freqs: np.ndarray) -> bytes:
 
 
 def decode(buf: bytes, m: int, freqs: np.ndarray) -> np.ndarray:
-    """Decode an encode() stream back to its m symbols."""
+    """Decode an encode() stream back to its m symbols. Native fast path
+    with the numpy spec as fallback, like encode()."""
     f_all = np.asarray(freqs, dtype=np.int64)
     assert int(f_all.sum()) == _M
+
+    from . import native
+
+    nat = native.rans_decode(buf, m, f_all)
+    if nat is not None:
+        return nat
+    return _decode_np(buf, m, f_all)
+
+
+def _decode_np(buf: bytes, m: int, f_all: np.ndarray) -> np.ndarray:
+    """The numpy decoder (executable spec / fallback)."""
     cdf = np.zeros(len(f_all) + 1, np.int64)
     np.cumsum(f_all, out=cdf[1:])
     slot2sym = np.repeat(

@@ -17,6 +17,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <vector>
 
 #if defined(__x86_64__) || defined(__i386__)
 #include <immintrin.h>
@@ -520,4 +521,125 @@ extern "C" int fwav_collect(const uint8_t* codes, const float* ranges,
             return collect_rows<0>(codes, ranges, bank, m, n, bank_rows,
                                    s_clip, rec_out);
     }
+}
+
+// ---------------------------------------------------------------------------
+// Lane-interleaved static rANS, BIT-IDENTICAL to the numpy coder in
+// io/rans.py (the executable spec — tested head-to-head in
+// tests/test_native_rans.py). Same constants (PROB_BITS=12, L=2^23), same
+// deterministic lane count, same stream layout: N little-endian u32 lane
+// states, then the renormalization bytes in decode order (the encoder
+// pushes step-descending / lane-ascending / LSB-first and reverses the
+// whole byte stack, exactly like the numpy implementation).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr int kProbBits = 12;
+constexpr int64_t kM = int64_t(1) << kProbBits;
+constexpr int64_t kL = int64_t(1) << 23;
+
+int64_t rans_lanes_for(int64_t m) {
+    int64_t n = 1;
+    while (n < 8192 && n * 256 <= m) n <<= 1;
+    return n;
+}
+
+}  // namespace
+
+// Encode m symbols into out (capacity out_cap). freqs: n_sym entries
+// summing to 2^12. Returns the byte count written, or a negative error:
+// -7 capacity too small, -9 a symbol out of range / zero frequency.
+extern "C" int64_t fwav_rans_encode(const int64_t* sym, int64_t m,
+                                    const int64_t* freqs, int64_t n_sym,
+                                    uint8_t* out, int64_t out_cap) {
+    const int64_t N = rans_lanes_for(m);
+    const int64_t steps = m ? (m + N - 1) / N : 0;
+    if (out_cap < 4 * N + 2 * m) return -7;
+
+    std::vector<int64_t> cdf(size_t(n_sym) + 1, 0);
+    for (int64_t i = 0; i < n_sym; ++i) cdf[size_t(i) + 1] = cdf[size_t(i)] + freqs[i];
+
+    std::vector<int64_t> x(size_t(N), kL);
+    uint8_t* push = out + out_cap;  // byte stack grows downward: pushing
+    // step-descending/lane-ascending/LSB-first and reversing equals
+    // writing those same bytes from the END of the buffer backwards.
+    for (int64_t t = steps - 1; t >= 0; --t) {
+        for (int64_t lane = 0; lane < N; ++lane) {
+            const int64_t idx = t * N + lane;
+            if (idx >= m) continue;
+            const int64_t s = sym[idx];
+            if (s < 0 || s >= n_sym) return -9;
+            const int64_t f = freqs[s];
+            if (f <= 0) return -9;
+            const int64_t x_max = ((kL >> kProbBits) << 8) * f;
+            int64_t& xv = x[size_t(lane)];
+            if (xv >= x_max) { *--push = uint8_t(xv & 0xFF); xv >>= 8; }
+            if (xv >= x_max) { *--push = uint8_t(xv & 0xFF); xv >>= 8; }
+            xv = ((xv / f) << kProbBits) + (xv % f) + cdf[size_t(s)];
+        }
+    }
+    // assemble: states (LE u32) + stream (already in decode order at the
+    // tail of the buffer); slide the stream down next to the states
+    const int64_t stream_len = (out + out_cap) - push;
+    for (int64_t lane = 0; lane < N; ++lane) {
+        const uint32_t v = uint32_t(x[size_t(lane)]);
+        out[4 * lane + 0] = uint8_t(v & 0xFF);
+        out[4 * lane + 1] = uint8_t((v >> 8) & 0xFF);
+        out[4 * lane + 2] = uint8_t((v >> 16) & 0xFF);
+        out[4 * lane + 3] = uint8_t((v >> 24) & 0xFF);
+    }
+    std::memmove(out + 4 * N, push, size_t(stream_len));
+    return 4 * N + stream_len;
+}
+
+// Decode m symbols from buf. Returns 0, or -7 on a truncated stream /
+// bad frequency table.
+extern "C" int64_t fwav_rans_decode(const uint8_t* buf, int64_t buf_len,
+                                    int64_t m, const int64_t* freqs,
+                                    int64_t n_sym, int64_t* out) {
+    const int64_t N = rans_lanes_for(m);
+    const int64_t steps = m ? (m + N - 1) / N : 0;
+    if (buf_len < 4 * N) return -7;
+
+    std::vector<int64_t> cdf(size_t(n_sym) + 1, 0);
+    for (int64_t i = 0; i < n_sym; ++i) cdf[size_t(i) + 1] = cdf[size_t(i)] + freqs[i];
+    if (cdf[size_t(n_sym)] != kM) return -7;
+    std::vector<uint16_t> slot2sym(size_t(kM), 0);
+    for (int64_t s = 0; s < n_sym; ++s)
+        for (int64_t k = cdf[size_t(s)]; k < cdf[size_t(s) + 1]; ++k)
+            slot2sym[size_t(k)] = uint16_t(s);
+
+    std::vector<int64_t> x(size_t(N), 0);
+    for (int64_t lane = 0; lane < N; ++lane)
+        x[size_t(lane)] = int64_t(uint32_t(buf[4 * lane]) |
+                                  (uint32_t(buf[4 * lane + 1]) << 8) |
+                                  (uint32_t(buf[4 * lane + 2]) << 16) |
+                                  (uint32_t(buf[4 * lane + 3]) << 24));
+    const uint8_t* data = buf + 4 * N;
+    const uint8_t* end = buf + buf_len;
+    for (int64_t t = 0; t < steps; ++t) {
+        const int64_t base = t * N;
+        for (int64_t lane = 0; lane < N; ++lane) {
+            const int64_t idx = base + lane;
+            if (idx >= m) continue;
+            int64_t& xv = x[size_t(lane)];
+            const int64_t slot = xv & (kM - 1);
+            const int64_t s = slot2sym[size_t(slot)];
+            xv = freqs[s] * (xv >> kProbBits) + slot - cdf[size_t(s)];
+            out[idx] = s;
+        }
+        // renorm reads mirror the encoder's push: lanes DESCENDING,
+        // MSB first within a lane
+        for (int64_t lane = N - 1; lane >= 0; --lane) {
+            if (base + lane >= m) continue;
+            int64_t& xv = x[size_t(lane)];
+            if (xv >= kL) continue;
+            const int need = (xv < (kL >> 8)) ? 2 : 1;
+            if (data + need > end) return -7;
+            xv = (xv << 8) | int64_t(*data++);
+            if (need == 2) xv = (xv << 8) | int64_t(*data++);
+        }
+    }
+    return 0;
 }
