@@ -94,9 +94,21 @@ def _load():
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
             ]
+            cdll.fwav_pack_bits.restype = ctypes.c_int64
+            cdll.fwav_pack_bits.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int64,
+            ]
+            cdll.fwav_unpack_bits.restype = ctypes.c_int64
+            cdll.fwav_unpack_bits.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_void_p,
+            ]
         except AttributeError:
             cdll.fwav_rans_encode = None
             cdll.fwav_rans_decode = None
+            cdll.fwav_pack_bits = None
+            cdll.fwav_unpack_bits = None
         _lib = cdll
         return _lib
 
@@ -268,6 +280,43 @@ def rans_decode(buf: bytes, m: int, freqs: np.ndarray):
     )
     if rc == -7:
         raise ValueError("Truncated rANS stream")
+    if rc != 0:
+        return None
+    return out
+
+
+def pack_bits(values: np.ndarray, bits: int):
+    """Native LSB-first fixed-width bit pack, identical bytes to
+    io.compact._pack_bits (tested head-to-head in tests/test_native_rans.py).
+    None when unavailable."""
+    lib = _load()
+    if lib is None or getattr(lib, "fwav_pack_bits", None) is None:
+        return None
+    v = np.ascontiguousarray(values, dtype=np.int64)
+    m = len(v)
+    out = np.empty((m * bits + 7) // 8, np.uint8)
+    rc = lib.fwav_pack_bits(
+        v.ctypes.data_as(ctypes.c_void_p), m, int(bits),
+        out.ctypes.data_as(ctypes.c_void_p), len(out),
+    )
+    if rc < 0:
+        return None
+    return out.tobytes()
+
+
+def unpack_bits(buf: bytes, m: int, bits: int):
+    """Native unpack (inverse of pack_bits). None when unavailable; raises
+    the format ValueError on a too-short buffer (matching the numpy spec's
+    implicit length contract)."""
+    lib = _load()
+    if lib is None or getattr(lib, "fwav_unpack_bits", None) is None:
+        return None
+    data = np.frombuffer(buf, np.uint8)
+    out = np.empty(int(m), np.int64)
+    rc = lib.fwav_unpack_bits(
+        data.ctypes.data_as(ctypes.c_void_p), len(data), int(m), int(bits),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
     if rc != 0:
         return None
     return out

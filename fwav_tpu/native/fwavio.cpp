@@ -643,3 +643,47 @@ extern "C" int64_t fwav_rans_decode(const uint8_t* buf, int64_t buf_len,
     }
     return 0;
 }
+
+// LSB-first fixed-width bit packing, identical to io/compact._pack_bits /
+// _unpack_bits (numpy packbits bitorder='little' over a continuous bit
+// stream — the python chunking is byte-aligned, so one pass matches).
+// bits must be 1..57 (the accumulator carries < 8 residual bits).
+extern "C" int64_t fwav_pack_bits(const int64_t* v, int64_t m, int64_t bits,
+                                  uint8_t* out, int64_t out_cap) {
+    const int64_t total = (m * bits + 7) / 8;
+    if (bits < 1 || bits > 57 || out_cap < total) return -7;
+    const uint64_t mask = (uint64_t(1) << bits) - 1;
+    uint64_t acc = 0;
+    int nacc = 0;
+    int64_t pos = 0;
+    for (int64_t i = 0; i < m; ++i) {
+        acc |= (uint64_t(v[i]) & mask) << nacc;
+        nacc += int(bits);
+        while (nacc >= 8) {
+            out[pos++] = uint8_t(acc & 0xFF);
+            acc >>= 8;
+            nacc -= 8;
+        }
+    }
+    if (nacc) out[pos++] = uint8_t(acc & 0xFF);
+    return total;
+}
+
+extern "C" int64_t fwav_unpack_bits(const uint8_t* buf, int64_t buf_len,
+                                    int64_t m, int64_t bits, int64_t* out) {
+    if (bits < 1 || bits > 57 || buf_len < (m * bits + 7) / 8) return -7;
+    const uint64_t mask = (uint64_t(1) << bits) - 1;
+    uint64_t acc = 0;
+    int nacc = 0;
+    int64_t pos = 0;
+    for (int64_t i = 0; i < m; ++i) {
+        while (nacc < bits) {
+            acc |= uint64_t(buf[pos++]) << nacc;
+            nacc += 8;
+        }
+        out[i] = int64_t(acc & mask);
+        acc >>= bits;
+        nacc -= int(bits);
+    }
+    return 0;
+}

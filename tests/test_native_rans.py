@@ -65,3 +65,24 @@ def test_native_truncation_raises_like_spec():
         native.rans_decode(cut, 5000, freqs)
     with pytest.raises(ValueError, match="Truncated"):
         _decode_np(cut, 5000, freqs)
+
+
+@pytest.mark.parametrize("m,bits", [(1, 1), (7, 3), (255, 19), (4096, 24),
+                                    (100_001, 25), (50_000, 12)])
+def test_native_pack_bits_bit_identical(m, bits):
+    from fwav_tpu.io import compact as C
+
+    rng = np.random.default_rng(m + bits)
+    v = rng.integers(0, 1 << bits, m).astype(np.int64)
+    # numpy spec path (bypass the native fast path by calling internals)
+    shifts = np.arange(bits, dtype=np.uint64)[None, :]
+    chunks = []
+    for i in range(0, m, C._BITPACK_CHUNK):
+        b = ((v[i : i + C._BITPACK_CHUNK].astype(np.uint64)[:, None] >> shifts) & 1).astype(np.uint8)
+        chunks.append(np.packbits(b.reshape(-1), bitorder="little").tobytes())
+    spec = b"".join(chunks)
+    nat = native.pack_bits(v, bits)
+    assert nat == spec
+    np.testing.assert_array_equal(native.unpack_bits(spec, m, bits), v)
+    # the public helpers agree end to end
+    np.testing.assert_array_equal(C._unpack_bits(C._pack_bits(v, bits), m, bits), v)
