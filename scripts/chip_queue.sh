@@ -1,0 +1,16 @@
+#!/bin/bash
+# Run the queued chip-time jobs in priority order (docs/ROADMAP.md
+# "Round 4 close-out"): the H2D overlap probe (decides
+# EncoderConfig.h2d_chunks' auto default), the headline bench, and the
+# damped-streaming throughput measurement. Each is its own process with
+# its own timeout — a wedged tunnel phase costs one job, not the queue.
+set -u
+cd /root/repo
+echo "=== chip queue start $(date -u +%FT%TZ) ==="
+echo "--- 1/3 overlap probe (put pipelining + h2d_chunks A/B) ---"
+timeout 2400 python scripts/probe_tunnel_overlap.py 2>&1 | tee /tmp/chip_probe.log
+echo "--- 2/3 bench ---"
+timeout 900 python bench.py 2>&1 | tee /tmp/chip_bench.log
+echo "--- 3/3 damped streaming throughput (100 s fixture) ---"
+timeout 3600 python scripts/measure_damped_streaming.py --seconds 100 2>&1 | tee /tmp/chip_damped.log
+echo "=== chip queue done $(date -u +%FT%TZ) ==="
