@@ -79,12 +79,14 @@ def _info_multichannel(path, verify) -> int:
     shared per-channel geometry and per-channel sentinel counts. v3 banks
     are compact blobs (bounded by the range count), so parsing them whole
     stays small however long the audio is."""
-    from .io.multich import TRANSFORM_MS, load_compressed_multi
+    from .io.multich import TRANSFORM_MS, parse_multi_bytes
 
     checksum_state = "not checked"
+    with open(path, "rb") as f:
+        data = f.read()
     try:
-        channels, transform = load_compressed_multi(
-            path, verify_checksum=bool(verify)
+        channels, transform = parse_multi_bytes(
+            data, verify_checksum=bool(verify)
         )
         if verify:
             checksum_state = "verified"
@@ -128,8 +130,6 @@ def _info_multichannel(path, verify) -> int:
         from .io.compact import describe_layout
         from .io.multich import iter_channel_blobs
 
-        with open(path, "rb") as f:
-            data = f.read()
         info["v2_layout_per_channel"] = [
             describe_layout(blob) for _, blob in iter_channel_blobs(data)
         ]

@@ -182,6 +182,11 @@ def _pack_bits(values: np.ndarray, bits: int) -> bytes:
 def _unpack_bits(buf: bytes, m: int, bits: int) -> np.ndarray:
     if m == 0 or bits == 0:
         return np.zeros(m, np.int64)
+    if len(buf) < (m * bits + 7) // 8:
+        # np.unpackbits(count=...) zero-pads a short buffer instead of
+        # raising, which would decode a truncated stream as silent zero
+        # indices; enforce the length contract before either backend runs
+        raise ValueError("Truncated FWAV idx stream")
     from . import native
 
     nat = native.unpack_bits(buf, m, bits)

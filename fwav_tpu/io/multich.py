@@ -133,13 +133,10 @@ def iter_channel_blobs(data: bytes):
         raise ValueError("Corrupt or truncated FWAV payload")
 
 
-def load_compressed_multi(filepath, verify_checksum: bool = True):
-    """Load a v3 container: returns (channels, transform) where channels is
-    a list of per-channel 10-tuples in load_compressed_arrays' shape. The
-    stored channels come back as stored — callers undo a TRANSFORM_MS with
-    ms_inverse AFTER decoding each channel."""
-    with open(filepath, "rb") as f:
-        data = f.read()
+def parse_multi_bytes(data: bytes, verify_checksum: bool = True):
+    """Parse a v3 container already in memory (the bytes-level half of
+    load_compressed_multi, so callers that also need the raw bytes — e.g.
+    the CLI's layout report — read the file once)."""
     transform = TRANSFORM_DIRECT
     channels = []
     for transform, blob in iter_channel_blobs(data):
@@ -147,3 +144,13 @@ def load_compressed_multi(filepath, verify_checksum: bool = True):
             parse_compact_bytes(blob, verify_checksum=verify_checksum)
         )
     return channels, transform
+
+
+def load_compressed_multi(filepath, verify_checksum: bool = True):
+    """Load a v3 container: returns (channels, transform) where channels is
+    a list of per-channel 10-tuples in load_compressed_arrays' shape. The
+    stored channels come back as stored — callers undo a TRANSFORM_MS with
+    ms_inverse AFTER decoding each channel."""
+    with open(filepath, "rb") as f:
+        data = f.read()
+    return parse_multi_bytes(data, verify_checksum=verify_checksum)

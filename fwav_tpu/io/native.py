@@ -246,13 +246,12 @@ def rans_encode(symbols: np.ndarray, freqs: np.ndarray):
     lib = _load()
     if lib is None or getattr(lib, "fwav_rans_encode", None) is None:
         return None
+    from .rans import _lanes_for  # capacity bound must track the spec's lanes
+
     sym = np.ascontiguousarray(symbols, dtype=np.int64)
     f = np.ascontiguousarray(freqs, dtype=np.int64)
-    n = 1
     m = len(sym)
-    while n < 8192 and n * 256 <= m:  # _lanes_for, for the capacity bound
-        n <<= 1
-    out = np.empty(4 * n + 2 * m + 16, np.uint8)
+    out = np.empty(4 * _lanes_for(m) + 2 * m + 16, np.uint8)
     rc = lib.fwav_rans_encode(
         sym.ctypes.data_as(ctypes.c_void_p), m,
         f.ctypes.data_as(ctypes.c_void_p), len(f),
@@ -305,9 +304,10 @@ def pack_bits(values: np.ndarray, bits: int):
 
 
 def unpack_bits(buf: bytes, m: int, bits: int):
-    """Native unpack (inverse of pack_bits). None when unavailable; raises
-    the format ValueError on a too-short buffer (matching the numpy spec's
-    implicit length contract)."""
+    """Native unpack (inverse of pack_bits). None when unavailable or on
+    any native-side error; buffer-length validation is the caller's job
+    (io.compact._unpack_bits raises the format ValueError before
+    dispatching here)."""
     lib = _load()
     if lib is None or getattr(lib, "fwav_unpack_bits", None) is None:
         return None

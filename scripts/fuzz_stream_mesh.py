@@ -56,11 +56,22 @@ def _random_signal(rng, n, sr):
     return np.round(sig * (2**14)).astype(np.float32)
 
 
-def sel_gain_check(sig, rec1, recm, rs, tile, step, thr):
+def sel_gain_check(sig, rec1, recm, rs, tile, step, thr, objective):
+    # live<->sentinel disagreements are NEVER the carve-out (the silence
+    # gate is replicated arithmetic, no ties) — check them unconditionally,
+    # not only when no regular flip exists
+    sent = (recm["idx"] >= 0) != (rec1["idx"] >= 0)
+    if sent.any():
+        return False
     d = (recm["idx"] != rec1["idx"]) & (rec1["idx"] >= 0) & (recm["idx"] >= 0)
     if not d.any():
-        sent = (recm["idx"] >= 0) != (rec1["idx"] >= 0)
-        return not sent.any()
+        return True
+    if objective != "balanced":
+        # the closed-form gain below reproduces only the balanced
+        # objective's selection score; no cheap oracle for affine/damped —
+        # report "no oracle" and let the caller fall back to the decode
+        # bound alone
+        return None
     voiced = voiced_detection(sig, frame_size=2 * rs, energy_threshold=thr)
     w = sig * voiced
     pad = (rs - (len(sig) % rs)) % rs
@@ -120,12 +131,17 @@ def main():
         if np.array_equal(rec1, recm):
             print(f"[{k}] {geo} bit-equal ({time.time()-t0:.0f}s)", flush=True)
             continue
-        ok = sel_gain_check(sig, rec1, recm, rs, tile_o, step, thr)
+        ok = sel_gain_check(sig, rec1, recm, rs, tile_o, step, thr, objective)
         bank = np.concatenate(list(domain_block_iter(sig, tile_o, rs, step)))
         o1 = decompress_audio(rec1, bank, n_ranges, rs, original_len=olen)
         o2 = decompress_audio(recm, bank, n_ranges, rs, original_len=olen)
         lsb = float(np.abs(o1 - o2).max())
-        verdict = "CARVE-OUT-OK" if ok and lsb <= 1.0 else "FAIL"
+        if ok is None:  # no tie oracle: accept only on the measured
+            verdict = (  # carve-out decode bound (<= 0.5 PCM LSB)
+                "CARVE-OUT-OK(lsb-only)" if lsb <= 0.5 else "FAIL"
+            )
+        else:
+            verdict = "CARVE-OUT-OK" if ok and lsb <= 1.0 else "FAIL"
         if verdict == "FAIL":
             fails += 1
         nflip = int(((recm["idx"] != rec1["idx"]) & (rec1["idx"] >= 0)).sum())

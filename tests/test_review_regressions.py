@@ -115,3 +115,18 @@ def test_h2d_chunked_records_bit_equal(speechlike, k):
         assert np.array_equal(base[0], chunked[0])
         assert np.array_equal(base[1], chunked[1])
         assert base[2:] == chunked[2:]
+
+
+def test_unpack_bits_truncated_raises():
+    """A truncated packed idx stream must raise the format ValueError, not
+    zero-pad: np.unpackbits(count=N) silently pads a short buffer, which
+    would decode truncation as silent zero indices (review round 4)."""
+    from fwav_tpu.io.compact import _pack_bits, _unpack_bits
+
+    vals = np.arange(100, dtype=np.int64)
+    buf = _pack_bits(vals, 7)
+    assert np.array_equal(_unpack_bits(buf, 100, 7), vals)
+    with pytest.raises(ValueError, match="Truncated"):
+        _unpack_bits(buf[:-1], 100, 7)
+    with pytest.raises(ValueError, match="Truncated"):
+        _unpack_bits(b"\x01", 100, 7)
