@@ -6,11 +6,14 @@
 # its own timeout — a wedged tunnel phase costs one job, not the queue.
 set -u
 cd /root/repo
+# Results tee into chip_logs/ (tracked) so the driver's round-end commit
+# preserves them even if no builder session is alive when the queue runs.
+mkdir -p chip_logs
 echo "=== chip queue start $(date -u +%FT%TZ) ==="
 echo "--- 1/3 overlap probe (put pipelining + h2d_chunks A/B) ---"
-timeout 2400 python scripts/probe_tunnel_overlap.py 2>&1 | tee /tmp/chip_probe.log
+timeout 2400 python scripts/probe_tunnel_overlap.py 2>&1 | tee /tmp/chip_probe.log chip_logs/probe.log
 echo "--- 2/3 bench ---"
-timeout 900 python bench.py 2>&1 | tee /tmp/chip_bench.log
+timeout 900 python bench.py 2>&1 | tee /tmp/chip_bench.log chip_logs/bench.log
 echo "--- 3/3 damped streaming throughput (100 s fixture) ---"
-timeout 3600 python scripts/measure_damped_streaming.py --seconds 100 2>&1 | tee /tmp/chip_damped.log
-echo "=== chip queue done $(date -u +%FT%TZ) ==="
+timeout 3600 python scripts/measure_damped_streaming.py --seconds 100 2>&1 | tee /tmp/chip_damped.log chip_logs/damped.log
+echo "=== chip queue done $(date -u +%FT%TZ) ===" | tee chip_logs/done.stamp
