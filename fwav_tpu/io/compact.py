@@ -157,6 +157,26 @@ FLAG_ENTROPY = 8
 _BITPACK_CHUNK = 1 << 20
 
 
+def _bounded_inflate(buf: bytes, expected: int) -> bytes:
+    """zlib-inflate `buf`, refusing to produce more than `expected` bytes.
+
+    zlib.decompress(bufsize=...) treats the size only as an initial buffer
+    hint, so a crafted stream could balloon to arbitrary memory before the
+    post-hoc length check; decompressobj with max_length bounds allocation
+    to the header-validated size.
+    """
+    d = zlib.decompressobj()
+    try:
+        # max_length=0 would mean "unlimited"; for expected==0 cap at one
+        # byte and let the length check below reject any output at all
+        out = d.decompress(buf, expected or 1)
+    except zlib.error as e:
+        raise ValueError("Corrupt or truncated FWAV payload") from e
+    if d.unconsumed_tail or not d.eof or len(out) != expected:
+        raise ValueError("Corrupt or truncated FWAV payload")
+    return out
+
+
 def _pack_bits(values: np.ndarray, bits: int) -> bytes:
     """LSB-first bit-pack non-negative int values at fixed width. Native
     fast path (fwav_pack_bits, byte-identical — the numpy matrix build
@@ -719,13 +739,10 @@ def parse_compact_bytes(data: bytes, verify_checksum: bool = True):
         # ValueError, not pre-allocate a u64's worth of buffer (MemoryError)
         if raw_len != expected:
             raise ValueError("Corrupt or truncated FWAV payload")
-        try:
-            payload = zlib.decompress(payload, bufsize=expected)
-        except zlib.error as e:
-            # truncation and bit-flips both surface here: the zlib stream
-            # carries its own adler32, so deflated payloads stay
-            # corruption-checked even when the SHA-256 pass is skipped
-            raise ValueError("Corrupt or truncated FWAV payload") from e
+        # truncation and bit-flips both surface inside _bounded_inflate:
+        # the zlib stream carries its own adler32, so deflated payloads
+        # stay corruption-checked even when the SHA-256 pass is skipped
+        payload = _bounded_inflate(payload, expected)
     if len(payload) != expected:
         raise ValueError("Truncated FWAV payload")
     parts = []
@@ -822,12 +839,7 @@ def _parse_entropy(body, hdr, idx_bits, bank_exp, o_exp, n_live, raw_len):
     )
     if raw_len != expected:
         raise ValueError("Corrupt or truncated FWAV payload")
-    try:
-        zsec = zlib.decompress(zsec_b, bufsize=expected)
-    except zlib.error as e:
-        raise ValueError("Corrupt or truncated FWAV payload") from e
-    if len(zsec) != expected:
-        raise ValueError("Truncated FWAV payload")
+    zsec = _bounded_inflate(zsec_b, expected)
     sizes = [n_domains * range_size * 2, (n_ranges + 7) // 8,
              (n_live + 7) // 8, 2 * n_domains if idx_enc else 0,
              4 * s_alpha if so_enc & 1 else 512,

@@ -96,7 +96,10 @@ def encode(symbols: np.ndarray, freqs: np.ndarray) -> bytes:
     executable spec and the fallback."""
     sym = np.asarray(symbols, dtype=np.int64)
     f_all = np.asarray(freqs, dtype=np.int64)
-    assert int(f_all.sum()) == _M, "freqs must come from quantize_freqs"
+    if int(f_all.sum()) != _M:
+        # Not an assert: writer-path preconditions must survive python -O,
+        # or a malformed table silently yields a corrupt stream.
+        raise ValueError("freqs must come from quantize_freqs (sum == 2^PROB_BITS)")
 
     from . import native
 
@@ -151,7 +154,8 @@ def decode(buf: bytes, m: int, freqs: np.ndarray) -> np.ndarray:
     """Decode an encode() stream back to its m symbols. Native fast path
     with the numpy spec as fallback, like encode()."""
     f_all = np.asarray(freqs, dtype=np.int64)
-    assert int(f_all.sum()) == _M
+    if int(f_all.sum()) != _M:
+        raise ValueError("freqs must sum to 2^PROB_BITS")
 
     from . import native
 

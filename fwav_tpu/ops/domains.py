@@ -154,8 +154,12 @@ def bank_rows_host(signal, tile_size: int, range_size: int, domain_step: int,
 
     # scattered rows: gather per COLUMN with 1-D index vectors — the 2-D
     # fancy-index form allocates (d, N) int64/float64 temporaries and runs
-    # 21x slower at millions of rows (measured 6.8 s -> 0.32 s at 4.4M);
-    # bit-identical output
+    # 21x slower at millions of rows (measured 6.8 s -> 0.32 s at 4.4M).
+    # Reciprocal-multiply matches division bit-exactly when block_len is a
+    # power of two (true for every pow2 / 256-multiple tile size); for
+    # non-pow2 block_len it may differ by <=1 ulp — which is the
+    # load-bearing direction: it aligns this branch with the contiguous
+    # and serialized-bank branches above, which already multiply
     out = np.empty((d, range_size), dtype=np.float32)
     base = rows * domain_step - s0
     for j in range(range_size):
