@@ -133,6 +133,10 @@ def _info_multichannel(path, verify) -> int:
         info["v2_layout_per_channel"] = [
             describe_layout(blob) for _, blob in iter_channel_blobs(data)
         ]
+        for lay in info["v2_layout_per_channel"]:
+            if lay and "decode_damping_hint" in lay:
+                info["decode_damping_hint"] = lay["decode_damping_hint"]
+                break
     except ValueError:
         pass  # framing already reported above; layout is best-effort
     print(json.dumps(info, indent=2))
@@ -183,21 +187,24 @@ def main(argv=None) -> int:
                          "against reference-encoded files)")
     pc.add_argument("--compact", action="store_true",
                     help="write the v2 compact container (fp16 bank + "
-                         "bit-packed match streams): actually compresses "
-                         "(~3x smaller than the default pruned v1) at "
-                         "< 0.02 dB SNR cost; decodes with this tool only "
-                         "(the reference reads v1 files, which remain the "
-                         "default)")
-    pc.add_argument("--profile", default="default",
-                    choices=["default", "damped"],
+                         "entropy-coded match streams): actually compresses "
+                         "(~2.7x over the input WAV) at < 0.02 dB SNR cost; "
+                         "defaults to --profile damped (the container stores "
+                         "a decode hint, so a bare decompress realizes the "
+                         "profile's quality win); decodes with this tool "
+                         "only (the reference reads v1 files, which remain "
+                         "the default)")
+    pc.add_argument("--profile", default="auto",
+                    choices=["auto", "default", "damped"],
                     help="encode profile: 'default' tunes matches for the "
                          "reference-default decode (s_damping=0); 'damped' "
                          "tunes them for the damped decoder's fixed point "
-                         "(clip-aware selection; the container is unchanged "
-                         "and any decoder reads it) — ALWAYS decode such "
-                         "files with 'decompress --damping 0.25' (large "
-                         "quality win at identical rate; at damping=0 they "
-                         "can land below the default profile)")
+                         "(clip-aware selection; measured +13 to +34 dB at "
+                         "identical rate). 'auto' picks damped for --compact "
+                         "(v2 stores a decode hint so bare decompress uses "
+                         "the right decoder) and 'default' otherwise (v1 is "
+                         "hintless and reference-frozen — damped files decode "
+                         "great only with 'decompress --damping 0.25')")
     pc.add_argument("--global-candidates", default="auto",
                     choices=["auto", "on", "off"], dest="global_candidates",
                     help="whole-file candidate pass for long (streaming) "
@@ -247,10 +254,12 @@ def main(argv=None) -> int:
     pd.add_argument("--out", default=None, help="output file or directory")
     pd.add_argument("--iter", type=int, default=8)
     pd.add_argument("--eps", type=float, default=1e-3)
-    pd.add_argument("--damping", type=float, default=0.0,
+    pd.add_argument("--damping", type=float, default=None,
                     help="s_damping blend toward the per-iteration refit "
                          "scale (0 = reference default; >0 converges to the "
-                         "stored affine transform)")
+                         "stored affine transform). Default: the file's "
+                         "stored decode hint when present (damped-profile "
+                         "compact files store 0.25), else 0")
     pd.add_argument("--gpu", action="store_true")
     pd.add_argument("--batch", action="store_true",
                     help="treat input as directory and decompress all FWAV inside")
@@ -296,7 +305,17 @@ def main(argv=None) -> int:
                              "checkpoints of one file would collide)")
         from .models.codec import process_file_compress
 
-        objective = "damped" if args.profile == "damped" else "balanced"
+        profile = args.profile
+        if profile == "auto":
+            # our formats (v2 --compact, v3 --channels keep/ms) store a
+            # decode hint, so the damped profile's quality win reaches a
+            # bare `decompress`; hintless v1 keeps the reference-default
+            # profile so its files decode best with a bare reference decode
+            profile = (
+                "damped" if args.compact or args.channels != "fold"
+                else "default"
+            )
+        objective = "damped" if profile == "damped" else "balanced"
         gcand = {"auto": None, "on": True, "off": False}[args.global_candidates]
         if not args.batch:
             if args.output is None:
@@ -412,6 +431,8 @@ def main(argv=None) -> int:
             layout = describe_layout(head)
             if layout is not None:
                 info["v2_layout"] = layout
+                if "decode_damping_hint" in layout:
+                    info["decode_damping_hint"] = layout["decode_damping_hint"]
         print(json.dumps(info, indent=2))
         return 1 if checksum_state.startswith("FAILED") else 0
 

@@ -20,6 +20,14 @@ TOP_K = 32
 #: DCT coefficients for the standalone tile embedding (reference: fractal.py:141).
 EMBED_K = 32
 
+#: The decoder s_damping the damped encode profile is tuned for — the value
+#: the clip-aware objective optimizes against and the one stored as the
+#: v2/v3 FLAG_DECODE_HINT so a bare `decompress` realizes the profile's
+#: quality win (measured +34 dB over the hintless default decode on the
+#: bench fixture). Matches the long-standing `decompress --damping 0.25`
+#: recommendation.
+DAMPED_DECODE_DAMPING = 0.25
+
 
 def derive_range_size(tile_size: int) -> int:
     """reference: fractal.py:1070 (note README.md:95 says //128; code wins)."""

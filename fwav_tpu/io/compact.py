@@ -44,7 +44,9 @@ reference raises 'Unsupported FWAV version', fractal.py:1334-1336):
     34      32    SHA-256 over EVERYTHING after offset 66
     66      16    ext header: idx_bits u8, bank_scale_exp i8, o_scale_exp
                   i8, flags u8 (FLAG_*), n_live u32, raw_payload_len u64
-    82      ...   payload — if flags & FLAG_DEFLATE, one zlib stream
+    82      0|1   decode-hint byte (only when flags & FLAG_DECODE_HINT):
+                  preferred decoder s_damping in 1/100 units
+    82+     ...   payload — if flags & FLAG_DEFLATE, one zlib stream
                   inflating to raw_payload_len bytes; else the raw streams:
 
     raw stream order (sizes derivable from the headers alone):
@@ -146,6 +148,16 @@ FLAG_O_INT16 = 4
 #: by the writer so the added noise stays under _QUANT_GAMMA of the
 #: encoder's own measured residual — see _pick_o_shift/_pick_s_drop.
 FLAG_ENTROPY = 8
+#: DECODE_HINT: ONE extra byte sits between the ext header and the
+#: ext2/payload — the writer's preferred decoder s_damping in 1/100 units
+#: (u8; 25 == the damped profile's 0.25). Round 4 measured the trap this
+#: kills: a damped-profile file decoded at the default damping=0 lands
+#: BELOW the default profile (~1.1 dB vs 6.6 dB on the bench fixture)
+#: while the hinted decode reaches ~40 dB — the 34 dB win must not hide
+#: behind a flag the user has to know about. The hint is advisory: any
+#: explicit --damping overrides it, and v1 (reference-frozen) never
+#: carries one.
+FLAG_DECODE_HINT = 16
 
 
 #: Values per bit-packing chunk. Must be a multiple of 8 so every full
@@ -517,14 +529,19 @@ def save_compressed_compact(
     domain_step,
     energy_threshold,
     original_len,
+    decode_damping=None,
 ) -> None:
     """Write the v2 compact container. Same signature as
     io.container.save_compressed; callers normally prune the bank first
     (models.encode.prune_bank) — idx_bits is derived from the stored bank,
-    so an unpruned bank only costs width, never correctness."""
+    so an unpruned bank only costs width, never correctness.
+    decode_damping (optional) stores the FLAG_DECODE_HINT byte: the
+    s_damping this file's matches were tuned for (the damped encode
+    profile sets 0.25); hint-aware decoders default to it."""
     blob = compact_bytes(
         matches, domains_array, range_size, framerate, sampwidth,
         tile_size, domain_step, energy_threshold, original_len,
+        decode_damping=decode_damping,
     )
     with open(filepath, "wb") as f:
         f.write(blob)
@@ -540,11 +557,13 @@ def compact_bytes(
     domain_step,
     energy_threshold,
     original_len,
+    decode_damping=None,
 ) -> bytes:
     """Encode one channel's decode inputs as a complete, self-checking v2
     container blob (header + SHA-256 + ext + payload). save_compressed_compact
     writes exactly these bytes; the v3 multichannel container (io.multich)
-    embeds one such blob per stored channel."""
+    embeds one such blob per stored channel. decode_damping != None stores
+    the FLAG_DECODE_HINT byte (see the flag comment)."""
     rec = matches_to_struct(matches)
     domains = np.ascontiguousarray(np.asarray(domains_array, dtype=np.float32))
     n_ranges = len(rec)
@@ -624,14 +643,26 @@ def compact_bytes(
             flags = FLAG_ENTROPY
             ext2, payload, raw_len = e_ext2, e_payload, zraw_len
 
+    hint = b""
+    if decode_damping is not None:
+        if not np.isfinite(decode_damping):
+            raise ValueError(f"decode_damping hint not finite: {decode_damping}")
+        q = int(round(float(decode_damping) * 100.0))
+        if not 0 <= q <= 255:
+            raise ValueError(
+                f"decode_damping hint out of range [0, 2.55]: {decode_damping}"
+            )
+        flags |= FLAG_DECODE_HINT
+        hint = struct.pack("<B", q)
     ext = _EXT.pack(
         idx_bits, bank_exp, o_exp, flags | FLAG_O_INT16, n_live, raw_len
     )
     sha = hashlib.sha256()
     sha.update(ext)
+    sha.update(hint)
     sha.update(ext2)
     sha.update(payload)
-    return header + sha.digest() + ext + ext2 + payload
+    return header + sha.digest() + ext + hint + ext2 + payload
 
 
 def describe_layout(data: bytes):
@@ -662,6 +693,10 @@ def describe_layout(data: bytes):
             "delta" if flags & FLAG_IDX_DELTA else "plain"
         )
     e2_off = _EXT_OFFSET + _EXT.size
+    if flags & FLAG_DECODE_HINT:
+        if len(data) > e2_off:
+            out["decode_damping_hint"] = data[e2_off] / 100.0
+        e2_off += 1
     if flags & FLAG_ENTROPY and len(data) >= e2_off + _EXT2.size:
         o_shift, s_drop, idx_enc, so_enc = _EXT2.unpack(
             data[e2_off : e2_off + _EXT2.size]
@@ -673,6 +708,23 @@ def describe_layout(data: bytes):
             o_coding="whole_value" if so_enc & 2 else "byte_planes",
         )
     return out
+
+
+def parse_decode_hint(data: bytes):
+    """Return the stored FLAG_DECODE_HINT value (the writer's preferred
+    decoder s_damping) of a v2 blob, or None when absent / not a v2 blob.
+    Needs only the first _EXT_OFFSET + 17 bytes — callers may pass a file
+    prefix. Purely advisory, so unlike the loaders this never raises on a
+    malformed prefix."""
+    if len(data) < _EXT_OFFSET + _EXT.size or data[:4] != MAGIC:
+        return None
+    if data[4] != COMPACT_VERSION:
+        return None
+    flags = _EXT.unpack(data[_EXT_OFFSET : _EXT_OFFSET + _EXT.size])[3]
+    pos = _EXT_OFFSET + _EXT.size
+    if not flags & FLAG_DECODE_HINT or len(data) <= pos:
+        return None
+    return data[pos] / 100.0
 
 
 def load_compressed_compact(filepath, verify_checksum: bool = True):
@@ -709,18 +761,26 @@ def parse_compact_bytes(data: bytes, verify_checksum: bool = True):
     idx_bits, bank_exp, o_exp, flags, n_live, raw_len = _EXT.unpack(
         body[: _EXT.size]
     )
-    if flags & ~(FLAG_DEFLATE | FLAG_IDX_DELTA | FLAG_O_INT16 | FLAG_ENTROPY):
+    if flags & ~(FLAG_DEFLATE | FLAG_IDX_DELTA | FLAG_O_INT16 | FLAG_ENTROPY
+                 | FLAG_DECODE_HINT):
         # a future stream encoding must fail loudly on this loader, never
         # decode to plausible garbage (the FLAG_O_INT16 transition is the
         # in-repo precedent for exactly that hazard)
         raise ValueError(f"Unknown compact FWAV flags: 0x{flags:02x}")
+    base = _EXT.size
+    if flags & FLAG_DECODE_HINT:
+        # advisory byte for the decoder's s_damping default; stream layout
+        # is unchanged apart from the one-byte shift
+        if len(body) < base + 1:
+            raise ValueError("Truncated FWAV payload")
+        base += 1
     hdr = (range_size, framerate, sampwidth, tile_size, domain_step,
            energy_threshold, n_ranges, n_domains, original_len)
     if flags & FLAG_ENTROPY:
         if flags & (FLAG_DEFLATE | FLAG_IDX_DELTA):
             raise ValueError(f"Unknown compact FWAV flags: 0x{flags:02x}")
         return _parse_entropy(body, hdr, idx_bits, bank_exp, o_exp, n_live,
-                              raw_len)
+                              raw_len, base)
 
     eff_idx_bits = idx_bits + 1 if flags & FLAG_IDX_DELTA else idx_bits
     sizes = [
@@ -732,7 +792,7 @@ def parse_compact_bytes(data: bytes, verify_checksum: bool = True):
         n_live * 2,
     ]
     expected = sum(sizes)
-    payload = body[_EXT.size :]
+    payload = body[base:]
     if flags & FLAG_DEFLATE:
         # validate the stored length against the header-derived size BEFORE
         # allocating: a corrupt raw_payload_len must raise the format's
@@ -788,15 +848,17 @@ def parse_compact_bytes(data: bytes, verify_checksum: bool = True):
     )
 
 
-def _parse_entropy(body, hdr, idx_bits, bank_exp, o_exp, n_live, raw_len):
+def _parse_entropy(body, hdr, idx_bits, bank_exp, o_exp, n_live, raw_len,
+                   base=_EXT.size):
     """Parse the FLAG_ENTROPY layout (see _entropy_variant): ext2 header,
     deflated header section (bank planes + bitmaps + rANS tables), then the
-    five rANS / packed streams."""
+    five rANS / packed streams. `base` is the ext2 offset into body (one
+    past _EXT.size when the FLAG_DECODE_HINT byte is present)."""
     from . import rans
 
     (range_size, framerate, sampwidth, tile_size, domain_step,
      energy_threshold, n_ranges, n_domains, original_len) = hdr
-    off = _EXT.size
+    off = base
     if len(body) < off + _EXT2.size:
         raise ValueError("Truncated FWAV payload")
     (o_shift, s_drop, idx_enc, so_enc, z_len, idx_len, s_hi_len, s_lo_len,

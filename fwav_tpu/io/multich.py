@@ -46,7 +46,7 @@ import struct
 
 import numpy as np
 
-from .compact import compact_bytes, parse_compact_bytes
+from .compact import compact_bytes, parse_compact_bytes, parse_decode_hint
 from .container import MAGIC
 
 MULTI_VERSION = 3
@@ -78,11 +78,14 @@ def ms_inverse(ms: np.ndarray) -> np.ndarray:
     return np.stack([left, right], axis=1)
 
 
-def save_compressed_multi(filepath, channel_tuples, transform=TRANSFORM_DIRECT):
+def save_compressed_multi(filepath, channel_tuples, transform=TRANSFORM_DIRECT,
+                          decode_damping=None):
     """Write a v3 multichannel container. channel_tuples is a list of
     per-channel 9-tuples matching compact_bytes' argument order:
     (matches, domains, range_size, framerate, sampwidth, tile_size,
-    domain_step, energy_threshold, original_len)."""
+    domain_step, energy_threshold, original_len). decode_damping != None
+    stores the per-channel FLAG_DECODE_HINT byte (all channels encode under
+    one profile, so they carry the same hint)."""
     n_ch = len(channel_tuples)
     if not 1 <= n_ch <= 255:
         raise ValueError(f"Unsupported channel count: {n_ch}")
@@ -90,7 +93,8 @@ def save_compressed_multi(filepath, channel_tuples, transform=TRANSFORM_DIRECT):
         raise ValueError("mid/side requires exactly 2 channels")
     if transform not in (TRANSFORM_DIRECT, TRANSFORM_MS):
         raise ValueError(f"Unknown channel transform: {transform}")
-    blobs = [compact_bytes(*t) for t in channel_tuples]
+    blobs = [compact_bytes(*t, decode_damping=decode_damping)
+             for t in channel_tuples]
     with open(filepath, "wb") as f:
         f.write(MAGIC + struct.pack("<B", MULTI_VERSION))
         f.write(_OUTER.pack(n_ch, transform, 0))
@@ -131,6 +135,19 @@ def iter_channel_blobs(data: bytes):
         off += blen
     if off != len(data):
         raise ValueError("Corrupt or truncated FWAV payload")
+
+
+def multi_decode_hint(data: bytes):
+    """The v3 container's decode hint: the first stored channel's
+    FLAG_DECODE_HINT value (all channels carry the same one — see
+    save_compressed_multi), or None. Advisory like parse_decode_hint:
+    returns None on malformed framing rather than raising."""
+    try:
+        for _, blob in iter_channel_blobs(data):
+            return parse_decode_hint(blob)
+    except ValueError:
+        return None
+    return None
 
 
 def parse_multi_bytes(data: bytes, verify_checksum: bool = True):

@@ -51,6 +51,42 @@ def _resolve_out(path, outdir, default_suffix, expected_ext):
     return os.path.join(outdir, base + "_recon.wav")
 
 
+def _profile_hint(kwargs):
+    """The decode hint a compact/multichannel writer should store for this
+    encode's keyword set: the damped profile's matches are tuned for
+    s_damping=DAMPED_DECODE_DAMPING (config.py), every other profile for
+    the default damping=0 decode (no hint needed)."""
+    if kwargs.get("objective") == "damped":
+        from ..config import DAMPED_DECODE_DAMPING
+
+        return DAMPED_DECODE_DAMPING
+    return None
+
+
+def _stored_decode_hint(path):
+    """The container's stored decode hint (v2 FLAG_DECODE_HINT byte; v3 via
+    its first channel blob), or None — v1 is frozen and never carries one.
+    Advisory: any read/parse failure returns None and lets the real loader
+    raise the proper error later."""
+    try:
+        from ..io.container import read_version
+
+        v = read_version(path)
+        if v == 2:
+            from ..io.compact import parse_decode_hint
+
+            with open(path, "rb") as f:
+                return parse_decode_hint(f.read(128))
+        if v == 3:
+            from ..io.multich import multi_decode_hint
+
+            with open(path, "rb") as f:
+                return multi_decode_hint(f.read())
+    except (OSError, ValueError):
+        return None
+    return None
+
+
 def process_file_compress(path, outdir=None, tile=1024, energy_thresh=1e-4,
                           use_gpu=False, prune_bank=False, search="auto",
                           devices=1, tp=1, compact=False, resume_dir=None,
@@ -96,8 +132,14 @@ def process_file_compress(path, outdir=None, tile=1024, energy_thresh=1e-4,
             )
         # mono input: keep/ms degrade to the standard mono container
     if compact:
-        from ..io.compact import save_compressed_compact as _save
+        import functools
+
+        from ..io.compact import save_compressed_compact
+
         prune_bank = True
+        _save = functools.partial(
+            save_compressed_compact, decode_damping=_profile_hint(kwargs)
+        )
     else:
         _save = save_compressed
     try:
@@ -273,7 +315,8 @@ def _process_file_compress_multi(path, outdir, tile, energy_thresh,
             ]
 
         outpath = _resolve_out(path, outdir, ".fwav", ".fwav")
-        save_compressed_multi(outpath, encoded, transform=transform)
+        save_compressed_multi(outpath, encoded, transform=transform,
+                              decode_damping=_profile_hint(kwargs))
         elapsed = time.time() - start
         in_size = os.path.getsize(path)
         out_size = os.path.getsize(outpath)
@@ -352,8 +395,15 @@ def process_files_compress_packed(jobs, tile=1024, energy_thresh=1e-4,
     metrics). Unreadable files return error dicts without sinking the
     batch, same isolation as process_file_compress."""
     if compact:
-        from ..io.compact import save_compressed_compact as _save
+        import functools
+
+        from ..io.compact import save_compressed_compact
+
         prune_bank_ = True
+        _save = functools.partial(
+            save_compressed_compact,
+            decode_damping=_profile_hint({"objective": objective}),
+        )
     else:
         _save = save_compressed
         prune_bank_ = prune_bank
@@ -462,12 +512,18 @@ def process_files_compress_packed(jobs, tile=1024, energy_thresh=1e-4,
 
 
 def process_file_decompress(path, outdir=None, iterations=8, eps=1e-3,
-                            use_gpu=False, s_damping=0.0, start_s=None,
+                            use_gpu=False, s_damping=None, start_s=None,
                             duration_s=None, devices=1, tp=1, **kwargs):
     """File-level decode (reference: process_file_decompress,
     fractal.py:1524-1546). Beyond the reference: start_s/duration_s decode
     only the requested time window (models.decode.decompress_segment —
     exact, per-range independent) and write it as the output WAV.
+
+    s_damping=None (default) honors the container's stored decode hint
+    (v2/v3 FLAG_DECODE_HINT — damped-profile files are tuned for
+    s_damping=0.25 and land BELOW the default profile at damping=0) and
+    falls back to the reference default 0.0 when no hint is stored. Pass an
+    explicit float (including 0.0) to override the hint.
 
     devices>1 runs the damped (s_damping>0, device while_loop) decode
     range-sharded over an N-device mesh's dp axis — per-range independent,
@@ -480,6 +536,15 @@ def process_file_decompress(path, outdir=None, iterations=8, eps=1e-3,
     version byte, no caller opt-in needed."""
     try:
         start = time.time()
+        hint_applied = None
+        if s_damping is None:
+            hint_applied = _stored_decode_hint(path)
+            s_damping = hint_applied if hint_applied is not None else 0.0
+            if hint_applied:
+                logger.info(
+                    "Using stored decode hint: s_damping=%.2f "
+                    "(pass --damping to override)", s_damping,
+                )
         if devices and devices > 1 and s_damping > 0:
             # the default s_damping=0 decode is a host-side closed form and
             # ignores the mesh (see the CLI help) — don't even build one,
@@ -534,6 +599,10 @@ def process_file_decompress(path, outdir=None, iterations=8, eps=1e-3,
         )
         out = {"input": path, "output": outpath, "time_s": elapsed,
                "x_realtime": xrt}
+        if s_damping:
+            out["s_damping"] = s_damping
+            if hint_applied is not None:
+                out["s_damping_from_hint"] = True
         if dec_stats:
             out["decode_iterations"] = dec_stats["iterations"]
             out["decode_final_delta"] = dec_stats["final_delta"]
