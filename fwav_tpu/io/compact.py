@@ -601,47 +601,58 @@ def compact_bytes(
     ).astype(np.int64)
     o_b = o16.astype(np.int16).tobytes()
 
-    # Entropy stage: byteplane the fp16 streams and deflate (level 6 — within
-    # ~0.3% of level 9 at 3x the speed on the bench fixture; hour-scale
-    # payloads drop to level 1, ~100 MB/s, within ~1.5% of level 6). The idx
-    # stream is the one transform choice that depends on content (plain
-    # packing vs zigzag first-differences); decide it by probing a bounded
-    # prefix of the idx stream alone, then run one full compress. Keep the
-    # raw layout if deflate ever loses.
+    # Keep-smallest over {raw, deflate(+idx-delta), entropy}, ordered so the
+    # usual winner is priced first and the losers' cost is mostly skipped
+    # (round 5: the legacy level-6 deflate of the full streams was the
+    # single biggest write cost — 55 ms of the 162 ms fixture write — while
+    # the entropy layout beat it by 20-40% on every measured fixture).
     idx_plain = _pack_bits(idx, idx_bits)
-    idx_delta = _pack_bits(_idx_delta_encode(idx), idx_bits + 1)
-    probe = 4 << 20
-    if len(zlib.compress(idx_delta[:probe], 1)) < len(
-        zlib.compress(idx_plain[:probe], 1)
-    ):
-        flags, idx_stream = FLAG_DEFLATE | FLAG_IDX_DELTA, idx_delta
-    else:
-        flags, idx_stream = FLAG_DEFLATE, idx_plain
-    bank_planes = _byteplane(bank_b)
-    planes = (
-        bank_planes + live_b + sym_b + idx_stream
-        + _byteplane(s_b) + _byteplane(o_b)
-    )
-    level = 6 if len(planes) <= (64 << 20) else 1
-    payload, raw_len = zlib.compress(planes, level), len(planes)
     raw = bank_b + live_b + sym_b + idx_plain + s_b + o_b
-    if len(raw) <= len(payload):
-        flags, payload, raw_len = 0, raw, len(raw)
-    ext2 = b""
+    flags, payload, raw_len, ext2 = 0, raw, len(raw), b""
 
     # round-4 entropy variant (rANS streams + distortion-bounded o/s
-    # quantization): the same keep-smallest discipline decides between it
-    # and the legacy layouts — it usually wins by 20-40% but degenerate
-    # content (tiny files, incompressible selections) keeps the old bytes
+    # quantization): usually the winner, but degenerate content (tiny
+    # files, incompressible selections) keeps the legacy bytes
+    bank_planes = _byteplane(bank_b)
     ent = _entropy_variant(
         rec, live, n_live, idx, o16, bank_q, bank_planes, live_b, sym_b,
         o_exp, bank_exp, idx_bits, range_size, n_domains, idx_plain,
     )
     if ent is not None:
         zraw_len, e_ext2, e_payload = ent
-        if _EXT2.size + len(e_payload) < len(ext2) + len(payload):
+        if _EXT2.size + len(e_payload) < len(raw):
             flags = FLAG_ENTROPY
             ext2, payload, raw_len = e_ext2, e_payload, zraw_len
+
+    # Legacy deflate stage: byteplane the fp16 streams and deflate. The idx
+    # stream is the one transform choice that depends on content (plain
+    # packing vs zigzag first-differences); decide it by probing a bounded
+    # prefix of the idx stream alone. Price the full streams at level 1
+    # first (a valid FLAG_DEFLATE stream in itself, ~7x cheaper); only pay
+    # level 6 when level 1 lands within 5% of the current winner — measured
+    # level-6 gain over level 1 on these streams is ~1.5% (hour-scale
+    # payloads always stayed at level 1, docstring above), so a >5% gap is
+    # unreachable and the expensive compress is skipped, usually entirely.
+    probe = 4 << 20
+    idx_delta = _pack_bits(_idx_delta_encode(idx), idx_bits + 1)
+    if len(zlib.compress(idx_delta[:probe], 1)) < len(
+        zlib.compress(idx_plain[:probe], 1)
+    ):
+        dflags, idx_stream = FLAG_DEFLATE | FLAG_IDX_DELTA, idx_delta
+    else:
+        dflags, idx_stream = FLAG_DEFLATE, idx_plain
+    planes = (
+        bank_planes + live_b + sym_b + idx_stream
+        + _byteplane(s_b) + _byteplane(o_b)
+    )
+    best = len(ext2) + len(payload)
+    z = zlib.compress(planes, 1)
+    if len(planes) <= (64 << 20) and len(z) < best * 1.05:
+        z6 = zlib.compress(planes, 6)
+        if len(z6) < len(z):
+            z = z6
+    if len(z) < best:
+        flags, ext2, payload, raw_len = dflags, b"", z, len(planes)
 
     hint = b""
     if decode_damping is not None:
