@@ -343,7 +343,9 @@ def decompress_audio(
                 delta,
             )
             # (n, mb) -> host -> interleave back to sample order
-            piece = np.asarray(jax.device_get(recon_t)).T[:m].reshape(-1)
+            from ..parallel.mesh import fetch_global
+
+            piece = fetch_global(recon_t).T[:m].reshape(-1)
         pieces.append(piece)
     _report_convergence(stats, its_max, delta_max, convergence_eps)
     recon = pieces[0] if len(pieces) == 1 else np.concatenate(pieces)

@@ -45,6 +45,7 @@ from ..ops.search import (
     topk_search_block,
 )
 from ..ops.vad import voiced_detection
+from ..parallel.mesh import fetch_global
 from ..utils.buckets import bucket, pad_to
 from ..utils.logging import device_banner
 from ..utils.trace import phase
@@ -1035,7 +1036,7 @@ def compress_audio_packed(
 
                 def _fetch(codes=codes, box=box):
                     try:
-                        box["codes"] = np.asarray(jax.device_get(codes))
+                        box["codes"] = fetch_global(codes)
                     except BaseException as e:  # surfaced after join
                         box["exc"] = e
 
@@ -1151,7 +1152,7 @@ def _compress_fast(signal: np.ndarray, cfg: EncoderConfig, mesh=None):
 
         def _fetch():
             try:
-                box["codes"] = np.asarray(jax.device_get(codes))
+                box["codes"] = fetch_global(codes)
             except BaseException as e:  # surfaced after join
                 box["exc"] = e
 
@@ -1370,7 +1371,7 @@ def collect_idx_matches(codes, n_ranges: int, ranges: np.ndarray,
     slow device->host path (vs 16 for the full packed protocol)."""
     from ..ops.affine import refit_host
 
-    b3 = np.ascontiguousarray(np.asarray(jax.device_get(codes))[:n_ranges])
+    b3 = np.ascontiguousarray(fetch_global(codes)[:n_ranges])
     if ranges is not None:
         from ..io import native
 

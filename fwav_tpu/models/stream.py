@@ -159,7 +159,9 @@ def _global_pass(rec, signal, weighted, raw_src, voiced_p, cfg,
             jnp.asarray(lrows),
         )
     with DEVICE_LOCK, phase("global_pass"):
-        out = np.asarray(jax.device_get(out_dev))[:m]
+        from ..parallel.mesh import fetch_global
+
+        out = fetch_global(out_dev)[:m]
     winners = _encode_mod.unpack3_np(out) if pack3 else out
 
     imp = winners >= 0
@@ -342,7 +344,9 @@ def compress_audio_streaming(
         def run():
             try:
                 with DEVICE_LOCK:
-                    box["codes"] = np.asarray(jax.device_get(codes))
+                    from ..parallel.mesh import fetch_global
+
+                    box["codes"] = fetch_global(codes)
             except BaseException as e:  # surfaced at join
                 box["exc"] = e
 

@@ -51,6 +51,21 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def fetch_global(x):
+    """np.asarray(jax.device_get(x)) that also works when `x` spans multiple
+    PROCESSES (a multi-host mesh after init_distributed, or the 2-process
+    loopback dryrun in tests/test_distributed.py): a non-fully-addressable
+    array is allgathered over DCN so every process returns the full value —
+    device_get raises on such arrays. Single-process arrays (the common
+    case, including every single-host mesh) take the plain device_get path
+    untouched."""
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(jax.device_get(x))
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 def init_distributed(coordinator_address=None, num_processes=None, process_id=None):
     """Multi-host initialization (SURVEY.md §5 distributed backend): within
     a pod slice, collectives ride ICI under the mesh created by make_mesh;
