@@ -47,9 +47,15 @@ def _read_frames(path):
     return data, nchan, framerate, sampwidth
 
 
-def read_wav_mono(path):
+def read_wav_mono(path, mmap=False):
     """Read a WAV file, fold to mono, return (float32 signal, framerate,
-    sampwidth). Raises on compressed WAV (comptype != 'NONE')."""
+    sampwidth). Raises on compressed WAV (comptype != 'NONE').
+
+    mmap is accepted for API parity with the reference (fractal.py:81 —
+    unused even there: its scipy path ignores it after the fold) and is a
+    no-op: the fold materializes a float array regardless, so mapping the
+    raw PCM buys nothing."""
+    del mmap
     data, nchan, framerate, sampwidth = _read_frames(path)
     if nchan > 1:
         data = data.reshape(-1, nchan).mean(axis=1)
