@@ -322,15 +322,35 @@ def _idx_delta_decode(zz: np.ndarray) -> np.ndarray:
 # --- round-4 entropy layout (FLAG_ENTROPY) --------------------------------
 
 #: ext2 header appended after the 16-byte ext when FLAG_ENTROPY is set:
-#: o_shift u8, s_drop u8, idx_enc u8 (1 = symbol rANS, 0 = plain packed),
-#: so_enc u8 (bit0: s is ONE whole-value rANS stream instead of hi/lo byte
-#: planes; bit1: same for o — byte planes discard cross-byte correlation,
-#: measured worth 14 KB on s for the 10 s bench fixture), then u32
-#: lengths: deflated header section, idx stream, s hi/lo, o hi/lo. When a
-#: stream is whole-value coded its "hi" field is the stream byte length
-#: and its "lo" field is the ALPHABET SIZE (the sorted unique u16 values +
-#: their frequency table live in the deflated header section).
-_EXT2 = struct.Struct("<BBBBIIIIII")
+#: o_shift u8, s_drop u8, idx_enc u8 (0 = plain packed, 1 = dense symbol
+#: rANS, 2 = rank-split rANS — see below), so_enc u8 (bit0: s is ONE
+#: whole-value rANS stream instead of hi/lo byte planes; bit1: same for
+#: o — byte planes discard cross-byte correlation, measured worth 14 KB on
+#: s for the 10 s bench fixture), then u32 lengths: deflated header
+#: section, idx stream, s hi/lo, o hi/lo, idx-hi stream, idx alphabet.
+#: When a stream is whole-value coded its "hi" field is the stream byte
+#: length and its "lo" field is the ALPHABET SIZE (the sorted unique u16
+#: values + their frequency table live in the deflated header section).
+#:
+#: idx_enc=2 (round 5) covers the damped profile's wide selections: its
+#: unique-domain count routinely exceeds the dense-table cap
+#: (2^PROB_BITS), which used to fall all the way back to fixed-width
+#: packing (measured 13 bits/live vs 10.3 bits of empirical idx entropy on
+#: the damped bench fixture — a 34 KB / 7% file-size gap; a 12-bit-table
+#: split cannot close it: near 1 slot/symbol every split base degenerates
+#: to uniform, measured a tie with packing). Rank-split codes each live
+#: match's RANK into the sorted unique-value list as two rANS streams —
+#: rank & (2^_IDX_SPLIT_BITS - 1) (the "idx stream" slot) at 16-bit
+#: probability resolution and rank >> _IDX_SPLIT_BITS (the idx-hi slot) at
+#: the default resolution — so the lo table keeps >= 10 slots/symbol on
+#: real alphabets and any unique count <= 2^24 stays codable. A split
+#: stream whose alphabet is 1 is deterministic and stores NO bytes and NO
+#: table (idx-hi in every file under 65537 uniques). The value list (u16,
+#: or u32 when n_domains needs it — width derivable from the main header)
+#: and the present freq tables live in the deflated header section. The
+#: writer keeps it only when it beats packing, like every other layout
+#: choice.
+_EXT2 = struct.Struct("<BBBBIIIIIIII")
 
 #: Quantization budget: the added decode noise from o_shift and from s_drop
 #: must EACH stay under this fraction of the encoder's measured residual
@@ -344,6 +364,11 @@ _QUANT_GAMMA = 0.003
 #: Symbol-level rANS for the idx stream needs the dense frequency table to
 #: stay small and the observed alphabet under the 2^PROB_BITS cap.
 _IDX_RANS_MAX_DOMAINS = 1 << 16
+
+#: idx_enc=2 rank-split base AND the lo stream's probability resolution
+#: (see the _EXT2 doc). 16 = rans.MAX_PROB_BITS: the widest table the u16
+#: frequency format holds, so the lo alphabet never outruns its table.
+_IDX_SPLIT_BITS = 16
 
 
 def _pick_o_shift(o16: np.ndarray, o_exp: int, range_size: int,
@@ -484,19 +509,51 @@ def _entropy_variant(rec, live, n_live, idx, o16, bq, bank_planes, live_b,
 
     idx_enc = 0
     idx_tab = b""
-    if n_domains <= _IDX_RANS_MAX_DOMAINS and len(np.unique(idx)) <= (
-        1 << rans.PROB_BITS
-    ):
+    idx_hi = b""
+    idx_alpha = 0
+    n_uniq = len(np.unique(idx))
+    if n_domains <= _IDX_RANS_MAX_DOMAINS and n_uniq <= (1 << rans.PROB_BITS):
         f_idx = rans.quantize_freqs(np.bincount(idx, minlength=n_domains))
         idx_tab = rans.serialize_freqs(f_idx)
         idx_stream = rans.encode(idx, f_idx)
         idx_enc = 1
     else:
-        # the caller's legacy-layout probe already packed idx at idx_bits —
-        # the SAME value _parse_entropy recomputes from the header, so the
-        # packed width can never drift between writer and reader; reuse it
-        # (repacking measured ~4.5 s/8M ranges before the native pack)
+        # the legacy-layout probe already packed idx at idx_bits — the SAME
+        # value _parse_entropy recomputes from the header, so the packed
+        # width can never drift between writer and reader; reuse it as the
+        # fallback (repacking measured ~4.5 s/8M ranges before the native
+        # pack), but try rank-split rANS first (idx_enc=2, see _EXT2 doc:
+        # the dense-table gate above fails exactly on the damped profile's
+        # wide selections, where packing wastes ~2.7 bits/live)
         idx_stream = idx_plain
+        split = 1 << _IDX_SPLIT_BITS
+        u, inv = np.unique(idx, return_inverse=True)
+        lo_alpha = min(len(u), split)
+        hi_alpha = -(-len(u) // split)
+        # an alphabet-1 split stream is deterministic: no stream, no table
+        # (and quantize_freqs at 16 bits could not represent its frequency)
+        lo_s = tab_lo = b""
+        if lo_alpha > 1:
+            f_lo = rans.quantize_freqs(
+                np.bincount(inv & (split - 1), minlength=lo_alpha),
+                _IDX_SPLIT_BITS,
+            )
+            lo_s = rans.encode(inv & (split - 1), f_lo, _IDX_SPLIT_BITS)
+            tab_lo = rans.serialize_freqs(f_lo)
+        hi_s = tab_hi = b""
+        if hi_alpha > 1:
+            f_hi = rans.quantize_freqs(
+                np.bincount(inv >> _IDX_SPLIT_BITS, minlength=hi_alpha)
+            )
+            hi_s = rans.encode(inv >> _IDX_SPLIT_BITS, f_hi)
+            tab_hi = rans.serialize_freqs(f_hi)
+        w = 2 if n_domains <= (1 << 16) else 4
+        tab2 = (
+            u.astype("<u2" if w == 2 else "<u4").tobytes() + tab_lo + tab_hi
+        )
+        if len(lo_s) + len(hi_s) + len(tab2) < len(idx_plain):
+            idx_enc, idx_alpha = 2, len(u)
+            idx_stream, idx_hi, idx_tab = lo_s, hi_s, tab2
 
     zsec_raw = (
         bank_planes + live_b + sym_b + idx_tab
@@ -510,9 +567,10 @@ def _entropy_variant(rec, live, n_live, idx, o16, bq, bank_planes, live_b,
         o_shift, s_drop, idx_enc, so_enc, len(zsec), len(idx_stream),
         len(s_hi), s_lo_n if so_enc & 1 else len(s_lo),
         len(o_hi), o_lo_n if so_enc & 2 else len(o_lo),
+        len(idx_hi), idx_alpha,
     )
     payload = (
-        zsec + idx_stream + s_hi + (b"" if so_enc & 1 else s_lo)
+        zsec + idx_stream + idx_hi + s_hi + (b"" if so_enc & 1 else s_lo)
         + o_hi + (b"" if so_enc & 2 else o_lo)
     )
     return len(zsec_raw), ext2, payload
@@ -714,7 +772,9 @@ def describe_layout(data: bytes):
         )[:4]
         out.update(
             o_shift=int(o_shift), s_drop=int(s_drop),
-            idx_coding="rans" if idx_enc else "packed",
+            idx_coding={0: "packed", 1: "rans", 2: "rank_split"}.get(
+                int(idx_enc), f"unknown({idx_enc})"
+            ),
             s_coding="whole_value" if so_enc & 1 else "byte_planes",
             o_coding="whole_value" if so_enc & 2 else "byte_planes",
         )
@@ -873,7 +933,9 @@ def _parse_entropy(body, hdr, idx_bits, bank_exp, o_exp, n_live, raw_len,
     if len(body) < off + _EXT2.size:
         raise ValueError("Truncated FWAV payload")
     (o_shift, s_drop, idx_enc, so_enc, z_len, idx_len, s_hi_len, s_lo_len,
-     o_hi_len, o_lo_len) = _EXT2.unpack(body[off : off + _EXT2.size])
+     o_hi_len, o_lo_len, idx_hi_len, idx_alpha) = _EXT2.unpack(
+        body[off : off + _EXT2.size]
+    )
     del s_drop  # applied at write time; stored patterns are already final
     if o_shift > 12:  # writer emits 0..12 (_pick_o_shift) — fail loudly on
         raise ValueError("Corrupt compact FWAV o_shift")  # a flipped byte
@@ -881,6 +943,10 @@ def _parse_entropy(body, hdr, idx_bits, bank_exp, o_exp, n_live, raw_len,
         raise ValueError(  # encoding must never decode to plausible garbage
             f"Unknown compact FWAV stream encoding: 0x{so_enc:02x}"
         )
+    if idx_enc > 2:
+        raise ValueError(f"Unknown compact FWAV idx encoding: {idx_enc}")
+    if idx_enc != 2 and (idx_hi_len or idx_alpha):
+        raise ValueError("Corrupt compact FWAV idx fields")
     # whole-value-coded streams repurpose their "lo" field as the alphabet
     # size (the value list + freq table live in the deflated section)
     s_alpha = s_lo_len if so_enc & 1 else 0
@@ -890,8 +956,19 @@ def _parse_entropy(body, hdr, idx_bits, bank_exp, o_exp, n_live, raw_len,
         so_enc & 2 and not 1 <= o_alpha <= alpha_cap
     ):
         raise ValueError("Corrupt compact FWAV alphabet size")
+    if idx_enc == 2 and not 1 <= idx_alpha <= min(n_domains, n_live):
+        # rank-split alphabet is the count of DISTINCT referenced rows
+        raise ValueError("Corrupt compact FWAV alphabet size")
+    if idx_enc == 2:
+        # alphabet-1 split streams are deterministic: stored bytes there
+        # are unaccounted-for garbage, not a decodable layout
+        if idx_alpha <= 1 and idx_len:
+            raise ValueError("Corrupt compact FWAV idx fields")
+        if idx_alpha <= (1 << _IDX_SPLIT_BITS) and idx_hi_len:
+            raise ValueError("Corrupt compact FWAV idx fields")
     off += _EXT2.size
-    lens = [z_len, idx_len, s_hi_len, 0 if so_enc & 1 else s_lo_len,
+    lens = [z_len, idx_len, idx_hi_len, s_hi_len,
+            0 if so_enc & 1 else s_lo_len,
             o_hi_len, 0 if so_enc & 2 else o_lo_len]
     if len(body) - off != sum(lens):
         raise ValueError("Corrupt or truncated FWAV payload")
@@ -899,10 +976,22 @@ def _parse_entropy(body, hdr, idx_bits, bank_exp, o_exp, n_live, raw_len,
     for ln in lens:
         segs.append(body[off : off + ln])
         off += ln
-    zsec_b, idx_b, s_hi_b, s_lo_b, o_hi_b, o_lo_b = segs
+    zsec_b, idx_b, idx_hi_b, s_hi_b, s_lo_b, o_hi_b, o_lo_b = segs
 
+    w_idx = 2 if n_domains <= (1 << 16) else 4
+    idx_lo_alpha = min(idx_alpha, 1 << _IDX_SPLIT_BITS)
+    idx_hi_alpha = -(-idx_alpha // (1 << _IDX_SPLIT_BITS)) if idx_alpha else 0
+    if idx_enc == 2:
+        # alphabet-1 split streams store no freq table (see the _EXT2 doc)
+        idx_tab_bytes = (
+            w_idx * idx_alpha
+            + (2 * idx_lo_alpha if idx_lo_alpha > 1 else 0)
+            + (2 * idx_hi_alpha if idx_hi_alpha > 1 else 0)
+        )
+    else:
+        idx_tab_bytes = 2 * n_domains if idx_enc else 0
     tab_bytes = (
-        (2 * n_domains if idx_enc else 0)
+        idx_tab_bytes
         + (4 * s_alpha if so_enc & 1 else 1024)
         + (4 * o_alpha if so_enc & 2 else 1024)
     )
@@ -914,7 +1003,7 @@ def _parse_entropy(body, hdr, idx_bits, bank_exp, o_exp, n_live, raw_len,
         raise ValueError("Corrupt or truncated FWAV payload")
     zsec = _bounded_inflate(zsec_b, expected)
     sizes = [n_domains * range_size * 2, (n_ranges + 7) // 8,
-             (n_live + 7) // 8, 2 * n_domains if idx_enc else 0,
+             (n_live + 7) // 8, idx_tab_bytes,
              4 * s_alpha if so_enc & 1 else 512,
              0 if so_enc & 1 else 512,
              4 * o_alpha if so_enc & 2 else 512,
@@ -944,7 +1033,37 @@ def _parse_entropy(body, hdr, idx_bits, bank_exp, o_exp, n_live, raw_len,
             return vals[rans.decode(stream, n_live, f)]
 
         try:
-            if idx_enc:
+            if idx_enc == 2:
+                # rank-split (see _EXT2 doc): value list + the present
+                # lo/hi freq tables from the deflated section, two rANS
+                # streams (lo at 16-bit resolution; an alphabet-1 stream
+                # is deterministic zeros with no stored bytes)
+                vals = np.frombuffer(
+                    idx_tab[: w_idx * idx_alpha],
+                    "<u2" if w_idx == 2 else "<u4",
+                ).astype(np.int64)
+                p0 = w_idx * idx_alpha
+                if idx_lo_alpha > 1:
+                    f_lo = rans.parse_freqs(
+                        idx_tab[p0 : p0 + 2 * idx_lo_alpha],
+                        idx_lo_alpha, _IDX_SPLIT_BITS,
+                    )
+                    p0 += 2 * idx_lo_alpha
+                    ranks = rans.decode(
+                        idx_b, n_live, f_lo, _IDX_SPLIT_BITS
+                    )
+                else:
+                    ranks = np.zeros(n_live, np.int64)
+                if idx_hi_alpha > 1:
+                    f_hi = rans.parse_freqs(idx_tab[p0:], idx_hi_alpha)
+                    ranks = ranks | (
+                        rans.decode(idx_hi_b, n_live, f_hi)
+                        << _IDX_SPLIT_BITS
+                    )
+                if ranks.size and int(ranks.max()) >= idx_alpha:
+                    raise ValueError("Corrupt FWAV idx stream")
+                idx = vals[ranks]
+            elif idx_enc:
                 f_idx = rans.parse_freqs(idx_tab, n_domains)
                 idx = rans.decode(idx_b, n_live, f_idx)
             else:

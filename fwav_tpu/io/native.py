@@ -109,6 +109,22 @@ def _load():
             cdll.fwav_rans_decode = None
             cdll.fwav_pack_bits = None
             cdll.fwav_unpack_bits = None
+        try:  # round-5: explicit probability resolution (wide idx alphabets)
+            cdll.fwav_rans_encode_pb.restype = ctypes.c_int64
+            cdll.fwav_rans_encode_pb.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int64,
+            ]
+            cdll.fwav_rans_decode_pb.restype = ctypes.c_int64
+            cdll.fwav_rans_decode_pb.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_int64,
+            ]
+        except AttributeError:
+            cdll.fwav_rans_encode_pb = None
+            cdll.fwav_rans_decode_pb = None
         _lib = cdll
         return _lib
 
@@ -238,13 +254,19 @@ def read(path, verify_checksum: bool = True):
     )
 
 
-def rans_encode(symbols: np.ndarray, freqs: np.ndarray):
+def rans_encode(symbols: np.ndarray, freqs: np.ndarray, prob_bits: int = 12):
     """Native lane-interleaved rANS encode, BIT-IDENTICAL to io.rans.encode
     (tested head-to-head in tests/test_native_rans.py). Returns the stream
     bytes, or None when the library (or symbol, on a stale build) is
-    unavailable."""
+    unavailable. Non-default prob_bits requires the round-5 _pb entry
+    point; on a stale library only the default resolution runs natively."""
     lib = _load()
-    if lib is None or getattr(lib, "fwav_rans_encode", None) is None:
+    if lib is None:
+        return None
+    use_pb = getattr(lib, "fwav_rans_encode_pb", None) is not None
+    if not use_pb and (
+        prob_bits != 12 or getattr(lib, "fwav_rans_encode", None) is None
+    ):
         return None
     from .rans import _lanes_for  # capacity bound must track the spec's lanes
 
@@ -252,31 +274,50 @@ def rans_encode(symbols: np.ndarray, freqs: np.ndarray):
     f = np.ascontiguousarray(freqs, dtype=np.int64)
     m = len(sym)
     out = np.empty(4 * _lanes_for(m) + 2 * m + 16, np.uint8)
-    rc = lib.fwav_rans_encode(
-        sym.ctypes.data_as(ctypes.c_void_p), m,
-        f.ctypes.data_as(ctypes.c_void_p), len(f),
-        out.ctypes.data_as(ctypes.c_void_p), len(out),
-    )
+    if use_pb:
+        rc = lib.fwav_rans_encode_pb(
+            sym.ctypes.data_as(ctypes.c_void_p), m,
+            f.ctypes.data_as(ctypes.c_void_p), len(f),
+            out.ctypes.data_as(ctypes.c_void_p), len(out), int(prob_bits),
+        )
+    else:
+        rc = lib.fwav_rans_encode(
+            sym.ctypes.data_as(ctypes.c_void_p), m,
+            f.ctypes.data_as(ctypes.c_void_p), len(f),
+            out.ctypes.data_as(ctypes.c_void_p), len(out),
+        )
     if rc < 0:
         return None  # fall back to the numpy spec (bad input surfaces there)
     return out[:rc].tobytes()
 
 
-def rans_decode(buf: bytes, m: int, freqs: np.ndarray):
+def rans_decode(buf: bytes, m: int, freqs: np.ndarray, prob_bits: int = 12):
     """Native rANS decode. Returns the int64 symbol array, None when the
     library is unavailable. Raises the format's ValueError on a truncated
     stream (matching io.rans.decode)."""
     lib = _load()
-    if lib is None or getattr(lib, "fwav_rans_decode", None) is None:
+    if lib is None:
+        return None
+    use_pb = getattr(lib, "fwav_rans_decode_pb", None) is not None
+    if not use_pb and (
+        prob_bits != 12 or getattr(lib, "fwav_rans_decode", None) is None
+    ):
         return None
     f = np.ascontiguousarray(freqs, dtype=np.int64)
     data = np.frombuffer(buf, np.uint8)
     out = np.empty(int(m), np.int64)
-    rc = lib.fwav_rans_decode(
-        data.ctypes.data_as(ctypes.c_void_p), len(data), int(m),
-        f.ctypes.data_as(ctypes.c_void_p), len(f),
-        out.ctypes.data_as(ctypes.c_void_p),
-    )
+    if use_pb:
+        rc = lib.fwav_rans_decode_pb(
+            data.ctypes.data_as(ctypes.c_void_p), len(data), int(m),
+            f.ctypes.data_as(ctypes.c_void_p), len(f),
+            out.ctypes.data_as(ctypes.c_void_p), int(prob_bits),
+        )
+    else:
+        rc = lib.fwav_rans_decode(
+            data.ctypes.data_as(ctypes.c_void_p), len(data), int(m),
+            f.ctypes.data_as(ctypes.c_void_p), len(f),
+            out.ctypes.data_as(ctypes.c_void_p),
+        )
     if rc == -7:
         raise ValueError("Truncated rANS stream")
     if rc != 0:

@@ -536,7 +536,6 @@ extern "C" int fwav_collect(const uint8_t* codes, const float* ranges,
 namespace {
 
 constexpr int kProbBits = 12;
-constexpr int64_t kM = int64_t(1) << kProbBits;
 constexpr int64_t kL = int64_t(1) << 23;
 
 int64_t rans_lanes_for(int64_t m) {
@@ -550,9 +549,10 @@ int64_t rans_lanes_for(int64_t m) {
 // Encode m symbols into out (capacity out_cap). freqs: n_sym entries
 // summing to 2^12. Returns the byte count written, or a negative error:
 // -7 capacity too small, -9 a symbol out of range / zero frequency.
-extern "C" int64_t fwav_rans_encode(const int64_t* sym, int64_t m,
-                                    const int64_t* freqs, int64_t n_sym,
-                                    uint8_t* out, int64_t out_cap) {
+static int64_t rans_encode_impl(const int64_t* sym, int64_t m,
+                                const int64_t* freqs, int64_t n_sym,
+                                uint8_t* out, int64_t out_cap,
+                                int prob_bits) {
     const int64_t N = rans_lanes_for(m);
     const int64_t steps = m ? (m + N - 1) / N : 0;
     if (out_cap < 4 * N + 2 * m) return -7;
@@ -572,11 +572,11 @@ extern "C" int64_t fwav_rans_encode(const int64_t* sym, int64_t m,
             if (s < 0 || s >= n_sym) return -9;
             const int64_t f = freqs[s];
             if (f <= 0) return -9;
-            const int64_t x_max = ((kL >> kProbBits) << 8) * f;
+            const int64_t x_max = ((kL >> prob_bits) << 8) * f;
             int64_t& xv = x[size_t(lane)];
             if (xv >= x_max) { *--push = uint8_t(xv & 0xFF); xv >>= 8; }
             if (xv >= x_max) { *--push = uint8_t(xv & 0xFF); xv >>= 8; }
-            xv = ((xv / f) << kProbBits) + (xv % f) + cdf[size_t(s)];
+            xv = ((xv / f) << prob_bits) + (xv % f) + cdf[size_t(s)];
         }
     }
     // assemble: states (LE u32) + stream (already in decode order at the
@@ -595,9 +595,11 @@ extern "C" int64_t fwav_rans_encode(const int64_t* sym, int64_t m,
 
 // Decode m symbols from buf. Returns 0, or -7 on a truncated stream /
 // bad frequency table.
-extern "C" int64_t fwav_rans_decode(const uint8_t* buf, int64_t buf_len,
-                                    int64_t m, const int64_t* freqs,
-                                    int64_t n_sym, int64_t* out) {
+static int64_t rans_decode_impl(const uint8_t* buf, int64_t buf_len,
+                                int64_t m, const int64_t* freqs,
+                                int64_t n_sym, int64_t* out,
+                                int prob_bits) {
+    const int64_t kM = int64_t(1) << prob_bits;
     const int64_t N = rans_lanes_for(m);
     const int64_t steps = m ? (m + N - 1) / N : 0;
     if (buf_len < 4 * N) return -7;
@@ -626,7 +628,7 @@ extern "C" int64_t fwav_rans_decode(const uint8_t* buf, int64_t buf_len,
             int64_t& xv = x[size_t(lane)];
             const int64_t slot = xv & (kM - 1);
             const int64_t s = slot2sym[size_t(slot)];
-            xv = freqs[s] * (xv >> kProbBits) + slot - cdf[size_t(s)];
+            xv = freqs[s] * (xv >> prob_bits) + slot - cdf[size_t(s)];
             out[idx] = s;
         }
         // renorm reads mirror the encoder's push: lanes DESCENDING,
@@ -642,6 +644,41 @@ extern "C" int64_t fwav_rans_decode(const uint8_t* buf, int64_t buf_len,
         }
     }
     return 0;
+}
+
+// Stable entry points. The default-resolution symbols keep their original
+// signature (a stale cached library must stay loadable); the _pb variants
+// (round 5) take the probability resolution explicitly — io/rans.py uses
+// them for the wide-alphabet idx tables. prob_bits must be 1..16 (u16
+// frequency entries; soundness holds up to 23 with L = 2^23).
+extern "C" int64_t fwav_rans_encode(const int64_t* sym, int64_t m,
+                                    const int64_t* freqs, int64_t n_sym,
+                                    uint8_t* out, int64_t out_cap) {
+    return rans_encode_impl(sym, m, freqs, n_sym, out, out_cap, kProbBits);
+}
+
+extern "C" int64_t fwav_rans_decode(const uint8_t* buf, int64_t buf_len,
+                                    int64_t m, const int64_t* freqs,
+                                    int64_t n_sym, int64_t* out) {
+    return rans_decode_impl(buf, buf_len, m, freqs, n_sym, out, kProbBits);
+}
+
+extern "C" int64_t fwav_rans_encode_pb(const int64_t* sym, int64_t m,
+                                       const int64_t* freqs, int64_t n_sym,
+                                       uint8_t* out, int64_t out_cap,
+                                       int64_t prob_bits) {
+    if (prob_bits < 1 || prob_bits > 16) return -9;
+    return rans_encode_impl(sym, m, freqs, n_sym, out, out_cap,
+                            int(prob_bits));
+}
+
+extern "C" int64_t fwav_rans_decode_pb(const uint8_t* buf, int64_t buf_len,
+                                       int64_t m, const int64_t* freqs,
+                                       int64_t n_sym, int64_t* out,
+                                       int64_t prob_bits) {
+    if (prob_bits < 1 || prob_bits > 16) return -7;
+    return rans_decode_impl(buf, buf_len, m, freqs, n_sym, out,
+                            int(prob_bits));
 }
 
 // LSB-first fixed-width bit packing, identical to io/compact._pack_bits /

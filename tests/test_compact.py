@@ -653,3 +653,117 @@ def test_cli_info_reports_v2_layout(_encoded, tmp_path, capsys):
     assert describe_layout(bytes(raw)) == lay
     # and not report on v1
     assert describe_layout(b"\x00" * 200) is None
+
+
+# --- round-5 idx_enc=2 (rank-split rANS over wide idx alphabets) -----------
+
+def _wide_idx_rec(seed=13, n=90_000, n_domains=50_000, spread=20_000):
+    """Records whose live idx alphabet exceeds the dense rANS cap (2^12
+    uniques) with a skewed distribution — the damped profile's shape."""
+    rng = np.random.default_rng(seed)
+    rec = np.zeros(n, dtype=MATCH_DTYPE)
+    live = rng.random(n) > 0.05
+    rec["idx"] = np.where(live, rng.zipf(1.25, n) % spread, -1)
+    rec["s"] = np.where(live, rng.normal(0.4, 0.2, n), 1.0).astype(np.float32)
+    rec["o"] = np.where(live, rng.normal(0, 300, n), 0.0).astype(np.float32)
+    rec["err"] = np.where(live, np.abs(rng.normal(0, 10, n)), 0.0).astype(np.float32)
+    bank = rng.normal(0, 500.0, (n_domains, 4)).astype(np.float32)
+    return rec, bank
+
+
+def test_rank_split_idx_selected_and_exact():
+    """A wide skewed idx alphabet (here ~9.5k uniques > the 2^12 dense cap)
+    must select idx_enc=2, shrink the file vs the packed fallback, and
+    round-trip every record exactly."""
+    from fwav_tpu.io import rans
+    from fwav_tpu.io.compact import (
+        _EXT, _EXT_OFFSET, compact_bytes, describe_layout, parse_compact_bytes,
+    )
+
+    rec, bank = _wide_idx_rec()
+    live = rec["idx"] >= 0
+    assert len(np.unique(rec["idx"][live])) > (1 << rans.PROB_BITS)
+    blob = compact_bytes(rec, bank, 4, 44100, 2, 1024, 1, 1e-4, 4 * len(rec))
+    assert blob[_EXT_OFFSET + _EXT.size + 2] == 2, "idx_enc=2 not selected"
+    assert describe_layout(blob)["idx_coding"] == "rank_split"
+    rec2, bank2, *_ = parse_compact_bytes(blob)
+    np.testing.assert_array_equal(rec2["idx"], rec["idx"])
+    # fixed point: re-encoding the decoded records reproduces them exactly
+    blob2 = compact_bytes(rec2, bank2, 4, 44100, 2, 1024, 1, 1e-4, 4 * len(rec))
+    rec3, *_ = parse_compact_bytes(blob2)
+    np.testing.assert_array_equal(rec3["idx"], rec2["idx"])
+    np.testing.assert_array_equal(rec3["s"], rec2["s"])
+    np.testing.assert_array_equal(rec3["o"], rec2["o"])
+
+
+def test_rank_split_single_unique_row():
+    """> 2^16 domains with ONE referenced row: the rank-split layout stores
+    no streams and no tables (both alphabets are 1), beating 17-bit packing
+    outright, and decodes deterministically."""
+    from fwav_tpu.io.compact import (
+        _EXT, _EXT_OFFSET, compact_bytes, parse_compact_bytes,
+    )
+
+    rng = np.random.default_rng(5)
+    n, n_domains = 20_000, 70_000
+    rec = np.zeros(n, dtype=MATCH_DTYPE)
+    rec["idx"] = 68_123
+    rec["s"] = rng.normal(0.4, 0.2, n).astype(np.float32)
+    rec["o"] = rng.normal(0, 300, n).astype(np.float32)
+    rec["err"] = np.float32(1.0)
+    bank = rng.normal(0, 500.0, (n_domains, 4)).astype(np.float32)
+    blob = compact_bytes(rec, bank, 4, 44100, 2, 1024, 1, 1e-4, 4 * n)
+    assert blob[_EXT_OFFSET + _EXT.size + 2] == 2
+    rec2, *_ = parse_compact_bytes(blob)
+    np.testing.assert_array_equal(rec2["idx"], rec["idx"])
+
+
+def test_rank_split_hi_stream_mechanism(monkeypatch):
+    """Exercise the hi-stream branch (idx_alpha > split) cheaply by
+    shrinking the split to 2^8 for both writer and parser — the production
+    16-bit split only engages it past 65536 uniques (hour-scale files).
+    Validates the two-stream reassembly and the present-tables layout."""
+    from fwav_tpu.io import compact as C
+
+    monkeypatch.setattr(C, "_IDX_SPLIT_BITS", 8)
+    rec, bank = _wide_idx_rec(seed=21)
+    blob = C.compact_bytes(rec, bank, 4, 44100, 2, 1024, 1, 1e-4, 4 * len(rec))
+    assert blob[C._EXT_OFFSET + C._EXT.size + 2] == 2
+    # hi stream actually present (uniques >> 256)
+    ext2_off = C._EXT_OFFSET + C._EXT.size
+    idx_hi_len = int.from_bytes(blob[ext2_off + 28 : ext2_off + 32], "little")
+    assert idx_hi_len > 0
+    rec2, *_ = C.parse_compact_bytes(blob)
+    np.testing.assert_array_equal(rec2["idx"], rec["idx"])
+
+
+def test_rank_split_corrupt_fields_rejected():
+    """Structural idx_enc=2 violations must raise the format ValueError:
+    stray idx fields on other encodings, zero/oversized alphabets, and
+    stream lengths inconsistent with the alphabet-1 rules."""
+    from fwav_tpu.io.compact import (
+        _EXT, _EXT_OFFSET, compact_bytes, parse_compact_bytes,
+    )
+
+    rec, bank = _wide_idx_rec(seed=17)
+    blob = bytearray(
+        compact_bytes(rec, bank, 4, 44100, 2, 1024, 1, 1e-4, 4 * len(rec))
+    )
+    ext2 = _EXT_OFFSET + _EXT.size
+    assert blob[ext2 + 2] == 2
+
+    def corrupt(off, value, width=4):
+        b = bytearray(blob)
+        b[off : off + width] = int(value).to_bytes(width, "little")
+        with pytest.raises(ValueError):
+            parse_compact_bytes(bytes(b), verify_checksum=False)
+
+    corrupt(ext2 + 2, 3, width=1)            # unknown idx_enc
+    corrupt(ext2 + 32, 0)                     # alphabet 0
+    corrupt(ext2 + 32, 2**31)                 # alphabet beyond n_live
+    corrupt(ext2 + 32, 1)                     # alphabet-1 but streams present
+    # idx fields on a non-rank-split encoding
+    b = bytearray(blob)
+    b[ext2 + 2] = 0
+    with pytest.raises(ValueError):
+        parse_compact_bytes(bytes(b), verify_checksum=False)

@@ -86,3 +86,26 @@ def test_native_pack_bits_bit_identical(m, bits):
     np.testing.assert_array_equal(native.unpack_bits(spec, m, bits), v)
     # the public helpers agree end to end
     np.testing.assert_array_equal(C._unpack_bits(C._pack_bits(v, bits), m, bits), v)
+
+
+@pytest.mark.parametrize("pb,alphabet", [(2, 4), (8, 200), (16, 6000)])
+def test_native_prob_bits_bit_identical(pb, alphabet):
+    """round-5 _pb entry points: native streams stay byte-identical to the
+    numpy spec at every probability resolution (16 bits is the idx_enc=2
+    rank coder; without it wide alphabets degenerate to uniform)."""
+    rng = np.random.default_rng(pb * 31 + alphabet)
+    m = 50_000
+    sym = np.concatenate(
+        [np.arange(alphabet), rng.zipf(1.4, m - alphabet) % alphabet]
+    ).astype(np.int64)
+    freqs = quantize_freqs(np.bincount(sym, minlength=alphabet), pb)
+    np_bytes = _encode_np(sym, freqs, pb)
+    nat_bytes = native.rans_encode(sym, freqs, pb)
+    if nat_bytes is None:
+        pytest.skip("stale native library without the _pb entry points")
+    assert nat_bytes == np_bytes
+    np.testing.assert_array_equal(_decode_np(nat_bytes, m, freqs, pb), sym)
+    np.testing.assert_array_equal(native.rans_decode(np_bytes, m, freqs, pb), sym)
+    np.testing.assert_array_equal(
+        rans.decode(rans.encode(sym, freqs, pb), m, freqs, pb), sym
+    )

@@ -86,3 +86,54 @@ def test_parse_freqs_rejects_bad_table():
     bad[0] ^= 1
     with pytest.raises(ValueError, match="frequency table"):
         rans.parse_freqs(bytes(bad), 2)
+
+
+# --- round-5 prob_bits parameterization ------------------------------------
+
+def test_prob_bits_bounds():
+    with pytest.raises(ValueError, match="prob_bits"):
+        rans.quantize_freqs(np.array([1, 2]), 0)
+    with pytest.raises(ValueError, match="prob_bits"):
+        rans.quantize_freqs(np.array([1, 2]), rans.MAX_PROB_BITS + 1)
+    f = rans.quantize_freqs(np.array([1, 2]), rans.MAX_PROB_BITS)
+    with pytest.raises(ValueError, match="prob_bits"):
+        rans.encode(np.zeros(4, np.int64), f, 17)
+    with pytest.raises(ValueError, match="prob_bits"):
+        rans.decode(b"", 4, f, 0)
+
+
+def test_wide_alphabet_needs_16_bits():
+    """The motivating case for prob_bits (idx_enc=2): an alphabet wider
+    than 2^12 is rejected at the default resolution and codes near its
+    entropy at 16 bits."""
+    rng = np.random.default_rng(3)
+    A, m = 6000, 80000
+    p = rng.dirichlet(np.full(A, 0.05))
+    # every symbol observed at least once: the alphabet itself, then the
+    # skewed bulk (matches the damped profile's every-row-is-referenced
+    # unique list, where the table must cover all of them)
+    sym = np.concatenate([np.arange(A), rng.choice(A, size=m - A, p=p)])
+    counts = np.bincount(sym, minlength=A)
+    with pytest.raises(ValueError, match="at most"):
+        rans.quantize_freqs(counts)  # default 12-bit table cannot hold it
+    f = rans.quantize_freqs(counts, 16)
+    assert int(f.sum()) == 1 << 16
+    buf = rans.encode(sym, f, 16)
+    np.testing.assert_array_equal(rans.decode(buf, m, f, 16), sym)
+    nz = counts > 0
+    h = -(counts[nz] / m * np.log2(counts[nz] / m)).sum()
+    # near the order-0 floor (the 12-bit coder could not beat uniform here)
+    assert len(buf) <= h * m / 8 * 1.05 + 4 * 128, (len(buf), h * m / 8)
+
+
+@pytest.mark.parametrize("pb", [2, 8, 16])
+def test_prob_bits_round_trip_and_stream_mismatch(pb):
+    rng = np.random.default_rng(pb)
+    A = min(1 << pb, 300)
+    sym = rng.integers(0, A, 20000)
+    f = rans.quantize_freqs(np.bincount(sym, minlength=A), pb)
+    buf = rans.encode(sym, f, pb)
+    np.testing.assert_array_equal(rans.decode(buf, 20000, f, pb), sym)
+    # a table quantized at a different resolution must be rejected up front
+    with pytest.raises(ValueError, match="sum"):
+        rans.decode(buf, 20000, f, pb - 1 if pb > 1 else pb + 1)
