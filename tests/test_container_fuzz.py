@@ -47,7 +47,21 @@ def _files(tmp_path_factory):
     b3 = p3.read_bytes()
     assert b3[_EXT_OFFSET + 3] & FLAG_ENTROPY
     assert b3[_EXT_OFFSET + _EXT.size + 3] & 1  # whole-value s selected
-    return p1.read_bytes(), p2.read_bytes(), b3, d
+    # a fourth corpus whose idx stream selects rank-split rANS (idx_enc=2):
+    # a wide skewed alphabet past the dense 2^12 cap, enough live ranges
+    # that the rank streams beat fixed-width packing despite the tables
+    m4, dom4 = 60_000, 20_000
+    rec4 = np.zeros(m4, MATCH_DTYPE)
+    rec4["idx"] = rng.zipf(1.25, m4) % dom4
+    rec4["s"] = rng.normal(0.4, 0.2, m4).astype(np.float32)
+    rec4["o"] = rng.normal(0.0, 300.0, m4).astype(np.float32)
+    rec4["err"] = np.float32(1.0)
+    bank4 = rng.normal(0, 500.0, (dom4, N)).astype(np.float32)
+    p4 = d / "v2rs.fwav"
+    save_compressed_compact(p4, rec4, bank4, N, 16000, 2, 1024, 1, 1e-4, m4 * N)
+    b4 = p4.read_bytes()
+    assert b4[_EXT_OFFSET + _EXT.size + 2] == 2  # rank-split idx selected
+    return p1.read_bytes(), p2.read_bytes(), b3, b4, d
 
 
 def _attempt(loader, path, blob, tmp, tag):
@@ -73,11 +87,11 @@ def _force_python_loader(request, monkeypatch):
     return request.param
 
 
-@pytest.mark.parametrize("which", ["v1", "v2", "v2wv"])
+@pytest.mark.parametrize("which", ["v1", "v2", "v2wv", "v2rs"])
 @pytest.mark.parametrize("_force_python_loader", [False, True], indirect=True)
 def test_truncations(_files, tmp_path, which, _force_python_loader):
-    v1, v2, v2wv, _ = _files
-    blob = {"v1": v1, "v2": v2, "v2wv": v2wv}[which]
+    v1, v2, v2wv, v2rs, _ = _files
+    blob = {"v1": v1, "v2": v2, "v2wv": v2wv, "v2rs": v2rs}[which]
     loader = load_compressed_arrays if which == "v1" else load_compressed_compact
     cuts = {0, 3, 4, 5, 33, 34, 65, 66, 67, 81, 82, len(blob) - 1}
     rng = np.random.default_rng(1)
@@ -86,10 +100,10 @@ def test_truncations(_files, tmp_path, which, _force_python_loader):
         _attempt(loader, None, blob[:cut], tmp_path, f"{which}_t{cut}")
 
 
-@pytest.mark.parametrize("which", ["v1", "v2", "v2wv"])
+@pytest.mark.parametrize("which", ["v1", "v2", "v2wv", "v2rs"])
 def test_byte_flips(_files, tmp_path, which):
-    v1, v2, v2wv, _ = _files
-    blob = bytearray({"v1": v1, "v2": v2, "v2wv": v2wv}[which])
+    v1, v2, v2wv, v2rs, _ = _files
+    blob = bytearray({"v1": v1, "v2": v2, "v2wv": v2wv, "v2rs": v2rs}[which])
     loader = load_compressed_arrays if which == "v1" else load_compressed_compact
     rng = np.random.default_rng(2)
     offsets = {0, 4, 34}  # magic, version, checksum
@@ -101,14 +115,14 @@ def test_byte_flips(_files, tmp_path, which):
         _attempt(loader, None, bytes(mut), tmp_path, f"{which}_f{off}")
 
 
-@pytest.mark.parametrize("which", ["v1", "v2", "v2wv"])
+@pytest.mark.parametrize("which", ["v1", "v2", "v2wv", "v2rs"])
 def test_header_field_extremes(_files, tmp_path, which):
     # set each u32 header count to 0 and to 0xFFFFFFFF (verify off so the
     # size checks themselves are what gets exercised)
     import struct
 
-    v1, v2, v2wv, _ = _files
-    blob = {"v1": v1, "v2": v2, "v2wv": v2wv}[which]
+    v1, v2, v2wv, v2rs, _ = _files
+    blob = {"v1": v1, "v2": v2, "v2wv": v2wv, "v2rs": v2rs}[which]
     if which == "v1":
         def loader(p):
             return load_compressed_arrays(p, verify_checksum=False)
