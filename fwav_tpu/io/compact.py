@@ -327,10 +327,13 @@ def _idx_delta_decode(zz: np.ndarray) -> np.ndarray:
 #: whole-value rANS stream instead of hi/lo byte planes; bit1: same for
 #: o — byte planes discard cross-byte correlation, measured worth 14 KB on
 #: s for the 10 s bench fixture), then u32 lengths: deflated header
-#: section, idx stream, s hi/lo, o hi/lo, idx-hi stream, idx alphabet.
-#: When a stream is whole-value coded its "hi" field is the stream byte
-#: length and its "lo" field is the ALPHABET SIZE (the sorted unique u16
-#: values + their frequency table live in the deflated header section).
+#: section, idx stream, s hi/lo, o hi/lo. When a stream is whole-value
+#: coded its "hi" field is the stream byte length and its "lo" field is
+#: the ALPHABET SIZE (the sorted unique u16 values + their frequency table
+#: live in the deflated header section). idx_enc=2 appends the _EXT2_RS
+#: tail (u32 idx-hi stream length, u32 idx alphabet) — a conditional tail,
+#: not a struct growth, so every pre-round-5 file (idx_enc 0/1) keeps its
+#: exact byte layout and still parses.
 #:
 #: idx_enc=2 (round 5) covers the damped profile's wide selections: its
 #: unique-domain count routinely exceeds the dense-table cap
@@ -350,7 +353,10 @@ def _idx_delta_decode(zz: np.ndarray) -> np.ndarray:
 #: and the present freq tables live in the deflated header section. The
 #: writer keeps it only when it beats packing, like every other layout
 #: choice.
-_EXT2 = struct.Struct("<BBBBIIIIIIII")
+_EXT2 = struct.Struct("<BBBBIIIIII")
+#: Conditional ext2 tail, present exactly when idx_enc == 2: idx-hi stream
+#: byte length, rank alphabet (count of distinct referenced bank rows).
+_EXT2_RS = struct.Struct("<II")
 
 #: Quantization budget: the added decode noise from o_shift and from s_drop
 #: must EACH stay under this fraction of the encoder's measured residual
@@ -511,8 +517,9 @@ def _entropy_variant(rec, live, n_live, idx, o16, bq, bank_planes, live_b,
     idx_tab = b""
     idx_hi = b""
     idx_alpha = 0
-    n_uniq = len(np.unique(idx))
-    if n_domains <= _IDX_RANS_MAX_DOMAINS and n_uniq <= (1 << rans.PROB_BITS):
+    # one sort serves both the dense gate and the rank-split ranks
+    u, inv = np.unique(idx, return_inverse=True)
+    if n_domains <= _IDX_RANS_MAX_DOMAINS and len(u) <= (1 << rans.PROB_BITS):
         f_idx = rans.quantize_freqs(np.bincount(idx, minlength=n_domains))
         idx_tab = rans.serialize_freqs(f_idx)
         idx_stream = rans.encode(idx, f_idx)
@@ -527,7 +534,6 @@ def _entropy_variant(rec, live, n_live, idx, o16, bq, bank_planes, live_b,
         # wide selections, where packing wastes ~2.7 bits/live)
         idx_stream = idx_plain
         split = 1 << _IDX_SPLIT_BITS
-        u, inv = np.unique(idx, return_inverse=True)
         lo_alpha = min(len(u), split)
         hi_alpha = -(-len(u) // split)
         # an alphabet-1 split stream is deterministic: no stream, no table
@@ -567,8 +573,9 @@ def _entropy_variant(rec, live, n_live, idx, o16, bq, bank_planes, live_b,
         o_shift, s_drop, idx_enc, so_enc, len(zsec), len(idx_stream),
         len(s_hi), s_lo_n if so_enc & 1 else len(s_lo),
         len(o_hi), o_lo_n if so_enc & 2 else len(o_lo),
-        len(idx_hi), idx_alpha,
     )
+    if idx_enc == 2:
+        ext2 += _EXT2_RS.pack(len(idx_hi), idx_alpha)
     payload = (
         zsec + idx_stream + idx_hi + s_hi + (b"" if so_enc & 1 else s_lo)
         + o_hi + (b"" if so_enc & 2 else o_lo)
@@ -678,7 +685,7 @@ def compact_bytes(
     )
     if ent is not None:
         zraw_len, e_ext2, e_payload = ent
-        if _EXT2.size + len(e_payload) < len(raw):
+        if len(e_ext2) + len(e_payload) < len(raw):
             flags = FLAG_ENTROPY
             ext2, payload, raw_len = e_ext2, e_payload, zraw_len
 
@@ -933,9 +940,7 @@ def _parse_entropy(body, hdr, idx_bits, bank_exp, o_exp, n_live, raw_len,
     if len(body) < off + _EXT2.size:
         raise ValueError("Truncated FWAV payload")
     (o_shift, s_drop, idx_enc, so_enc, z_len, idx_len, s_hi_len, s_lo_len,
-     o_hi_len, o_lo_len, idx_hi_len, idx_alpha) = _EXT2.unpack(
-        body[off : off + _EXT2.size]
-    )
+     o_hi_len, o_lo_len) = _EXT2.unpack(body[off : off + _EXT2.size])
     del s_drop  # applied at write time; stored patterns are already final
     if o_shift > 12:  # writer emits 0..12 (_pick_o_shift) — fail loudly on
         raise ValueError("Corrupt compact FWAV o_shift")  # a flipped byte
@@ -945,8 +950,14 @@ def _parse_entropy(body, hdr, idx_bits, bank_exp, o_exp, n_live, raw_len,
         )
     if idx_enc > 2:
         raise ValueError(f"Unknown compact FWAV idx encoding: {idx_enc}")
-    if idx_enc != 2 and (idx_hi_len or idx_alpha):
-        raise ValueError("Corrupt compact FWAV idx fields")
+    off += _EXT2.size
+    idx_hi_len = idx_alpha = 0
+    if idx_enc == 2:
+        # conditional tail (see _EXT2_RS): pre-round-5 layouts stay intact
+        if len(body) < off + _EXT2_RS.size:
+            raise ValueError("Truncated FWAV payload")
+        idx_hi_len, idx_alpha = _EXT2_RS.unpack(body[off : off + _EXT2_RS.size])
+        off += _EXT2_RS.size
     # whole-value-coded streams repurpose their "lo" field as the alphabet
     # size (the value list + freq table live in the deflated section)
     s_alpha = s_lo_len if so_enc & 1 else 0
@@ -966,7 +977,6 @@ def _parse_entropy(body, hdr, idx_bits, bank_exp, o_exp, n_live, raw_len,
             raise ValueError("Corrupt compact FWAV idx fields")
         if idx_alpha <= (1 << _IDX_SPLIT_BITS) and idx_hi_len:
             raise ValueError("Corrupt compact FWAV idx fields")
-    off += _EXT2.size
     lens = [z_len, idx_len, idx_hi_len, s_hi_len,
             0 if so_enc & 1 else s_lo_len,
             o_hi_len, 0 if so_enc & 2 else o_lo_len]

@@ -46,7 +46,6 @@ import numpy as np
 PROB_BITS = 12
 #: Ceiling for the prob_bits parameter (u16 frequency-table entries).
 MAX_PROB_BITS = 16
-_M = 1 << PROB_BITS
 #: Renormalization interval lower bound: states live in [L, 256*L).
 _L = 1 << 23
 

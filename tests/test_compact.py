@@ -767,3 +767,41 @@ def test_rank_split_corrupt_fields_rejected():
     b[ext2 + 2] = 0
     with pytest.raises(ValueError):
         parse_compact_bytes(bytes(b), verify_checksum=False)
+
+
+def test_ext2_tail_only_on_rank_split():
+    """Format pin: the ext2 struct stays 28 bytes and the _EXT2_RS tail
+    appears EXACTLY when idx_enc == 2 — pre-round-5 v2 entropy files
+    (idx_enc 0/1) keep their byte layout and must keep parsing."""
+    import zlib
+
+    from fwav_tpu.io.compact import (
+        _EXT, _EXT2, _EXT2_RS, _EXT_OFFSET, FLAG_ENTROPY, compact_bytes,
+        parse_compact_bytes,
+    )
+
+    assert _EXT2.size == 28 and _EXT2_RS.size == 8
+
+    rng = np.random.default_rng(23)
+    n = 4096
+    rec = np.zeros(n, dtype=MATCH_DTYPE)
+    rec["idx"] = rng.integers(0, 64, n)
+    rec["s"] = rng.normal(0.4, 0.2, n).astype(np.float32)
+    rec["o"] = rng.normal(0, 300, n).astype(np.float32)
+    rec["err"] = np.float32(1.0)
+    bank = rng.normal(0, 500.0, (64, 4)).astype(np.float32)
+    blob = compact_bytes(rec, bank, 4, 8000, 2, 1024, 1, 1e-4, 4 * n)
+    assert blob[_EXT_OFFSET + 3] & FLAG_ENTROPY
+    ext2 = _EXT_OFFSET + _EXT.size
+    assert blob[ext2 + 2] == 1  # dense idx coding: no tail
+    z_len = int.from_bytes(blob[ext2 + 4 : ext2 + 8], "little")
+    # the deflated section begins immediately after the 28-byte ext2
+    zlib.decompress(blob[ext2 + 28 : ext2 + 28 + z_len])  # must not raise
+    parse_compact_bytes(blob)
+
+    rec2, bank2 = _wide_idx_rec(seed=29)
+    blob2 = compact_bytes(rec2, bank2, 4, 44100, 2, 1024, 1, 1e-4, 4 * len(rec2))
+    ext2 = _EXT_OFFSET + _EXT.size
+    assert blob2[ext2 + 2] == 2  # rank-split: tail present, then zsec
+    z_len = int.from_bytes(blob2[ext2 + 4 : ext2 + 8], "little")
+    zlib.decompress(blob2[ext2 + 36 : ext2 + 36 + z_len])
