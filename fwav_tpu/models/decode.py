@@ -119,7 +119,11 @@ def build_decode_core(
 
 @lru_cache(maxsize=64)
 def _decode_core(mb, db, range_size, iterations, s_clip, s_damping):
-    return jax.jit(
+    # cached_jit == jax.jit unless FWAV_EXEC_CACHE opts into the
+    # cross-process executable cache (utils/aot_cache.py)
+    from ..utils.aot_cache import cached_jit
+
+    return cached_jit(
         build_decode_core(mb, db, range_size, iterations, s_clip, s_damping)
     )
 

@@ -808,8 +808,13 @@ def build_encode_core(
 
 @lru_cache(maxsize=64)
 def _encode_core(*key):
-    """Jitted + cached variant of build_encode_core, one entry per bucket."""
-    return jax.jit(build_encode_core(*key))
+    """Jitted + cached variant of build_encode_core, one entry per bucket.
+    cached_jit == jax.jit unless FWAV_EXEC_CACHE opts into the
+    cross-process executable cache (utils/aot_cache.py — the per-process
+    compile tax is the cold-start bottleneck, PARITY.md)."""
+    from ..utils.aot_cache import cached_jit
+
+    return cached_jit(build_encode_core(*key))
 
 
 @lru_cache(maxsize=64)
@@ -828,7 +833,9 @@ def _encode_core_chunked(k, *key):
         *parts, meta = args
         return f(jnp.concatenate(parts), meta)
 
-    return jax.jit(g)
+    from ..utils.aot_cache import cached_jit
+
+    return cached_jit(g)
 
 
 def _resolve_h2d_chunks(cfg: EncoderConfig, nb: int) -> int:
@@ -919,7 +926,9 @@ def _packed_encode_core(*key):
     """jit(vmap(core)): one dispatch encodes a whole stack of same-bucket
     files (compress_audio_packed). jit re-traces per leading-axis size, so
     callers pad stacks to powers of two to bound retraces."""
-    return jax.jit(jax.vmap(build_encode_core(*key)))
+    from ..utils.aot_cache import cached_jit
+
+    return cached_jit(jax.vmap(build_encode_core(*key)))
 
 
 @lru_cache(maxsize=32)

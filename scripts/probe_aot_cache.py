@@ -93,7 +93,9 @@ def main():
     raw_p, meta, key, n_ranges, n_domains = prep
     import jax.numpy as jnp
 
-    f = enc._encode_core(*key)
+    # plain jit (not enc._encode_core): the probe needs .lower()/.compile(),
+    # and the production core may be wrapped by utils/aot_cache.cached_jit
+    f = jax.jit(enc.build_encode_core(*key))
     args = (jnp.asarray(raw_p), jnp.asarray(meta))
 
     t0 = time.time()

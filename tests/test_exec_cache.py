@@ -1,0 +1,137 @@
+"""utils/aot_cache — the opt-in cross-process executable cache
+(FWAV_EXEC_CACHE). Contract: off by default (plain jit, no files); on, a
+compile persists a serialized executable and a FRESH wrapper (new process
+stand-in) reloads it without compiling; every failure falls back to the
+plain jitted path with a correct result. The real cross-process half runs
+in a subprocess against the production encode path."""
+
+import os
+import subprocess
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fwav_tpu.utils import aot_cache
+
+
+def _fn(x):
+    return (x * 2.0 + 1.0).sum()
+
+
+def test_off_by_default(monkeypatch, tmp_path):
+    monkeypatch.delenv("FWAV_EXEC_CACHE", raising=False)
+    f = aot_cache.cached_jit(_fn)
+    out = f(jnp.arange(8.0))
+    assert float(out) == float(np.arange(8.0).sum() * 2 + 8)
+    assert list(tmp_path.iterdir()) == []
+
+
+def test_miss_then_cross_wrapper_hit(monkeypatch, tmp_path):
+    """First wrapper compiles + persists; a fresh wrapper reloads the
+    executable from disk (hits += 1). Under this suite's FORCED 8-virtual-
+    device CPU the reloaded executable may refuse to execute (an upstream
+    deserialization quirk: it expects 8 input shards for a 1-device
+    program) — the runtime guard must then fall back to the plain jit with
+    a correct result; on a 1-device process (the axon chip, and the
+    subprocess test below) the reload executes directly."""
+    monkeypatch.setenv("FWAV_EXEC_CACHE", str(tmp_path))
+    before = dict(aot_cache.stats)
+    x = jnp.arange(16.0)
+    f1 = aot_cache.cached_jit(_fn)
+    a = f1(x)
+    files = list(tmp_path.glob("*.fwexec"))
+    if aot_cache.stats["unserializable"] > before["unserializable"]:
+        pytest.skip("backend cannot serialize executables")
+    assert len(files) == 1
+    assert aot_cache.stats["misses"] == before["misses"] + 1
+    # a fresh wrapper (stands in for a fresh process) must LOAD from disk
+    f2 = aot_cache.cached_jit(_fn)
+    b = f2(x)
+    assert aot_cache.stats["hits"] == before["hits"] + 1
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # distinct shapes key distinct executables
+    f1(jnp.arange(32.0))
+    assert len(list(tmp_path.glob("*.fwexec"))) == 2
+
+
+def test_corrupt_entry_recompiles(monkeypatch, tmp_path):
+    monkeypatch.setenv("FWAV_EXEC_CACHE", str(tmp_path))
+    x = jnp.arange(8.0)
+    f1 = aot_cache.cached_jit(_fn)
+    want = float(f1(x))
+    files = list(tmp_path.glob("*.fwexec"))
+    if not files:
+        pytest.skip("backend cannot serialize executables")
+    files[0].write_bytes(b"not a pickle")
+    before = dict(aot_cache.stats)
+    f2 = aot_cache.cached_jit(_fn)
+    assert float(f2(x)) == want
+    assert aot_cache.stats["errors"] == before["errors"] + 1
+    assert aot_cache.stats["hits"] == before["hits"]
+
+
+def test_unwritable_dir_still_computes(monkeypatch, tmp_path):
+    blocker = tmp_path / "a_file"
+    blocker.write_text("x")
+    monkeypatch.setenv("FWAV_EXEC_CACHE", str(blocker / "sub"))
+    f = aot_cache.cached_jit(_fn)
+    assert float(f(jnp.arange(4.0))) == float(np.arange(4.0).sum() * 2 + 4)
+
+
+_CHILD = r"""
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+sys.path.insert(0, {repo!r})
+from fwav_tpu.models import codec
+from fwav_tpu.utils import aot_cache
+r = codec.process_file_compress({wav!r}, outdir={out!r})
+assert "error" not in r, r
+print("OUT", r["output"])
+print("STATS", aot_cache.stats)
+"""
+
+
+def test_cross_process_encode_cache(tmp_path):
+    """Two fresh processes compress the same file with FWAV_EXEC_CACHE set:
+    the second must hit the disk cache (the per-process compile tax this
+    feature exists to kill) and produce a byte-identical container."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    wav = str(tmp_path / "t.wav")
+    sys.path.insert(0, repo)
+    from fwav_tpu.io.wav import write_wav
+
+    rng = np.random.default_rng(0)
+    sr = 8000
+    write_wav(wav, (rng.normal(0, 0.2, sr) * 16000).astype(np.float32), sr, 2)
+
+    env = dict(os.environ, FWAV_EXEC_CACHE=str(tmp_path / "cache"))
+    # children run on ONE CPU device (the production cold-start scenario;
+    # the forced 8-virtual-device flag is this suite's, not the CLI's)
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    )
+    outs = []
+    for i in ("a", "b"):
+        out = tmp_path / i
+        out.mkdir()
+        script = _CHILD.format(repo=repo, wav=wav, out=str(out))
+        p = subprocess.run(
+            [sys.executable, "-c", script], env=env, capture_output=True,
+            text=True, timeout=300,
+        )
+        assert p.returncode == 0, p.stderr[-2000:]
+        out_path = next(
+            ln.split(" ", 1)[1] for ln in p.stdout.splitlines()
+            if ln.startswith("OUT ")
+        )
+        outs.append(open(out_path, "rb").read())
+        if i == "a" and "unserializable': 0" not in p.stdout:
+            pytest.skip("backend cannot serialize executables")
+    assert outs[0] == outs[1]
+    # the second process must have reloaded at least one executable
+    assert "'hits': 0" not in p.stdout, p.stdout
