@@ -362,3 +362,41 @@ def test_decompress_devices_ignored_at_zero_damping(tmp_path, wav_dir,
     assert cli_main(["decompress", str(fwav), "--out", str(out),
                      "--devices", "64"]) == 0
     assert out.exists()
+
+
+def test_cli_warmup_populates_exec_cache(tmp_path, monkeypatch):
+    """`warmup --exec-cache` pre-compiles the real encode program and
+    persists it; a subsequent same-bucket compress must REUSE it (hit) —
+    integral warmup samples must land on the same int16-transport program
+    real WAVs use. The cross-process half lives in test_exec_cache.py."""
+    from fwav_tpu.cli import main as cli_main
+    from fwav_tpu.utils import aot_cache
+
+    cache = tmp_path / "wc"
+    # the --exec-cache flag writes os.environ; registering the var with
+    # monkeypatch FIRST guarantees teardown removes it for later tests
+    monkeypatch.setenv("FWAV_EXEC_CACHE", str(cache))
+    before = dict(aot_cache.stats)
+    assert cli_main(["warmup", "--seconds", "0.12", "--rate", "8000",
+                     "--tile", "128", "--exec-cache", str(cache)]) == 0
+    entries = list(cache.glob("*.fwexec"))
+    if aot_cache.stats["unserializable"] > before["unserializable"]:
+        pytest.skip("backend cannot serialize executables")
+    assert len(entries) == 1
+    # a tone WAV of the same duration buckets to the same program: the
+    # compress must hit (fresh wrapper stands in for a fresh process via
+    # the lru_cache clear)
+    from fwav_tpu.models import encode as enc
+
+    enc._encode_core.cache_clear()
+    sr = 8000
+    t = np.linspace(0, 0.12, int(sr * 0.12), endpoint=False)
+    sig = (0.5 * (2**15 - 1) * np.sin(2 * np.pi * 440.0 * t)).astype(np.int16)
+    from fwav_tpu.io.wav import write_wav
+
+    wav = tmp_path / "w.wav"
+    write_wav(str(wav), sig, sr, 2)
+    hits0 = aot_cache.stats["hits"]
+    assert cli_main(["compress", str(wav), str(tmp_path / "w.fwav"),
+                     "--tile", "128"]) == 0
+    assert aot_cache.stats["hits"] == hits0 + 1
