@@ -137,6 +137,7 @@ def _with_spread(results):
 
 
 def main(argv=None):
+    import os
     import subprocess
     import sys
 
@@ -172,10 +173,16 @@ def main(argv=None):
         if len(results) >= 3 or remaining < (60 if results else 10):
             break
         cap = 300.0 if results else max(remaining - 5.0, 60.0)
+        # children share an executable cache: when the plugin supports
+        # serialization (utils/aot_cache.py; harmless no-op when it does
+        # not), children after the first skip their compile, so more
+        # process samples fit the capture budget
+        env = dict(os.environ)
+        env.setdefault("FWAV_EXEC_CACHE", "/tmp/fwav_exec_cache")
         try:
             out = subprocess.run(
                 [sys.executable, __file__, "--single"],
-                capture_output=True, text=True, check=True,
+                capture_output=True, text=True, check=True, env=env,
                 timeout=min(cap, max(remaining, 60.0)),
             ).stdout.strip().splitlines()[-1]
             results.append(json.loads(out))
