@@ -152,7 +152,9 @@ def _decode_core_sharded(mesh, mb, db, range_size, iterations, s_clip,
         # host can report the worst shard (fractal.py:1464-1466 parity)
         return recon_t, it[None], delta[None]
 
-    return jax.jit(
+    from ..utils.aot_cache import cached_jit
+
+    return cached_jit(
         jax.shard_map(
             core,
             mesh=mesh,

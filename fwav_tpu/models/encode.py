@@ -944,7 +944,9 @@ def _packed_sharded_core(mesh, flat_axes, *key):
     from jax.sharding import PartitionSpec as P
 
     spec = P(flat_axes)
-    return jax.jit(
+    from ..utils.aot_cache import cached_jit
+
+    return cached_jit(
         jax.shard_map(
             jax.vmap(build_encode_core(*key)), mesh=mesh,
             in_specs=(spec, spec), out_specs=spec, check_vma=False,
@@ -1081,7 +1083,9 @@ def _sharded_encode_core(mesh, dp_axis, n_in, *key):
     from jax.sharding import PartitionSpec as P
 
     core = build_encode_core(*key)
-    return jax.jit(
+    from ..utils.aot_cache import cached_jit
+
+    return cached_jit(
         jax.shard_map(
             core, mesh=mesh, in_specs=(P(),) * n_in, out_specs=P(dp_axis),
             check_vma=False,

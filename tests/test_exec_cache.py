@@ -135,3 +135,29 @@ def test_cross_process_encode_cache(tmp_path):
     assert outs[0] == outs[1]
     # the second process must have reloaded at least one executable
     assert "'hits': 0" not in p.stdout, p.stdout
+
+
+def test_sharded_encode_with_cache_bit_equal(monkeypatch, tmp_path):
+    """Mesh-sharded encode with the cache on must produce records
+    bit-equal to cache-off — whether the serialized multi-device
+    executable reloads cleanly on this backend or the runtime guard falls
+    back to a fresh compile (both are valid outcomes; wrong records are
+    not)."""
+    from fwav_tpu.models import encode as enc
+    from fwav_tpu.parallel.mesh import make_mesh
+    from fwav_tpu.parallel.shard import compress_audio_sharded
+
+    rng = np.random.default_rng(3)
+    sr = 8000
+    sig = (rng.normal(0, 0.2, sr) * 16000).round().astype(np.float32)
+    mesh = make_mesh(4, dp=2, tp=2)
+
+    monkeypatch.delenv("FWAV_EXEC_CACHE", raising=False)
+    ref = compress_audio_sharded(sig, sr, 2, tile_size=128, mesh=mesh)
+
+    monkeypatch.setenv("FWAV_EXEC_CACHE", str(tmp_path))
+    for wrapper_gen in ("populate", "reload"):
+        enc._sharded_encode_core.cache_clear()
+        got = compress_audio_sharded(sig, sr, 2, tile_size=128, mesh=mesh)
+        np.testing.assert_array_equal(got[0], ref[0]), wrapper_gen
+        np.testing.assert_array_equal(got[1], ref[1])
