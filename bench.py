@@ -176,9 +176,16 @@ def main(argv=None):
         # children share an executable cache: when the plugin supports
         # serialization (utils/aot_cache.py; harmless no-op when it does
         # not), children after the first skip their compile, so more
-        # process samples fit the capture budget
+        # process samples fit the capture budget. Per-user 0700 dir —
+        # entries are pickles, never share a world-writable path.
         env = dict(os.environ)
-        env.setdefault("FWAV_EXEC_CACHE", "/tmp/fwav_exec_cache")
+        if "FWAV_EXEC_CACHE" not in env:
+            try:
+                from fwav_tpu.utils.aot_cache import default_shared_dir
+
+                env["FWAV_EXEC_CACHE"] = default_shared_dir()
+            except Exception:  # noqa: BLE001 — cache is a bonus, not a need
+                pass
         try:
             out = subprocess.run(
                 [sys.executable, __file__, "--single"],

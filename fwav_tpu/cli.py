@@ -152,12 +152,26 @@ def _warmup(args) -> int:
     only helps long-lived processes (e.g. a --batch worker)."""
     import time
 
+    from .models.codec import STREAMING_THRESHOLD
     from .models.encode import compress_audio_arrays
 
     rng = np.random.default_rng(0)
     n = int(args.seconds * args.rate)
     if n <= 0:
         logger.error("warmup needs --seconds > 0")
+        return 1
+    if n > STREAMING_THRESHOLD:
+        # warmup compiles the single-shot program; a file this long would
+        # STREAM through windowed ('masked'/'global') programs whose
+        # buckets this warmup would never touch — warming a giant raw
+        # program nobody runs would silently waste the compile
+        logger.error(
+            "warmup --seconds %.0f exceeds the single-shot limit (%.0f s "
+            "at this rate): such files stream through different programs. "
+            "Warm those by compressing one representative file with "
+            "--exec-cache instead.",
+            args.seconds, STREAMING_THRESHOLD / args.rate,
+        )
         return 1
     # noise keeps every pipeline stage live (silence would VAD-gate ranges;
     # records are discarded, only the compiled programs matter). INTEGRAL
@@ -177,9 +191,16 @@ def _warmup(args) -> int:
     t_dec = 0.0
     if args.decode_damping is not None and args.decode_damping > 0:
         from .models.decode import decompress_audio
+        from .models.encode import prune_bank
 
+        # decode against the PRUNED bank like production does (compress
+        # prunes by default, so real decodes see the pruned row-count
+        # bucket; the full bank would warm a bucket nobody hits). The
+        # bucket is still content-dependent — warmup covers the common
+        # case, not every file
+        rec_p, bank_p = prune_bank(rec, domains)
         t0 = time.time()
-        decompress_audio(rec, domains, n_ranges, range_size,
+        decompress_audio(rec_p, bank_p, n_ranges, range_size,
                          s_damping=args.decode_damping)
         t_dec = time.time() - t0
     from .utils.aot_cache import cache_dir, stats

@@ -19,14 +19,18 @@ program — shapes, constants, config-derived structure — so a hit IS the
 same computation; the platform/device fields keep executables from
 crossing backends or topologies. EVERY failure mode (serialization
 unsupported by the plugin, corrupt or truncated cache file, version
-drift) falls back to the normal compile for that call, so the cache can
-only skip work, never break an encode; `stats` counts hits/misses/errors
-for tests and diagnostics.
+drift, an executable that cannot run here) falls back to the normal
+compile for that call, so the cache can only skip work, never break an
+encode; `stats` counts hits/misses/unserializable/errors for tests and
+diagnostics.
 
 Off by default: executables are multi-megabyte and rig-specific, and the
 cache dir is trusted local state (entries are pickles — point
-FWAV_EXEC_CACHE only at a directory you own, same trust model as JAX's
-own compilation cache).
+FWAV_EXEC_CACHE only at a PRIVATE directory you own, never a shared
+world-writable one; same trust model as JAX's own compilation cache).
+The directory is bounded: after each write, oldest-mtime entries are
+evicted past FWAV_EXEC_CACHE_MAX_MB (default 1024) — stale keys from
+code/jax-version churn cannot grow it without bound.
 """
 
 from __future__ import annotations
@@ -41,8 +45,9 @@ import threading
 logger = logging.getLogger("fwavc")
 
 #: Live counters (per process): cross-process disk hits, compiles that
-#: populated the cache, compiles that could not be serialized, errors that
-#: fell back to the plain jitted path.
+#: populated the cache, serialize() rejections by the backend, and every
+#: other failure that fell back to the plain jitted path (IO errors,
+#: corrupt entries, executables that would not run here).
 stats = {"hits": 0, "misses": 0, "unserializable": 0, "errors": 0}
 
 
@@ -52,18 +57,59 @@ def cache_dir():
     return d or None
 
 
+def default_shared_dir():
+    """A per-user (mode 0700) default location for callers that want a
+    shared cache without the user naming one — NEVER a fixed world-
+    readable path: entries are pickles, so the directory must be private
+    (bench.py uses this for its child processes)."""
+    d = os.path.join(
+        tempfile.gettempdir(), f"fwav_exec_cache_{os.getuid()}"
+    )
+    os.makedirs(d, mode=0o700, exist_ok=True)
+    if os.stat(d).st_uid != os.getuid():  # pre-planted by another user
+        raise PermissionError(f"{d} is not owned by this user")
+    return d
+
+
 def _arg_sig(args):
+    """Signature under which one compiled executable is reusable: the
+    ABSTRACT value of every leaf (shape, dtype, weak_type — via jax's own
+    abstractification, so a weak-f32 scalar and a committed f32 scalar key
+    DIFFERENT entries exactly where jit would retrace; a Python float keys
+    once per dtype, not once per value)."""
     import jax
 
     leaves, treedef = jax.tree_util.tree_flatten(args)
-    sig = []
-    for leaf in leaves:
-        shape = getattr(leaf, "shape", None)
-        if shape is not None:
-            sig.append((tuple(shape), str(getattr(leaf, "dtype", ""))))
-        else:
-            sig.append(("py", repr(leaf)))
-    return (treedef, tuple(sig))
+    from jax.api_util import shaped_abstractify
+
+    return (treedef, tuple(str(shaped_abstractify(leaf)) for leaf in leaves))
+
+
+def _prune(d, keep: str):
+    """Bound the cache directory: evict oldest-mtime entries beyond
+    FWAV_EXEC_CACHE_MAX_MB (default 1024), never the just-written one.
+    Best-effort — races with concurrent writers only make it evict less."""
+    try:
+        cap = int(os.environ.get("FWAV_EXEC_CACHE_MAX_MB", "1024")) << 20
+        entries = []
+        with os.scandir(d) as it:
+            for e in it:
+                if e.name.endswith(".fwexec"):
+                    st = e.stat()
+                    entries.append((st.st_mtime, st.st_size, e.path))
+        total = sum(sz for _, sz, _ in entries)
+        for _, sz, path in sorted(entries):
+            if total <= cap:
+                break
+            if os.path.basename(path) == keep:
+                continue
+            try:
+                os.unlink(path)
+                total -= sz
+            except OSError:
+                pass
+    except OSError:
+        pass
 
 
 def _load_or_compile(jitted, args, d):
@@ -83,7 +129,8 @@ def _load_or_compile(jitted, args, d):
         f"|{jax.device_count()}|"
     ).encode()
     key = hashlib.sha256(meta + lowered.as_text().encode()).hexdigest()
-    path = os.path.join(d, key[:32] + ".fwexec")
+    name = key[:32] + ".fwexec"
+    path = os.path.join(d, name)
 
     if os.path.exists(path):
         try:
@@ -93,7 +140,7 @@ def _load_or_compile(jitted, args, d):
                 payload, in_tree, out_tree = pickle.load(f)
             loaded = se.deserialize_and_load(payload, in_tree, out_tree)
             stats["hits"] += 1
-            logger.info("exec-cache hit: %s", os.path.basename(path))
+            logger.info("exec-cache hit: %s", name)
             return loaded, True
         except Exception:  # noqa: BLE001 — corrupt/foreign entry: recompile
             stats["errors"] += 1
@@ -104,6 +151,11 @@ def _load_or_compile(jitted, args, d):
         from jax.experimental import serialize_executable as se
 
         blob = pickle.dumps(se.serialize(compiled))
+    except Exception:  # noqa: BLE001 — genuinely plugin-side
+        stats["unserializable"] += 1
+        logger.info("exec-cache: backend cannot serialize executables")
+        return compiled, False
+    try:
         os.makedirs(d, exist_ok=True)
         fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
         try:
@@ -114,9 +166,10 @@ def _load_or_compile(jitted, args, d):
             os.unlink(tmp)
             raise
         stats["misses"] += 1
-    except Exception:  # noqa: BLE001 — plugin without executable serialization
-        stats["unserializable"] += 1
-        logger.info("exec-cache: backend cannot serialize executables")
+        _prune(d, keep=name)
+    except Exception:  # noqa: BLE001 — IO problem, NOT a backend limitation
+        stats["errors"] += 1
+        logger.warning("exec-cache: cannot persist to %s", d, exc_info=True)
     return compiled, False
 
 
@@ -146,18 +199,21 @@ def cached_jit(fun, **jit_kwargs):
                 fn = compiled.get(sig)
                 if fn is None:
                     try:
-                        fn, reloaded = _load_or_compile(jitted, args, d)
+                        fn, _ = _load_or_compile(jitted, args, d)
                     except Exception:  # noqa: BLE001 — never block the encode
                         stats["errors"] += 1
                         logger.warning("exec-cache failed, using plain jit",
                                        exc_info=True)
-                        fn, reloaded = jitted, False
-                    if reloaded:
-                        # runtime guard: a reloaded executable that cannot
-                        # EXECUTE here (device-count/topology drift the key
-                        # missed, or a machine-feature mismatch on CPU AOT)
-                        # permanently drops this signature back to the
-                        # plain jit — the cache may only skip work
+                        fn = jitted
+                    if fn is not jitted:
+                        # runtime guard on BOTH AOT paths (reloaded and
+                        # freshly compiled): an executable that cannot
+                        # EXECUTE with these concrete args (topology drift
+                        # the key missed, machine-feature mismatch on CPU
+                        # AOT, an aval nuance _arg_sig missed where plain
+                        # jit would just retrace) permanently drops this
+                        # signature back to the plain jit — the cache may
+                        # only skip work
                         fn = _guard(fn, jitted, compiled, sig)
                     compiled[sig] = fn
         return fn(*args)
@@ -172,7 +228,7 @@ def _guard(loaded, jitted, table, sig):
         except Exception:  # noqa: BLE001 — see comment at the call site
             stats["errors"] += 1
             logger.warning(
-                "exec-cache reloaded executable failed to run; recompiling"
+                "exec-cache executable failed to run; using plain jit"
             )
             table[sig] = jitted
             return jitted(*args)

@@ -159,5 +159,42 @@ def test_sharded_encode_with_cache_bit_equal(monkeypatch, tmp_path):
     for wrapper_gen in ("populate", "reload"):
         enc._sharded_encode_core.cache_clear()
         got = compress_audio_sharded(sig, sr, 2, tile_size=128, mesh=mesh)
-        np.testing.assert_array_equal(got[0], ref[0]), wrapper_gen
-        np.testing.assert_array_equal(got[1], ref[1])
+        np.testing.assert_array_equal(got[0], ref[0], err_msg=wrapper_gen)
+        np.testing.assert_array_equal(got[1], ref[1], err_msg=wrapper_gen)
+
+
+def test_weak_type_scalars_key_distinct_entries(monkeypatch, tmp_path):
+    """A committed f32 scalar and a weak (Python-float) scalar must key
+    DIFFERENT executables — exactly where plain jit would retrace — and a
+    repeated weak call must reuse, not recompile per value."""
+    monkeypatch.setenv("FWAV_EXEC_CACHE", str(tmp_path))
+    f = aot_cache.cached_jit(lambda x, s: (x * s).sum())
+    x = jnp.arange(8.0)
+    a = f(x, jnp.float32(2.0))
+    b = f(x, 2.0)
+    c = f(x, 3.0)  # same weak-f32 sig as b: reuse (value is traced, not keyed)
+    assert float(a) == 56.0 and float(b) == 56.0 and float(c) == 84.0
+    if not list(tmp_path.glob("*.fwexec")):
+        pytest.skip("backend cannot serialize executables")
+    assert len(list(tmp_path.glob("*.fwexec"))) == 2
+
+
+def test_cache_dir_eviction(monkeypatch, tmp_path):
+    """FWAV_EXEC_CACHE_MAX_MB bounds the directory: oldest entries are
+    evicted after a write, never the just-written one."""
+    monkeypatch.setenv("FWAV_EXEC_CACHE", str(tmp_path))
+    f1 = aot_cache.cached_jit(lambda x: x + 1)
+    f1(jnp.arange(4.0))
+    if not list(tmp_path.glob("*.fwexec")):
+        pytest.skip("backend cannot serialize executables")
+    monkeypatch.setenv("FWAV_EXEC_CACHE_MAX_MB", "0")
+    f2 = aot_cache.cached_jit(lambda x: x + 2)
+    f2(jnp.arange(4.0))
+    assert len(list(tmp_path.glob("*.fwexec"))) == 1
+
+
+def test_default_shared_dir_private():
+    d = aot_cache.default_shared_dir()
+    st = os.stat(d)
+    assert st.st_uid == os.getuid()
+    assert (st.st_mode & 0o077) == 0, oct(st.st_mode)
