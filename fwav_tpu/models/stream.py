@@ -152,16 +152,25 @@ def _global_pass(rec, signal, weighted, raw_src, voiced_p, cfg,
     core = _encode_core(*key)
     # lock per dispatch and per fetch (not across both), like the shard
     # loop: a concurrent batch thread's short encode can enqueue behind
-    # the pass instead of waiting out its whole device time + D2H
+    # the pass instead of waiting out its whole device time + D2H.
+    # Sub-phases split tunnel transport from device compute: "global_h2d"
+    # blocks on the puts, "global_dispatch" is trace+enqueue, and
+    # "global_fetch" is device execute + D2H (collect_phases sums them
+    # into the global_pass total for callers that only read that).
     with DEVICE_LOCK, phase("global_pass"):
-        out_dev = core(
-            jnp.asarray(raw_p), jnp.asarray(mask_bytes), jnp.asarray(meta),
-            jnp.asarray(lrows),
-        )
+        with phase("global_h2d"):
+            args_dev = [
+                jax.device_put(x)
+                for x in (raw_p, mask_bytes, meta, lrows)
+            ]
+            jax.block_until_ready(args_dev)
+        with phase("global_dispatch"):
+            out_dev = core(*args_dev)
     with DEVICE_LOCK, phase("global_pass"):
         from ..parallel.mesh import fetch_global
 
-        out = fetch_global(out_dev)[:m]
+        with phase("global_fetch"):
+            out = fetch_global(out_dev)[:m]
     winners = _encode_mod.unpack3_np(out) if pack3 else out
 
     imp = winners >= 0
